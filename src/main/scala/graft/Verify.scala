@@ -12,13 +12,29 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long + truncate (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write micros (not INT96) so the driver's reader sees the same unit as DuckDB
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Spark TimestampType is instant-semantics and lands in parquet as
+    // UTC-adjusted; DuckDB's TIMESTAMP is naive. Same wall-clock (session
+    // TZ pinned UTC), different metadata — cast to NTZ so the driver's
+    // pandas compare sees identical dtypes.
+    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.functions.col
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == TimestampType)
+            d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+          else d
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
