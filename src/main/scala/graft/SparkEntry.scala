@@ -17,8 +17,8 @@ object SparkEntry {
     Relational.q11(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs
+    Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ TextOps.oracle ++ Similarity.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+/** Codegen'd dot product over numeric arrays (float[] or double[] per side),
+  * accumulating left-to-right in double — the exact fold order of
+  * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+  * 0D, (s,v) -> s+v)`, so results are bit-identical to that formulation and
+  * to the DuckDB oracle's `list_reduce(list_prepend(0.0, ...))`.
+  *
+  * Why a custom Expression (SURVEY.md §2B Q25 bench path): Spark's
+  * higher-order functions don't participate in whole-stage codegen — each
+  * element evaluation is an interpreted lambda with boxing. For a 64-dim
+  * dot inside an O(n²) pair join that's the dominant cost at scale. This
+  * tight primitive loop stays inside WholeStageCodegen.
+  *
+  * Null handling: null arrays propagate null (BinaryExpression default);
+  * null *elements* are not expected (embeddings are dense) and would read
+  * as 0.0 via ArrayData's primitive getters.
+  */
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "dotf"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+      if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"dotf expects array<float|double> args, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("acc")
+      val getA =
+        if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB =
+        if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $getA * $getB;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-scoped registration of graft's custom Catalyst expressions. */
+object GraftFunctions {
+  /** Idempotent: createOrReplaceTempFunction overwrites in place. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotf", exprs => DotF(exprs(0), exprs(1)), "built-in")
+}

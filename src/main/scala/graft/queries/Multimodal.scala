@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import TextOps.{h60, h60d}
+
+/** Multimodal-column surface (SURVEY.md §2B north-star): treat media as
+  * opaque `binary` payloads + typed metadata, with decode / feature-extract /
+  * frame-sample as engine operators.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB:
+  * a deterministic md5-derived fake (documented per-column below) standing in
+  * for a real `mapPartitions`-batched codec call. Everything around it —
+  * the binary column, the metadata struct schema, the per-frame explode,
+  * partition-preserving shapes — is the real plumbing a 100 TB media
+  * pipeline needs, and is exercised end-to-end against the oracle.
+  *
+  * Scale: all narrow per-row transforms (no shuffle at all except final
+  * test-only ORDER BY); a real decoder slots into the same column positions
+  * via `mapPartitions` batching without changing the query shape.
+  */
+object Multimodal {
+  // --- Q32a: binary payload + decoded metadata struct ----------------------
+  // content: the document's UTF-8 bytes as a BINARY column (stand-in for an
+  // image blob). Decode stub: format from doc_id mod 3; width/height from
+  // the 60-bit md5 hash of doc_id — deterministic, codec-free.
+  def q32MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("content", col("text").cast("binary"))
+      .withColumn("h", expr(h60("CAST(doc_id AS STRING)")))
+      .select(
+        col("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END").as("format"),
+        (lit(64L) + pmod(col("h"), lit(577L))).as("width"),   // decode stub
+        (lit(64L) + pmod(col("h"), lit(449L))).as("height"),  // decode stub
+        md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  val q32MediaMetaSql: String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       |  64 + (${h60d("doc_id::VARCHAR")} % 577) AS width,
+       |  64 + (${h60d("doc_id::VARCHAR")} % 449) AS height,
+       |  md5(text) AS content_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- Q32b: frame sampling — k evenly-spaced 64-byte "frames" per doc -----
+  // The video-pipeline shape: explode a per-row frame index, slice the
+  // payload at computed offsets, fingerprint each frame. A real frame
+  // decoder replaces the substring+md5 with a codec call; the offsets,
+  // explode, and output schema are the production plumbing.
+  def q32FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("k", least(lit(4L), greatest(expr("n_bytes div 64"), lit(1L))))
+      .withColumn("frame_no", explode(expr("sequence(0L, k - 1L)")))
+      .withColumn("off", col("frame_no") * expr("n_bytes div k"))
+      .select(
+        col("doc_id"), col("frame_no"), col("off"),
+        md5(expr("substr(text, CAST(off + 1 AS INT), 64)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  val q32FrameSampleSql: String =
+    """SELECT doc_id, frame_no, frame_no * (n_bytes // k) AS off,
+      |       md5(substr(text, CAST(frame_no * (n_bytes // k) + 1 AS INT), 64)) AS frame_md5
+      |FROM (
+      |  SELECT doc_id, text, n_bytes, k,
+      |         unnest(generate_series(CAST(0 AS BIGINT), k - 1)) AS frame_no
+      |  FROM (SELECT doc_id, text,
+      |          CAST(length(text) AS BIGINT) AS n_bytes,
+      |          least(CAST(4 AS BIGINT), greatest(CAST(length(text) AS BIGINT) // 64, 1)) AS k
+      |        FROM documents))
+      |ORDER BY doc_id, frame_no""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_media_meta"   -> (q32MediaMeta _),
+    "q32_frame_sample" -> (q32FrameSample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q32_media_meta"   -> q32MediaMetaSql,
+    "q32_frame_sample" -> q32FrameSampleSql,
+  )
+}

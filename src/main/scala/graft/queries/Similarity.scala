@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import TextOps.{h60, h60d}
+
+/** Similarity / near-dup / vector surface (SURVEY.md §2B Q24–Q25): the
+  * scale-critical LLM-curation operators — n-gram Jaccard, MinHash+LSH,
+  * SimHash, brute-force cosine top-k, and LSH-bucketed ANN.
+  *
+  * Scale design: the brute-force pair queries (q24_jaccard_pairs,
+  * q25_embed_neardup) are the exact, oracle-checkable baselines — O(n²)
+  * within a blocking key, fine at test SF, NOT the 100 TB path. Their scale
+  * twins (q24_lsh_pairs, q25_ann_bucket) do the same job through banded
+  * MinHash / random-hyperplane bucketing: candidate generation becomes an
+  * equi-join on a hash key (shuffle-partitionable, linear-ish), and the
+  * expensive verify runs only on candidates. Both twins are deterministic
+  * (md5-derived hashes, no RNG) and therefore *also* oracle-checked.
+  */
+object Similarity {
+  /** Distinct word-3-gram shingles over a precomputed `toks` column — the
+    * split is materialized once per row, not once per array element. */
+  private val shinglesSpark: String =
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
+
+  /** Same shingles — DuckDB fragment. Kept single-line: these fragments are
+    * interpolated into outer `.stripMargin` strings, which would otherwise
+    * eat the first `|` of a `||` continuation line. */
+  private val shinglesDuck: String =
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+
+  /** DuckDB CTE prefix producing `d(doc_id, lang, sh)`. */
+  private val dDuck: String =
+    s"WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),\n" +
+      s"d AS (SELECT doc_id, lang, $shinglesDuck AS sh FROM t)"
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesSpark))
+      .select(col("doc_id"), col("lang"), col("sh"))
+
+  // --- Q24a: exact n-gram Jaccard pairs via inverted shingle index ---------
+  // |∩| comes from counting co-occurrences after a self-join on
+  // (lang, shingle); |∪| = n_a + n_b − |∩|. No per-pair array algebra and no
+  // doc×doc cross product — the shuffle key is the shingle, so the work is
+  // Σ freq(shingle)² instead of n², and AQE's skew-join splitting handles a
+  // hot shingle. This is the exact algorithm that survives 100 TB; the
+  // sub-quadratic candidate path is q24_lsh_pairs.
+  def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithShingles(spark, dir)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = d.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
+    a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("lang"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q24JaccardPairsSql: String =
+    s"""$dDuck
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- Q24b: MinHash signatures + LSH band keys ----------------------------
+  // k=12 min-hashes from ONE md5 per shingle: h = md5₆₀(s) mod p, then the
+  // classic universal-hash family hᵢ = (aᵢ·h + bᵢ) mod p (p = 1e9+7,
+  // products stay < 2⁶³). One hash pass over the shingles instead of k —
+  // at 100 TB that's the difference between 1× and 12× the scan cost.
+  // 4 bands × 3 rows; RNG-free, identical on both engines.
+  private val K = 12
+  private val BANDS = 4 // rows per band = K / BANDS = 3
+  private val P = 1000000007L
+  private val hashA: Seq[Long] = (1 to K).map(i => (i * 2654435761L) % P)
+  private val hashB: Seq[Long] = (1 to K).map(i => (i * 40503L * 65537L) % P)
+
+  /** Spark SQL: array of K universal min-hashes over the doc's shingles. */
+  private val sigSpark: String = {
+    val mins = (0 until K).map { i =>
+      s"array_min(transform(hs, h -> (${hashA(i)}L * h + ${hashB(i)}L) % ${P}L))"
+    }
+    mins.mkString("array(", ", ", ")")
+  }
+
+  /** Spark fragment: per-shingle base hashes (one md5 each). */
+  private val hsSpark: String = s"transform(sh, s -> ${h60("s")} % ${P}L)"
+
+  private val hsDuck: String = s"list_transform(sh, s -> ${h60d("s")} % $P)"
+
+  private def sigDuck: String = {
+    val mins = (0 until K).map { i =>
+      s"list_min(list_transform(hs, h -> (${hashA(i)} * h + ${hashB(i)}) % $P))"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
+  /** Per-doc band keys: md5 of the band's 3 concatenated min-hashes. */
+  def q24MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    docsWithShingles(spark, dir)
+      .withColumn("hs", expr(hsSpark))
+      .withColumn("sig", expr(sigSpark))
+      .withColumn("band", explode(expr(
+        s"""transform(sequence(0, ${BANDS - 1}), b -> struct(
+           |  CAST(b AS INT) AS band_id,
+           |  md5(concat_ws(',', element_at(sig, 3*b+1), element_at(sig, 3*b+2),
+           |                     element_at(sig, 3*b+3))) AS band_key))""".stripMargin)))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .orderBy(col("doc_id"), col("band_id"))
+
+  val q24MinhashSigSql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig)
+       |SELECT doc_id, CAST(band_id AS INT) AS band_id,
+       |       md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |           || ',' || sig[3*band_id+3]::VARCHAR) AS band_key
+       |FROM bands ORDER BY doc_id, band_id""".stripMargin
+
+  // --- Q24c: LSH candidate pairs → verified Jaccard ------------------------
+  // The 100 TB dedup path: equi-join on (band_id, band_key) generates
+  // candidates (shuffle on a hash key — linear, skew-safe), exact Jaccard
+  // verifies only those. No O(n²) anywhere.
+  def q24LshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q24MinhashSig(spark, dir)
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val d = docsWithShingles(spark, dir)
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q24LshPairsSql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM keys x JOIN keys y
+       |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- Q24d: SimHash near-dup pairs (banded candidate join) ----------------
+  // 60-bit SimHash: per-token 60-bit hash, per-bit ±1 vote, sign → bit.
+  // Pair generation uses the pigeonhole property: the sketch splits into
+  // 5 bands × 12 bits, and any pair with hamming ≤ 4 differs in ≤ 4 bands,
+  // so at least one band matches EXACTLY. Candidates therefore come from an
+  // equi-join on (band_id, 12-bit band value) — 100% recall, identical
+  // output to the n² cross join it replaces, but shuffle-partitionable:
+  // the 100 TB shape.
+  /** Per-doc 60-bit SimHash, computed codegen-friendly: explode tokens once,
+    * then ONE HashAggregate pass with 60 whole-stage-codegen'd ±1 vote sums
+    * (higher-order lambdas are interpreted in Spark — a nested
+    * aggregate-over-tokens-per-bit formulation is ~50× slower). */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("th", expr(h60("t")))
+    val voteCols = (0 to 59).map(b =>
+      sum(expr(s"IF(shiftright(th, $b) & 1 = 1, 1L, -1L)")).as(s"v$b"))
+    tok.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        expr((0 to 59).map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")).as("simhash"))
+  }
+
+  def q24SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = simhashes(spark, dir)
+      .withColumn("band_id", explode(expr("sequence(0, 4)")))
+      .withColumn("bk", expr("shiftright(simhash, 12 * band_id) & 4095"))
+    // Bucket-local pair expansion via collect_list: the sketch pipeline runs
+    // once (a self-join would recompute it per branch). least/greatest +
+    // distinct canonicalize pair order regardless of list order.
+    val pairs = bands
+      .groupBy(col("band_id"), col("bk"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+          |    least(x.doc_id, y.doc_id) AS doc_a,
+          |    greatest(x.doc_id, y.doc_id) AS doc_b,
+          |    CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+      .distinct()
+    pairs
+      .filter(col("hamming") <= 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q24SimhashPairsSql: String =
+    s"""WITH h AS (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h60d("t")}) AS th
+       |           FROM documents),
+       |bits AS (SELECT doc_id, unnest(generate_series(0, 59)) AS b, th FROM h),
+       |votes AS (SELECT doc_id, b,
+       |            len(list_filter(th, t -> (t >> b) & 1 = 1))
+       |              - len(list_filter(th, t -> (t >> b) & 1 = 0)) AS v
+       |          FROM bits),
+       |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)::BIGINT AS simhash
+       |       FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- Q25a: brute-force cosine top-k against a probe vector ---------------
+  // dotf is graft's codegen'd Catalyst Expression (graft.functions.DotF):
+  // left-fold double accumulation, bit-identical to the DuckDB oracle's
+  // list_reduce fold but ~10× faster than Spark's interpreted higher-order
+  // lambdas. At scale this is a broadcast of one probe row + a narrow map +
+  // TakeOrderedAndProject: fully distributed.
+  private def dot(a: Column, b: Column): Column = call_function("dotf", a, b)
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (s, v) -> s + v)""".stripMargin
+  private def normDuck(a: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)),
+       |  i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (s, v) -> s + v)""".stripMargin
+
+  def q25CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_vec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine",
+        dot(col("embedding"), col("probe_vec")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("probe_vec"), col("probe_vec")))))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q25CosineTopkSql: String =
+    s"""WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |       ${dotDuck("embedding", "probe_vec")}
+       |         / (sqrt(${normDuck("embedding")}) * sqrt(${normDuck("probe_vec")})) AS cosine
+       |FROM embeddings CROSS JOIN probe
+       |WHERE vec_id <> 0
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  // --- Q25b: embedding near-dup — global top-20 most-similar pairs ---------
+  // Exact baseline (O(n²) within the corpus); the scale path is
+  // q25_ann_bucket. TakeOrderedAndProject keeps the result tiny.
+  def q25EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val q25EmbedNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${normDuck("embedding")}) AS nrm FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+
+  // --- Q25c: LSH-bucketed ANN — nearest neighbor within each bucket --------
+  // 4 deterministic random-hyperplanes (md5-derived components in
+  // [-1000,1000]/1000); sign bits → 16 buckets; candidate pairs only within
+  // a bucket. This is the IVF/LSH scale shape: candidate generation is an
+  // equi-join on the bucket key, so the 100 TB version shuffles each vector
+  // once instead of crossing the corpus.
+  private val HP = 4
+
+  /** Scala-side replica of the h60 hash (md5 hex → first 15 nibbles →
+    * long) — used to precompute hyperplane components as array literals so
+    * the bucket assignment runs through the codegen'd dotf instead of
+    * per-element interpreted lambdas. Must stay formula-identical to
+    * h60/h60d. */
+  private def h60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  /** Hyperplane j, component i (1-based): md5-derived value in [-1, 1].
+    * Sized to 256 dims — dotf truncates to the actual vector length, which
+    * matches the oracle's generate_series(1, len(v)) upper bound. */
+  private def hyperplane(j: Int): Seq[Double] =
+    (1 to 256).map(i => ((h60Scala(s"$j:$i") % 2001L - 1000L) / 1000.0))
+
+  private def hpDotDuck(j: Int, v: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($v)),
+       |  i -> $v[i]::DOUBLE * ((${h60d(s"'$j' || ':' || i::VARCHAR")} % 2001 - 1000) / 1000.0))),
+       |  (s, x) -> s + x)""".stripMargin
+
+  private def bucketDuck(v: String): String =
+    (0 until HP).map(j => s"(CASE WHEN (${hpDotDuck(j, v)}) > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  def q25AnnBucket(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucketCol = (0 until HP)
+      .map(j => when(dot(col("embedding"), typedlit(hyperplane(j))) > 0d, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketCol.cast("int"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id"), col("bucket"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nn_id"), col("bucket").as("bucket_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("nn_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q25AnnBucketSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             CAST(${bucketDuck("embedding")} AS INT) AS bucket,
+       |             sqrt(${normDuck("embedding")}) AS nrm
+       |           FROM embeddings),
+       |pairs AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
+       |            ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, bucket, nn_id, cosine FROM (
+       |  SELECT vec_id, bucket, nn_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+       |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_jaccard_pairs" -> (q24JaccardPairs _),
+    "q24_minhash_sig"   -> (q24MinhashSig _),
+    "q24_lsh_pairs"     -> (q24LshPairs _),
+    "q24_simhash_pairs" -> (q24SimhashPairs _),
+    "q25_cosine_topk"   -> (q25CosineTopk _),
+    "q25_embed_neardup" -> (q25EmbedNearDup _),
+    "q25_ann_bucket"    -> (q25AnnBucket _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_jaccard_pairs" -> q24JaccardPairsSql,
+    "q24_minhash_sig"   -> q24MinhashSigSql,
+    "q24_lsh_pairs"     -> q24LshPairsSql,
+    "q24_simhash_pairs" -> q24SimhashPairsSql,
+    "q25_cosine_topk"   -> q25CosineTopkSql,
+    "q25_embed_neardup" -> q25EmbedNearDupSql,
+    "q25_ann_bucket"    -> q25AnnBucketSql,
+  )
+}

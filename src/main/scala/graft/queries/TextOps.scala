@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Text-analysis surface (SURVEY.md §2B Q23 + Q26): the LLM-training-pipeline
+  * operators over `documents` — top-terms, language-ID, quality scoring,
+  * token counting, fingerprinting, and exact-normalized dedup clustering.
+  *
+  * The reference ships documents opaquely (`CommCareAPIHandler.py:204`);
+  * these are the content-aware operators a 100 TB curation pipeline runs on
+  * top. All are single-pass narrow transforms + one hash-shuffle aggregation
+  * at most — no self-joins — so they scale linearly with executors.
+  *
+  * Determinism/oracle notes: the shared 60-bit hash is
+  * `conv(substr(md5(x),1,15),16,10)` — bit-identical to DuckDB's
+  * `('0x'||substr(md5(x),1,15))::BIGINT` (15 hex nibbles = 60 bits, always
+  * positive, no sign games). Double math keeps one expression shape on both
+  * sides (IEEE ops are deterministic; only reassociation isn't).
+  */
+object TextOps {
+  /** 60-bit positive hash of a SQL string expression — Spark fragment. */
+  def h60(e: String): String = s"CAST(conv(substr(md5($e),1,15),16,10) AS BIGINT)"
+  /** Same hash — DuckDB fragment (for oracle SQL builders). */
+  def h60d(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  // --- Q23a: token counts / top-k terms per lang (tokenize→explode→agg) ---
+  // Scale: explode is narrow; the (lang,tok) agg map-side combines, and the
+  // per-lang top-k is a small shuffle on lang (5 groups) — no global sort.
+  def q23TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("tok"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q23TopTermsSql: String =
+    """SELECT lang, rk, tok, n FROM (
+      |  SELECT lang, tok, n,
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rk
+      |  FROM (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+      |        FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents)
+      |        GROUP BY lang, tok)
+      |) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
+  // --- Q23b: language-ID via marker-token heuristic ------------------------
+  // Real lang-ID is a model; the engine-level operator is the deterministic
+  // n-gram/marker scoring pass (argmax over per-lang hit counts, branch-order
+  // tie-break, 'und' when nothing matches).
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("的", "是", "在"))
+
+  def q23LangId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("dtoks", array_distinct(split(col("text"), " ")))
+    val withHits = markers.foldLeft(base) { case (df, (l, ms)) =>
+      df.withColumn(s"hits_$l",
+        size(array_intersect(col("dtoks"), array(ms.map(lit): _*))).cast("int"))
+    }
+    val Seq(en, de, es, fr, zh) = markers.map { case (l, _) => col(s"hits_$l") }
+    withHits
+      .withColumn("predicted",
+        when(en >= de && en >= es && en >= fr && en >= zh && en > 0, "en")
+          .when(de >= es && de >= fr && de >= zh && de > 0, "de")
+          .when(es >= fr && es >= zh && es > 0, "es")
+          .when(fr >= zh && fr > 0, "fr")
+          .when(zh > 0, "zh")
+          .otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("hits_en"), col("hits_de"),
+        col("hits_es"), col("hits_fr"), col("hits_zh"), col("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q23LangIdSql: String = {
+    val hits = markers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_intersect(list_distinct(string_split(text,' ')), [$lst])) AS INT) AS hits_$l"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh AND hits_en > 0 THEN 'en'
+       |       WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh AND hits_de > 0 THEN 'de'
+       |       WHEN hits_es >= hits_fr AND hits_es >= hits_zh AND hits_es > 0 THEN 'es'
+       |       WHEN hits_fr >= hits_zh AND hits_fr > 0 THEN 'fr'
+       |       WHEN hits_zh > 0 THEN 'zh'
+       |       ELSE 'und' END AS predicted
+       |FROM (SELECT doc_id, lang, text,
+       |  $hits
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- Q23c: quality scoring (length / type-token ratio / stopword ratio) --
+  def q23Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, t -> t IN ('the','a','of','and'))")).cast("long"))
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_toks").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_toks").cast("double"))
+      .withColumn("len_score", least(col("n_toks").cast("double") / lit(100.0), lit(1.0)))
+      .withColumn("quality",
+        lit(0.4) * col("len_score") + lit(0.3) * col("ttr") + lit(0.3) * col("stop_ratio"))
+      .select(col("doc_id"), col("n_toks"), col("n_uniq"), col("n_stop"),
+        col("ttr"), col("stop_ratio"), col("len_score"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val q23QualitySql: String =
+    """SELECT doc_id, n_toks, n_uniq, n_stop,
+      |  CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+      |  CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stop_ratio,
+      |  least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) AS len_score,
+      |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE))
+      |    + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop
+      |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // --- Q23d: token counting (whitespace + BPE-ish regex lanes) -------------
+  def q23TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_toks"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("alpha_toks"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_ish_toks"),
+        (length(col("text")).cast("double") / lit(4.0)).as("est_llm_toks"))
+      .orderBy(col("doc_id"))
+
+  val q23TokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_toks,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_toks,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_toks,
+      |  CAST(length(text) AS DOUBLE) / 4.0 AS est_llm_toks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- Q23e: document fingerprint (rolling polynomial hash over tokens) ----
+  // fp = foldl (acc*31 + h60(tok) mod p) mod p, p = 1e9+7: order-sensitive,
+  // collision-resistant enough for curation bookkeeping, O(tokens) per doc.
+  def q23Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", expr(
+        s"""aggregate(
+           |  transform(split(text, ' '), t -> ${h60("t")} % 1000000007L),
+           |  0L, (acc, h) -> (acc * 31L + h) % 1000000007L)""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  val q23FingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text,' '), t -> ${h60d("t")} % 1000000007)),
+       |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- Q26: exact-normalized near-dup clusters (hash-group dedup) ----------
+  // md5 over whitespace-collapsed lowercase text; cluster size via window.
+  // Scale: one hash-shuffle on the 128-bit key — the canonical first pass of
+  // any 100 TB dedup pipeline (cheap, exact, removes the bulk).
+  def q26NearDupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("norm_hash"))
+    Tables.documents(spark, dir)
+      .withColumn("norm_hash", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .withColumn("is_dup", (col("n_cluster") > 1))
+      .select(col("doc_id"), col("norm_hash"), col("n_cluster"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26NearDupClusterSql: String =
+    """SELECT doc_id, norm_hash,
+      |       CAST(count(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS n_cluster,
+      |       (count(*) OVER (PARTITION BY norm_hash)) > 1 AS is_dup
+      |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_hash
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_top_terms"       -> (q23TopTerms _),
+    "q23_lang_id"         -> (q23LangId _),
+    "q23_quality"         -> (q23Quality _),
+    "q23_token_count"     -> (q23TokenCount _),
+    "q23_fingerprint"     -> (q23Fingerprint _),
+    "q26_neardup_cluster" -> (q26NearDupCluster _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q23_top_terms"       -> q23TopTermsSql,
+    "q23_lang_id"         -> q23LangIdSql,
+    "q23_quality"         -> q23QualitySql,
+    "q23_token_count"     -> q23TokenCountSql,
+    "q23_fingerprint"     -> q23FingerprintSql,
+    "q26_neardup_cluster" -> q26NearDupClusterSql,
+  )
+}
