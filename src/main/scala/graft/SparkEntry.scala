@@ -17,8 +17,8 @@ object SparkEntry {
     Relational.q11(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Multimodal.defs
+    Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Multimodal.defs ++ Windowed.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Similarity.oracle ++ Multimodal.oracle
+    Relational.oracle ++ TextOps.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Windowed.oracle
 }

@@ -1,0 +1,100 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{ApiLimitCalculator, StateStore}
+
+/** The reference's pull path (R1,R4,R5,R6,R8 — `CommCareAPIHandler.py:
+  * 207-262`) as an incremental Spark batch job: landed JSON envelopes →
+  * exploded rows → hour-partitioned bronze parquet, with a watermark state
+  * file advanced only on success (at-least-once) and dedup-on-read making
+  * re-runs idempotent (the property the reference needs but never tests —
+  * its `>=` keyset restart duplicates boundary rows by design, `:239`).
+  *
+  * Scale posture: the landed-JSON scan, explode, and partitioned write are
+  * all narrow per-partition work; the only shuffle is the optional
+  * repartition by the output partition columns (keeps one writer task per
+  * hour-partition, avoiding the many-small-files failure mode at 1000
+  * executors). Filter on `indexed_on` prunes bronze hour directories on
+  * re-read.
+  */
+object Ingest {
+
+  /** Dual-format timestamp parse (SURVEY §1.2; `CommCareAPIHandler.py:
+    * 235-238`): microsecond ISO-8601 with `Z`, falling back to the same
+    * without `Z`. Naive values are implicitly UTC (session TZ is pinned). */
+  def parseIndexedOn(c: Column): Column =
+    // try_to_timestamp: Spark 4 runs ANSI mode, where a format mismatch in
+    // to_timestamp throws instead of yielding null — the fallback needs the
+    // try_ variant.
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+
+  /** Parse landed envelope JSON (`{"meta": {...}, "objects": [...]}`,
+    * `CommCareAPIHandler.py:225-234`) into one row per object, carrying the
+    * envelope's meta alongside. `spark.read.json` infers the open payload
+    * schema; the stable columns are typed explicitly. */
+  def readEnvelopes(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+      .select(explode(col("objects")).as("obj"), col("meta"))
+      .select(
+        col("obj.*"),
+        col("meta.limit").cast("int").as("_page_limit"),
+        col("meta.total_count").cast("long").as("_total_count"))
+
+  /** Bronze write: hour-partitioned by the event time (R8 layout,
+    * `CommCareAPIHandler.py:71-73`), append-mode, 16 MB-target file sizing
+    * via maxRecordsPerFile (R7). Empty batches write nothing (native). */
+  def writeBronze(df: DataFrame, outDir: String, tsCol: String = "indexed_on",
+                  avgRowBytes: Double = 512.0): Unit = {
+    val partitioned = df
+      .withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+      // One shuffle keyed on the output partitions: each hour is written by
+      // one task (no small-files explosion); AQE splits skewed hours.
+      .repartition(col("year"), col("month"), col("day"), col("hour"))
+    partitioned.write
+      .mode(SaveMode.Append)
+      .option("maxRecordsPerFile", ApiLimitCalculator.recordsPerFile(avgRowBytes))
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(outDir)
+  }
+
+  /** Bronze read with exact-dedup on the natural key: makes at-least-once
+    * landing idempotent (overlapping extract windows collapse, Q6 shape). */
+  def readBronzeDeduped(spark: SparkSession, bronzeDir: String, key: String): DataFrame =
+    spark.read.parquet(bronzeDir).dropDuplicates(Seq(key))
+
+  /** One incremental run (the Q30 slice): filter the landed data to
+    * `(watermark, upper]`, land to bronze, advance the watermark state only
+    * on success. `upper` defaults to max(indexed_on) − 5-minute lag (R6).
+    * Returns rows written. */
+  def incrementalRun(spark: SparkSession, landedJsonPath: String, bronzeDir: String,
+                     state: StateStore, stateKey: String = "last_successful_job_time",
+                     useLag: Boolean = false): Long = {
+    val parsed = readEnvelopes(spark, landedJsonPath)
+      .withColumn("indexed_on", parseIndexedOn(col("indexed_on")))
+    val lower = state.get(stateKey).map(s => lit(s).cast("timestamp"))
+    // Driver-side single-value agg (not a data collect): the batch's high
+    // water mark. Empty landing zone ⇒ nothing to do, watermark unchanged.
+    val maxTs = parsed.agg(max(col("indexed_on"))).head.getTimestamp(0)
+    if (maxTs == null) return 0L
+    val upperExpr =
+      if (useLag) maxTs.toInstant.minusSeconds(300) else maxTs.toInstant
+    val upper = lit(java.sql.Timestamp.from(upperExpr))
+    val windowed = lower match {
+      case Some(lo) => parsed.filter(col("indexed_on") > lo && col("indexed_on") <= upper)
+      case None     => parsed.filter(col("indexed_on") <= upper) // cold start: full range
+    }
+    val n = windowed.count()
+    if (n > 0) writeBronze(windowed, bronzeDir)
+    // Advance only after a fully successful write — reference semantics
+    // (`CommCareAPIHandler.py:261-262`): failures re-extract the window.
+    state.put(stateKey, java.sql.Timestamp.from(upperExpr).toInstant.toString
+      .replace("Z", "").replace("T", " "))
+    n
+  }
+}

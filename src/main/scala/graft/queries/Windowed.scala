@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Batch twins of the streaming window queries (SURVEY §2B Q27/Q28):
+  * `window()` and `session_window()` evaluate identically in batch mode, so
+  * the window-assignment machinery gets full DuckDB-oracle coverage here
+  * while the streaming specs (graft.streaming, t1) cover watermarks, state,
+  * and output modes.
+  *
+  * Scale: tumbling/sliding windows are narrow projections + one hash-shuffle
+  * agg on (window); session windows shuffle on user_id then sort within —
+  * the same plan Structured Streaming uses per micro-batch.
+  */
+object Windowed {
+  // --- Q27 batch: 1-minute tumbling counts --------------------------------
+  def q27Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+      .orderBy(col("w_start"))
+
+  val q27TumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 minute', ts) AS w_start,
+      |       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS w_end,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // --- Q28a batch: 5-minute windows sliding by 1 minute -------------------
+  // Each event belongs to 5 windows; the oracle enumerates them explicitly.
+  def q28Sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+      .orderBy(col("w_start"))
+
+  val q28SlidingSql: String =
+    """SELECT w_start, w_start + INTERVAL '5 minutes' AS w_end, CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' AS w_start
+      |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k))
+      |GROUP BY w_start ORDER BY w_start""".stripMargin
+
+  // --- Q28b batch: per-user 30-minute-gap session windows ------------------
+  // Oracle is the classic gaps-and-islands rewrite; Spark's session_window
+  // end = last event + gap, so s_end matches max(ts) + 30 minutes.
+  def q28Session(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  val q28SessionSql: String =
+    """SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM (
+      |    SELECT user_id, ts,
+      |           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                     <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sess_id ORDER BY user_id, s_start""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_tumbling_batch" -> (q27Tumbling _),
+    "q28_sliding_batch"  -> (q28Sliding _),
+    "q28_session_batch"  -> (q28Session _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_tumbling_batch" -> q27TumblingSql,
+    "q28_sliding_batch"  -> q28SlidingSql,
+    "q28_session_batch"  -> q28SessionSql,
+  )
+}

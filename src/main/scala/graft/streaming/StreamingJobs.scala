@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY.md §2B Q27–Q29): the reference's hand-rolled
+  * micro-batch loop (`CommCareAPIHandler.py:217-258` — watermark lower
+  * bound, 5-minute indexing lag, `>=`-restart duplicate tolerance) becomes
+  * Structured Streaming: event-time watermarks, windowed aggregation, and
+  * stateful dedup. Builders take a (possibly streaming) events DataFrame so
+  * tests drive them from MemoryStream and production from readStream.
+  *
+  * Scale: stateful operators shuffle on their grouping keys and keep
+  * per-key state in the state store (RocksDB on a real cluster); watermarks
+  * bound state size — exactly the knobs the reference approximates with its
+  * `use_lag` 5-minute subtraction (`:65-69`).
+  */
+object StreamingJobs {
+
+  /** Q27: events per 1-minute tumbling window, 5-minute watermark.
+    * Append-mode emits a window only once its watermark passes — the
+    * streaming analogue of the reference's settled-window extraction. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+
+  /** Q28a: 5-minute windows sliding every minute. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+
+  /** Q28b: per-user session windows with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+
+  /** Q29: stateful dedup on event_id within the watermark — the streaming
+    * form of the reference's boundary-row duplicate problem (R2): re-sent
+    * rows inside the watermark horizon collapse; late rows past it drop. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{ApiLimitCalculator, StateStore}
+import graft.ingest.Ingest
+
+/** t1 e2e for the Q30 slice: envelope JSON → bronze parquet (hour
+  * partitions) → watermark advance → idempotent re-run. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  private def writeEnvelope(dir: String, name: String, objs: Seq[String]): Unit = {
+    val body =
+      s"""{"meta": {"limit": 1000, "next": null, "total_count": ${objs.size}},
+         | "objects": [${objs.mkString(",")}]}""".stripMargin.replace("\n", "")
+    Files.write(java.nio.file.Paths.get(dir, name), body.getBytes("UTF-8"))
+  }
+
+  private def obj(id: Long, indexedOn: String): String =
+    s"""{"id": $id, "indexed_on": "$indexedOn", "payload": {"k": $id}}"""
+
+  test("dual-format indexed_on parse (Z and naive)") {
+    val df = Seq("2024-01-01T10:00:00.123456Z", "2024-01-01T10:00:00.123456")
+      .toDF("raw").select(Ingest.parseIndexedOn($"raw").as("ts"))
+    val vals = df.select($"ts".cast("string")).as[String].collect()
+    assert(vals.toSet === Set("2024-01-01 10:00:00.123456"))
+  }
+
+  test("Q30 e2e: land → bronze hour partitions → watermark → idempotent re-run") {
+    val land = tmp(); val bronze = tmp() + "/bronze"; val stateDir = tmp()
+    val state = new StateStore(stateDir)
+
+    writeEnvelope(land, "page1.json", Seq(
+      obj(1, "2024-01-01T10:05:00.000000Z"),
+      obj(2, "2024-01-01T10:45:00.000000Z"),
+      obj(3, "2024-01-01T11:05:00.000000Z")))
+
+    val n1 = Ingest.incrementalRun(spark, land, bronze, state)
+    assert(n1 === 3)
+    // hour-partitioned layout (R8)
+    val parts = new java.io.File(s"$bronze/year=2024/month=1/day=1").list().sorted
+    assert(parts.toSeq === Seq("hour=10", "hour=11"))
+    // watermark advanced to max(indexed_on)
+    assert(state.get("last_successful_job_time").get.startsWith("2024-01-01 11:05:00"))
+
+    // second run: overlapping extract re-sends object 3 (the reference's
+    // >=-restart, R2) plus a new object
+    writeEnvelope(land, "page2.json", Seq(
+      obj(3, "2024-01-01T11:05:00.000000Z"),
+      obj(4, "2024-01-01T11:30:00.000000Z")))
+    val n2 = Ingest.incrementalRun(spark, land, bronze, state)
+    assert(n2 === 1) // only the new row is past the watermark
+
+    // idempotence: dedup-on-read is a fixpoint over at-least-once landing
+    val deduped = Ingest.readBronzeDeduped(spark, bronze, "id")
+    assert(deduped.count() === 4)
+    assert(deduped.select(sum($"payload.k")).as[Long].head === 10L)
+  }
+
+  test("cold start reads full range (NoSuchKey ⇒ skip semantics)") {
+    val land = tmp(); val bronze = tmp() + "/bronze"
+    val state = new StateStore(tmp())
+    assert(state.get("last_successful_job_time").isEmpty)
+    writeEnvelope(land, "p.json", Seq(obj(9, "2024-02-01T00:00:00.000000Z")))
+    assert(Ingest.incrementalRun(spark, land, bronze, state) === 1)
+  }
+
+  test("StateStore atomic put/get round-trip") {
+    val s = new StateStore(tmp())
+    s.put("k", "v1"); assert(s.get("k") === Some("v1"))
+    s.put("k", "v2"); assert(s.get("k") === Some("v2"))
+    s.putLong("n", 42L); assert(s.getLong("n") === Some(42L))
+  }
+
+  test("ApiLimitCalculator mirrors util.py:75-85") {
+    // observed 16 MB at limit 1000 → 16/16 * 1000 * 0.5 = 500
+    assert(ApiLimitCalculator.newLimit(1000, 16L * 1024 * 1024) === 500)
+    // tiny batch → capped at 10000
+    assert(ApiLimitCalculator.newLimit(1000, 1024) === 10000)
+    assert(ApiLimitCalculator.recordsPerFile(512.0) === (16L * 1024 * 1024 / 2 / 512))
+  }
+}

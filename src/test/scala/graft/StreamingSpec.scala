@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingJobs
+
+/** t1 streaming smoke (SURVEY §2B Q27–Q29): drive the streaming builders
+  * from MemoryStream micro-batches, assert window contents, watermark-based
+  * emission, and stateful dedup. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
+
+  test("Q27: tumbling 1-minute counts emit settled windows in append mode") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingJobs.tumblingCounts(src.toDF())
+      .writeStream.format("memory").queryName("q27_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        Ev(1, ts("2024-01-01 00:00:10"), 1),
+        Ev(2, ts("2024-01-01 00:00:50"), 1),
+        Ev(3, ts("2024-01-01 00:01:20"), 2))
+      q.processAllAvailable()
+      // watermark = max(ts) - 5min = before both windows: nothing emitted yet
+      assert(spark.table("q27_out").count() === 0)
+      // advance event time past the first windows' watermark
+      src.addData(Ev(4, ts("2024-01-01 00:10:00"), 2))
+      q.processAllAvailable()
+      src.addData(Ev(5, ts("2024-01-01 00:20:00"), 2))
+      q.processAllAvailable()
+      val rows = spark.table("q27_out")
+        .select($"w_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 00:00:00") === 2)
+      assert(rows("2024-01-01 00:01:00") === 1)
+    } finally q.stop()
+  }
+
+  test("Q28: session windows merge events within the 30-minute gap") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingJobs.sessionCounts(src.toDF())
+      .writeStream.format("memory").queryName("q28_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 7),
+        Ev(2, ts("2024-01-01 00:10:00"), 7),  // same session (gap 10m)
+        Ev(3, ts("2024-01-01 01:30:00"), 7))  // new session (gap 80m)
+      q.processAllAvailable()
+      src.addData(Ev(4, ts("2024-01-01 06:00:00"), 8)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("q28_out")
+        .select($"user_id", $"s_start".cast("string"), $"s_end".cast("string"), $"n")
+        .as[(Long, String, String, Long)].collect().filter(_._1 == 7L).sortBy(_._2)
+      assert(rows.length === 2)
+      assert(rows(0) === ((7L, "2024-01-01 00:00:00", "2024-01-01 00:40:00", 2L)))
+      assert(rows(1) === ((7L, "2024-01-01 01:30:00", "2024-01-01 02:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("Q29: dropDuplicatesWithinWatermark collapses re-sent boundary rows") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingJobs.dedupWithinWatermark(src.toDF())
+      .writeStream.format("memory").queryName("q29_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the reference's >=-restart re-sends the boundary row (R2): same
+      // event_id arrives twice across micro-batches
+      src.addData(Ev(10, ts("2024-01-01 00:00:00"), 1), Ev(11, ts("2024-01-01 00:00:30"), 1))
+      q.processAllAvailable()
+      src.addData(Ev(10, ts("2024-01-01 00:00:00"), 1), Ev(12, ts("2024-01-01 00:01:00"), 2))
+      q.processAllAvailable()
+      val ids = spark.table("q29_out").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+}
