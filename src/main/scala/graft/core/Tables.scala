@@ -22,7 +22,18 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Raw-nanos twin of a `ts` predicate bound: predicates on the derived
+    * `ts` (timestamp_micros of a div) cannot reach the parquet scan, so
+    * range filters should ALSO be expressed on `ts_ns` — Catalyst pushes
+    * that one down (PushedFilters) and prunes row groups / partitions.
+    * `ts >= T ⟺ ts_ns >= T_micros·1000` under micros truncation. */
+  def nanosOf(tsLiteral: String): Long = {
+    val inst = java.sql.Timestamp.valueOf(tsLiteral).toInstant
+    inst.getEpochSecond * 1000000000L + inst.getNano
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

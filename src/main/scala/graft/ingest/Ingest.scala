@@ -46,20 +46,31 @@ object Ingest {
   /** Bronze write: hour-partitioned by the event time (R8 layout,
     * `CommCareAPIHandler.py:71-73`), append-mode, 16 MB-target file sizing
     * via maxRecordsPerFile (R7). Empty batches write nothing (native). */
+  /** `granularity`: "hour" reproduces the reference's layout
+    * (`{Y}/{M}/{D}/{H}`, `CommCareAPIHandler.py:71-73`); "day" is the
+    * right-sized choice when per-hour volume is small — partition
+    * granularity should track data density, not copy a layout into a regime
+    * where each directory holds a few hundred rows of pure per-file
+    * overhead. */
   def writeBronze(df: DataFrame, outDir: String, tsCol: String = "indexed_on",
-                  avgRowBytes: Double = 512.0): Unit = {
-    val partitioned = df
+                  avgRowBytes: Double = 512.0, granularity: String = "hour"): Unit = {
+    val base = df
       .withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
       .withColumn("day", dayofmonth(col(tsCol)))
-      .withColumn("hour", hour(col(tsCol)))
-      // One shuffle keyed on the output partitions: each hour is written by
-      // one task (no small-files explosion); AQE splits skewed hours.
-      .repartition(col("year"), col("month"), col("day"), col("hour"))
-    partitioned.write
+    val (partitioned, partCols) = granularity match {
+      case "day" => (base, Seq("year", "month", "day"))
+      case _     => (base.withColumn("hour", hour(col(tsCol))),
+        Seq("year", "month", "day", "hour"))
+    }
+    // One shuffle keyed on the output partitions: each output dir is written
+    // by one task (no small-files explosion); AQE splits skewed partitions.
+    partitioned
+      .repartition(partCols.map(col): _*)
+      .write
       .mode(SaveMode.Append)
       .option("maxRecordsPerFile", ApiLimitCalculator.recordsPerFile(avgRowBytes))
-      .partitionBy("year", "month", "day", "hour")
+      .partitionBy(partCols: _*)
       .parquet(outDir)
   }
 

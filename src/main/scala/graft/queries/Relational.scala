@@ -30,10 +30,14 @@ object Relational {
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   // --- Q1: incremental window scan+filter+project (R1+R4 shape) ---------
-  // At scale: the [t0,t1) predicate reaches the parquet scan (PushedFilters)
-  // and prunes hour partitions of the bronze layout (R8).
+  // The range predicate is expressed BOTH on the derived `ts` (semantics)
+  // and on the raw parquet `ts_ns` column (pushdown): the derived-column
+  // filter can't reach the scan, the ts_ns twin shows up in PushedFilters
+  // and prunes row groups — the shape that matters at 100 TB.
   def q01(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .filter(col("ts_ns") >= Tables.nanosOf("2024-01-10 00:00:00") &&
+        col("ts_ns") < Tables.nanosOf("2024-01-20 00:00:00"))
       .filter(col("ts") >= ts("2024-01-10 00:00:00") && col("ts") < ts("2024-01-20 00:00:00"))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type").as("etype"), col("value"))
