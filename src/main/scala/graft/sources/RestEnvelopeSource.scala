@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 batch source for paginated REST "envelope" APIs — the
+  * Spark-native form of the reference's pull engine (SURVEY §2A R1–R4;
+  * `CommCareAPIHandler.py:207-262`):
+  *
+  *  - R1 paginated scan: repeated GETs until the envelope's `meta.next` is
+  *    empty (`:241-244`), or keyset advance when `uses_indexed_on`.
+  *  - R2 keyset pagination: `order_by=indexed_on`, next page restarts at
+  *    the last row's `indexed_on` with `>=` — boundary rows duplicate BY
+  *    DESIGN (`:239`); downstream dedup (Q5/Q6) is the contract.
+  *  - R3 opaque cursor: follow `meta.next` verbatim.
+  *  - R4 predicate pushdown: `indexed_on` range filters become
+  *    `indexed_on_start/end` query params (SupportsPushDownFilters) —
+  *    the same params the reference builds in `_get_indexing_params`
+  *    (`:180-200`). Pushed filters are also re-evaluated by Spark (residual)
+  *    so `>=`-restart duplicates never widen the window.
+  *  - R11 request budget: `max_requests` aborts the read past the cap
+  *    (`:217-224`).
+  *
+  * Scale design the reference cannot express: when a pushed (or configured)
+  * time range is present, the range splits into `slices` InputPartitions —
+  * each executor pulls its own sub-window concurrently, turning the
+  * sequential Lambda page loop into distributed extraction. Rows come out
+  * as a stable typed core (`id`, `indexed_on`) plus the raw object JSON
+  * (`payload`) for schema-on-read promotion via from_json (SURVEY §1.4).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-rest")
+  *     .option("url", "http://host/api/v0.5/case")
+  *     .option("limit", "1000")           // page size
+  *     .option("uses_indexed_on", "true") // keyset vs opaque cursor
+  *     .option("slices", "8")             // partitions per pushed range
+  *     .load()
+  *     .filter($"indexed_on" >= start && $"indexed_on" < end)
+  * }}}
+  */
+class RestEnvelopeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestEnvelopeSource.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RestEnvelopeTable(properties)
+}
+
+object RestEnvelopeSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("indexed_on", TimestampType),
+    StructField("payload", StringType)))
+
+  /** Dual-format micros parse (`CommCareAPIHandler.py:235-238`). */
+  def parseTsMicros(s: String): Long = {
+    val trimmed = if (s.endsWith("Z")) s.dropRight(1) else s
+    val ldt = java.time.LocalDateTime.parse(trimmed)
+    ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+      ldt.getNano / 1000L
+  }
+
+  def fmtTs(micros: Long): String =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L),
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+}
+
+class RestEnvelopeTable(properties: util.Map[String, String])
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-rest(${properties.get("url")})"
+  override def schema(): StructType = RestEnvelopeSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(options)
+}
+
+class RestScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters {
+  private var lower: Option[Long] = None // micros, inclusive
+  private var upper: Option[Long] = None // micros, exclusive-ish (API end param)
+  private var pushed: Array[Filter] = Array.empty
+
+  /** R4: translate indexed_on range filters into API window params. All
+    * filters stay residual (Spark re-applies them) — correctness never
+    * depends on server-side filtering or on `>=`-restart page boundaries. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val p = ArrayBuffer[Filter]()
+    filters.foreach {
+      case f @ GreaterThanOrEqual("indexed_on", v: java.sql.Timestamp) =>
+        lower = Some(tsMicros(v)); p += f
+      case f @ GreaterThan("indexed_on", v: java.sql.Timestamp) =>
+        lower = Some(tsMicros(v)); p += f
+      case f @ LessThan("indexed_on", v: java.sql.Timestamp) =>
+        upper = Some(tsMicros(v)); p += f
+      case f @ LessThanOrEqual("indexed_on", v: java.sql.Timestamp) =>
+        upper = Some(tsMicros(v)); p += f
+      case _ =>
+    }
+    pushed = p.toArray
+    filters // everything residual
+  }
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new RestScan(options, lower, upper)
+}
+
+class RestScan(options: CaseInsensitiveStringMap,
+               lower: Option[Long], upper: Option[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = RestEnvelopeSource.SCHEMA
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rest url=${options.get("url")} window=[$lower,$upper)"
+
+  /** One partition per time slice when a window is known (distributed
+    * extraction); otherwise a single sequential cursor walk (R3). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val slices = math.max(1, options.getInt("slices", 1))
+    (lower, upper) match {
+      case (Some(lo), Some(hi)) if slices > 1 && hi > lo =>
+        val step = math.max(1L, (hi - lo) / slices)
+        (0 until slices).map { i =>
+          val s = lo + i * step
+          val e = if (i == slices - 1) hi else math.min(hi, s + step)
+          RestInputPartition(Some(s), Some(e)): InputPartition
+        }.toArray
+      case _ =>
+        Array(RestInputPartition(lower, upper))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(
+      options.get("url"),
+      options.getInt("limit", 1000),
+      options.getBoolean("uses_indexed_on", true),
+      options.getInt("max_requests", 1000))
+}
+
+case class RestInputPartition(startMicros: Option[Long], endMicros: Option[Long])
+  extends InputPartition
+
+class RestReaderFactory(url: String, limit: Int, usesIndexedOn: Boolean,
+                        maxRequests: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RestInputPartition]
+    new RestPartitionReader(url, limit, usesIndexedOn, maxRequests,
+      p.startMicros, p.endMicros)
+  }
+}
+
+/** Walks one page stream; executor-side, no driver involvement. */
+class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
+                          maxRequests: Int, startMicros: Option[Long],
+                          endMicros: Option[Long])
+  extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var buffer: Iterator[JsonNode] = Iterator.empty
+  private var nextUrl: Option[String] = Some(buildUrl(startMicros))
+  private var requests = 0
+  private var lastIndexedOn: Option[Long] = None
+  private var current: InternalRow = _
+
+  private def buildUrl(start: Option[Long]): String = {
+    val sep = if (url.contains("?")) "&" else "?"
+    val base = s"$url${sep}limit=$limit"
+    if (usesIndexedOn) {
+      // R2/R4: order_by + window params, exactly _get_indexing_params
+      val s = start.map(m => s"&indexed_on_start=${RestEnvelopeSource.fmtTs(m)}").getOrElse("")
+      val e = endMicros.map(m => s"&indexed_on_end=${RestEnvelopeSource.fmtTs(m)}").getOrElse("")
+      s"$base&order_by=indexed_on$s$e"
+    } else base
+  }
+
+  private def fetchPage(u: String): Unit = {
+    requests += 1
+    if (requests > maxRequests)
+      throw new IllegalStateException(
+        s"request budget exceeded: $requests > $maxRequests (R11, CommCareAPIHandler.py:217-224)")
+    val conn = new java.net.URL(u).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"APIError: HTTP $code from $u (util.py:8-27)")
+      val root = mapper.readTree(conn.getInputStream)
+      val objects = root.get("objects")
+      val metaNext = Option(root.get("meta")).flatMap(m => Option(m.get("next")))
+        .filter(!_.isNull).map(_.asText()).filter(_.nonEmpty)
+      val objs = (0 until objects.size()).map(objects.get)
+      buffer = objs.iterator
+      nextUrl =
+        if (objs.isEmpty) None
+        else if (usesIndexedOn) {
+          // R2 keyset: restart at the LAST row's indexed_on with >= —
+          // faithful to CommCareAPIHandler.py:229-240 incl. duplicate
+          // boundary rows (deduped downstream). Full page ⇒ maybe more.
+          if (objs.size >= limit) {
+            val last = RestEnvelopeSource.parseTsMicros(
+              objs.last.get("indexed_on").asText())
+            // guard: if a whole page shares one indexed_on, >= restart
+            // would loop forever; advance by 1µs (documented deviation)
+            val restart =
+              if (lastIndexedOn.contains(last)) last + 1 else last
+            lastIndexedOn = Some(last)
+            Some(buildUrl(Some(restart)))
+          } else None
+        } else metaNext // R3 opaque cursor
+    } finally conn.disconnect()
+  }
+
+  override def next(): Boolean = {
+    while (!buffer.hasNext && nextUrl.isDefined) fetchPage(nextUrl.get)
+    if (!buffer.hasNext) return false
+    val obj = buffer.next()
+    val id = Option(obj.get("id")).map(_.asLong()).getOrElse(-1L)
+    val ts = Option(obj.get("indexed_on")).map(n =>
+      RestEnvelopeSource.parseTsMicros(n.asText()))
+    current = InternalRow(
+      id,
+      ts.map(Long.box).orNull,
+      UTF8String.fromString(obj.toString))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
