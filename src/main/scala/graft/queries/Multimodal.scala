@@ -75,6 +75,37 @@ object Multimodal {
       |        FROM documents))
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** The external-codec integration shape: `mapPartitions` over typed rows,
+    * decoding in BATCHES of 64 (the Arrow-batch shape a real decoder or a
+    * Python `mapInPandas` worker would receive). The decode itself is the
+    * same deterministic md5 stub as q32_media_meta — a real codec replaces
+    * `decodeOne` only; partitioning, batching, schema stay as-is. Narrow
+    * (no shuffle), so it scales with executors. */
+  final case class MediaIn(doc_id: Long, content: Array[Byte])
+  final case class MediaOut(doc_id: Long, n_bytes: Long, format: String,
+                            width: Long, height: Long)
+
+  private def decodeOne(m: MediaIn): MediaOut = {
+    val h = graft.functions.Hash60(m.doc_id.toString)
+    val fmt = (m.doc_id % 3) match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+    }
+    MediaOut(m.doc_id, m.content.length.toLong, fmt, 64L + h % 577L, 64L + h % 449L)
+  }
+
+  def decodeBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS content")
+      .as[MediaIn]
+      .mapPartitions { it =>
+        // batch boundary: a real decoder amortizes codec/model init per
+        // batch, exactly like mapInPandas' Arrow batches
+        it.grouped(64).flatMap { batch => batch.map(decodeOne) }
+      }
+      .toDF()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_meta"   -> (q32MediaMeta _),
     "q32_frame_sample" -> (q32FrameSample _),

@@ -312,16 +312,7 @@ object Similarity {
   // once instead of crossing the corpus.
   private val HP = 4
 
-  /** Scala-side replica of the h60 hash (md5 hex → first 15 nibbles →
-    * long) — used to precompute hyperplane components as array literals so
-    * the bucket assignment runs through the codegen'd dotf instead of
-    * per-element interpreted lambdas. Must stay formula-identical to
-    * h60/h60d. */
-  private def h60Scala(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(d.substring(0, 15), 16)
-  }
+  private def h60Scala(s: String): Long = graft.functions.Hash60(s)
 
   /** Hyperplane j, component i (1-based): md5-derived value in [-1, 1].
     * Sized to 256 dims — dotf truncates to the actual vector length, which
