@@ -17,8 +17,10 @@ object SparkEntry {
     Relational.q11(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Multimodal.defs ++ Windowed.defs
+    Relational.defs ++ Relational2.defs ++ TextOps.defs ++ Similarity.defs ++
+      Multimodal.defs ++ Windowed.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Windowed.oracle
+    Relational.oracle ++ Relational2.oracle ++ TextOps.oracle ++ Similarity.oracle ++
+      Multimodal.oracle ++ Windowed.oracle
 }

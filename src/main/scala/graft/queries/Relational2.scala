@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Second-tier relational surface: pivot, ranking distributions, extended
+  * string/date functions, exact percentiles, map functions — the long tail
+  * a user of the reference's warehouse would expect to keep working.
+  * Same determinism rules as `Relational` (total-order sorts, DECIMAL
+  * aggregation lane, engine-portable formulas).
+  */
+object Relational2 {
+  private val D = DecimalType(18, 4)
+
+  // --- Q14b: pivot (conditional aggregation under the hood) ----------------
+  // Spark's .pivot plans the same conditional-agg HashAggregate the oracle
+  // spells out — one shuffle, no row explosion.
+  def q14Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast(D)).cast("double"))
+      .na.fill(0.0, Seq("F", "O", "P"))
+      .select(col("o_orderpriority"), col("F").as("f_total"),
+        col("O").as("o_total"), col("P").as("p_total"))
+      .orderBy(col("o_orderpriority"))
+
+  val q14PivotSql: String =
+    """SELECT o_orderpriority,
+      |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS f_total,
+      |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS o_total,
+      |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS p_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- Q15d: ranking distributions (ntile / percent_rank / cume_dist /
+  // rank / dense_rank / nth_value with explicit full frame) -----------------
+  def q15RankDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        first(col("o_totalprice")).over(wf).as("cheapest"),
+        last(col("o_totalprice")).over(wf).as("priciest"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_cheapest"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q15RankDistSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(rank() OVER w AS BIGINT) AS rk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  first_value(o_totalprice) OVER wf AS cheapest,
+      |  last_value(o_totalprice) OVER wf AS priciest,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_cheapest
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- Q18b: extended string functions -------------------------------------
+  // initcap / translate have no DuckDB builtin — the oracle emulates them
+  // exactly (list rebuild / chained replace), which also documents their
+  // semantics.
+  def q18String2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "0").as("lp"),
+        rpad(col("p_brand"), 12, ".").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"),
+        substring(col("p_name"), 1, 5).as("l5"),
+        col("p_name").substr(length(col("p_name")) - 4, lit(5)).as("r5"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        translate(col("p_type"), "ae", "43").as("leet"),
+        initcap(col("p_name")).as("ic"))
+      .orderBy(col("p_partkey"))
+
+  val q18String2Sql: String =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '0') AS lp,
+      |  rpad(p_brand, 12, '.') AS rp,
+      |  reverse(p_name) AS rev,
+      |  repeat(p_brand, 2) AS rep,
+      |  substring(p_name, 1, 5) AS l5,
+      |  substring(p_name, length(p_name) - 4, 5) AS r5,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+      |  replace(replace(p_type, 'a', '4'), 'e', '3') AS leet,
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |    w -> CASE WHEN length(w) = 0 THEN w ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS ic
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --- Q19b: extended date functions ---------------------------------------
+  // dayofweek: Spark is 1=Sunday..7=Saturday, DuckDB 0=Sunday..6 — oracle
+  // adds 1. Date-typed outputs are cast to TIMESTAMP on both sides: the
+  // compare layer reads Spark DATE as python dates but DuckDB DATE as
+  // datetime64, which would never be equal.
+  def q19Date2(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 1).cast("timestamp").as("plus_month"),
+        last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+        weekofyear(col("o_orderdate")).cast("int").as("woy"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("int").as("doy"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("plus30"),
+        date_trunc("week", col("o_orderdate")).as("wk"))
+      .orderBy(col("o_orderkey"))
+
+  val q19Date2Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP) AS plus_month,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+      |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS woy,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+      |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+      |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+      |  date_trunc('week', o_orderdate) AS wk
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --- Q20b: exact interpolated percentiles per group ----------------------
+  def q20Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .orderBy(col("l_returnflag"))
+
+  val q20PercentileSql: String =
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+      |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+      |  CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75,
+      |  min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- Q22b: map functions -------------------------------------------------
+  // DuckDB map extraction yields a single-element list — the oracle
+  // unwraps with [1]; Spark element_at is scalar directly.
+  def q22MapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        map_from_arrays(
+          array(lit("type"), lit("uid")),
+          array(col("event_type"), col("user_id").cast("string"))).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("m_type"),
+        element_at(col("m"), "uid").as("m_uid"),
+        size(col("m")).cast("int").as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"))
+      .orderBy(col("event_id"))
+
+  val q22MapFuncsSql: String =
+    """SELECT event_id,
+      |  m['type'][1] AS m_type,
+      |  m['uid'][1] AS m_uid,
+      |  CAST(cardinality(m) AS INT) AS m_size,
+      |  array_to_string(map_keys(m), ',') AS keys_joined
+      |FROM (SELECT event_id,
+      |        map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_pivot"       -> (q14Pivot _),
+    "q15_rank_dist"   -> (q15RankDist _),
+    "q18_string2"     -> (q18String2 _),
+    "q19_date2"       -> (q19Date2 _),
+    "q20_percentile"  -> (q20Percentile _),
+    "q22_map_funcs"   -> (q22MapFuncs _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q14_pivot"       -> q14PivotSql,
+    "q15_rank_dist"   -> q15RankDistSql,
+    "q18_string2"     -> q18String2Sql,
+    "q19_date2"       -> q19Date2Sql,
+    "q20_percentile"  -> q20PercentileSql,
+    "q22_map_funcs"   -> q22MapFuncsSql,
+  )
+}
