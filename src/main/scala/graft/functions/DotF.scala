@@ -87,3 +87,25 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotf", exprs => DotF(exprs(0), exprs(1)), "built-in")
 }
+
+/** `SparkSessionExtensions` hook — the deployment-grade registration path:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)  // code
+  *   --conf spark.sql.extensions=graft.functions.GraftExtensions // submit
+  * }}}
+  * makes `dotf` available to every session (including pure `spark.sql`)
+  * without any imperative register call. No planner rules are injected —
+  * the engine's whole surface plans through stock Catalyst (SURVEY §4);
+  * expressions are the only custom Catalyst artifacts.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((
+      FunctionIdentifier("dotf"),
+      new ExpressionInfo(classOf[DotF].getName, "dotf"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotF(exprs(0), exprs(1))))
+  }
+}

@@ -79,6 +79,38 @@ object Ingest {
   def readBronzeDeduped(spark: SparkSession, bronzeDir: String, key: String): DataFrame =
     spark.read.parquet(bronzeDir).dropDuplicates(Seq(key))
 
+  /** Streaming form of the Q30 slice: watch the landing directory as a
+    * file stream, explode envelopes, write hour-partitioned bronze with a
+    * checkpoint. The checkpoint IS the watermark state (R5) — restart
+    * resumes from the last committed file offsets, giving exactly-once file
+    * tracking where the batch path is at-least-once + dedup. Returns the
+    * started query; callers own its lifecycle. */
+  def streamingRun(spark: SparkSession, landedJsonPath: String, bronzeDir: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // file streams need an explicit schema: stable envelope core, open
+    // payload carried as JSON text (SURVEY §1.4)
+    val objSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, indexed_on STRING, payload STRING")
+    val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "meta STRUCT<limit: INT, next: STRING, total_count: BIGINT>, " +
+        "objects ARRAY<STRUCT<id: BIGINT, indexed_on: STRING, payload: STRING>>")
+    spark.readStream.schema(envSchema).json(landedJsonPath)
+      .select(explode(col("objects")).as("obj"))
+      .select(col("obj.*"))
+      .withColumn("indexed_on", parseIndexedOn(col("indexed_on")))
+      .withColumn("year", year(col("indexed_on")))
+      .withColumn("month", month(col("indexed_on")))
+      .withColumn("day", dayofmonth(col("indexed_on")))
+      .withColumn("hour", hour(col("indexed_on")))
+      .writeStream
+      .format("parquet")
+      .option("path", bronzeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("year", "month", "day", "hour")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** One incremental run (the Q30 slice): filter the landed data to
     * `(watermark, upper]`, land to bronze, advance the watermark state only
     * on success. `upper` defaults to max(indexed_on) − 5-minute lag (R6).
