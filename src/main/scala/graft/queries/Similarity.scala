@@ -51,6 +51,14 @@ object Similarity {
   // Σ freq(shingle)² instead of n², and AQE's skew-join splitting handles a
   // hot shingle. This is the exact algorithm that survives 100 TB; the
   // sub-quadratic candidate path is q24_lsh_pairs.
+  //
+  // Measured negative result: AllPairs/PPJoin prefix filtering (index only
+  // each doc's first n−⌈t·n⌉+1 tokens in a global order) was implemented
+  // and benched at sf0.1 in two variants — df-ascending order (16 s) and
+  // narrow hash order (18 s) — vs 9.5 s for this count-based index at
+  // t=0.3 and ~10 s at t=0.8. On this dense-vocabulary corpus the prefix
+  // prunes too little and its prep stages (df agg + per-doc ordering)
+  // dominate; the technique needs long-tailed token frequencies to win.
   def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docsWithShingles(spark, dir)
     val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
