@@ -184,7 +184,33 @@ object Relational2 {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // --- Q21b: VariantType lane — Spark 4's native open-JSON storage --------
+  // parse_json → VARIANT binary encoding → typed variant_get extraction:
+  // the engine-internal form of the reference's opaque payloads
+  // (SURVEY §1.4 "promoted on demand"). Faster than repeated string
+  // re-parsing (one parse, many typed reads); extracted values must equal
+  // the string-path oracle exactly.
+  def q21Variant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("CAST(variant_get(v, '$.k', 'double') AS DOUBLE)").as("k_dbl"),
+        // missing path ⇒ SQL NULL (is_variant_null would test a JSON null
+        // VALUE, a different thing)
+        expr("variant_get(v, '$.missing') IS NULL").as("missing_is_null"))
+      .orderBy(col("event_id"))
+
+  val q21VariantSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'k' AS BIGINT) AS k,
+      |  CAST(props->>'k' AS DOUBLE) AS k_dbl,
+      |  (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_variant"     -> (q21Variant _),
     "q14_pivot"       -> (q14Pivot _),
     "q15_rank_dist"   -> (q15RankDist _),
     "q18_string2"     -> (q18String2 _),
@@ -194,6 +220,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q21_variant"     -> q21VariantSql,
     "q14_pivot"       -> q14PivotSql,
     "q15_rank_dist"   -> q15RankDistSql,
     "q18_string2"     -> q18String2Sql,
