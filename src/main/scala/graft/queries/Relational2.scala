@@ -209,7 +209,42 @@ object Relational2 {
       |  (json_extract(props, '$.missing') IS NULL) AS missing_is_null
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --- Q20c: null semantics ------------------------------------------------
+  // The fixtures are NULL-free, so NULLs are manufactured with nullif and
+  // exercised through the full conditional family. NULL-safe equality
+  // (<=>) is Spark syntax; the oracle uses IS NOT DISTINCT FROM.
+  def q20NullFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("maybe", nullif(col("l_quantity"), lit(25.0)))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("maybe"),
+        coalesce(col("maybe"), lit(-1.0)).as("co"),
+        col("maybe").isNull.as("is_n"),
+        expr("nvl(maybe, 0.0)").as("nv"),
+        expr("CASE WHEN maybe IS NULL THEN 'gone' ELSE 'here' END").as("tag"),
+        (col("maybe") <=> col("l_quantity")).as("nse"),
+        // isnan(NULL) diverges (Spark false, DuckDB NULL) — route NULLs to
+        // a real NaN literal so isnan sees only non-null doubles
+        expr("isnan(CASE WHEN maybe IS NULL THEN CAST('NaN' AS DOUBLE) ELSE maybe END)").as("nan_tag"),
+        greatest(col("maybe"), lit(0.0)).as("gr"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+
+  val q20NullFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, maybe,
+      |  coalesce(maybe, -1.0) AS co,
+      |  maybe IS NULL AS is_n,
+      |  coalesce(maybe, 0.0) AS nv,
+      |  CASE WHEN maybe IS NULL THEN 'gone' ELSE 'here' END AS tag,
+      |  maybe IS NOT DISTINCT FROM l_quantity AS nse,
+      |  isnan(CASE WHEN maybe IS NULL THEN 'NaN'::DOUBLE ELSE maybe END) AS nan_tag,
+      |  greatest(maybe, 0.0) AS gr
+      |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      |             nullif(l_quantity, 25.0) AS maybe FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_null_funcs"  -> (q20NullFuncs _),
     "q21_variant"     -> (q21Variant _),
     "q14_pivot"       -> (q14Pivot _),
     "q15_rank_dist"   -> (q15RankDist _),
@@ -220,6 +255,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q20_null_funcs"  -> q20NullFuncsSql,
     "q21_variant"     -> q21VariantSql,
     "q14_pivot"       -> q14PivotSql,
     "q15_rank_dist"   -> q15RankDistSql,

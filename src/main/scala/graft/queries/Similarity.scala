@@ -61,19 +61,32 @@ object Similarity {
   // dominate; the technique needs long-tailed token frequencies to win.
   def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docsWithShingles(spark, dir)
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = d.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
-    a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b") &&
-        col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("lang"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    // Posting lists via ONE pass: group each shingle's (doc, size) postings
+    // and expand i<j pairs in-place (carrying sizes avoids joining the doc
+    // table back — two fewer scans of the corpus than a self-join, which
+    // would recompute the shingle projection per branch). Tradeoff: a
+    // pathologically hot shingle expands f²/2 pairs in one task where a
+    // self-join + AQE could split it — acceptable for n-gram vocabularies
+    // (bounded f); adversarially skewed keys would use the join form +
+    // skew splitting (core.SkewJoin).
+    val postings = d
+      .select(col("lang"), explode(col("sh")).as("s"),
+        struct(col("doc_id"), size(col("sh")).as("n")).as("e"))
+      .groupBy(col("lang"), col("s"))
+      .agg(collect_list(col("e")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    postings
+      .select(col("lang"), explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+          |    least(x.doc_id, y.doc_id) AS doc_a,
+          |    greatest(x.doc_id, y.doc_id) AS doc_b,
+          |    x.n + y.n AS n_sum))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a"), col("p.doc_b"), col("lang"))
+      .agg(count(lit(1)).as("inter"), first(col("p.n_sum")).as("n_sum"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          (col("n_sum") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
