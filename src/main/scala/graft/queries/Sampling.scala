@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import TextOps.{h60, h60d}
+
+/** Dataset-curation operators (training-pipeline surface): deterministic
+  * sampling, split assignment, and class balancing. All hash-based — a
+  * seeded RNG sample is engine-private, but `h60(key) mod M` is a pure
+  * function of the data, so samples are reproducible across engines, runs,
+  * AND cluster topologies (no partition-dependent RNG streams), and
+  * membership is computable row-local with no shuffle. That reproducibility
+  * is what makes 100 TB train/val splits auditable.
+  */
+object Sampling {
+
+  // --- Q33a: deterministic 10% sample --------------------------------------
+  def q33HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(expr(s"${h60("CAST(doc_id AS STRING)")} % 100") < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q33HashSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${h60d("doc_id::VARCHAR")} % 100 < 10
+       |ORDER BY doc_id""".stripMargin
+
+  // --- Q33b: train/val/test split assignment (98/1/1-style, here 80/10/10) -
+  def q33SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(s"${h60("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  val q33SplitAssignSql: String =
+    s"""SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT lang, ${h60d("doc_id::VARCHAR")} % 100 AS b FROM documents))
+       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // --- Q33c: class-balanced cap — at most K docs per lang, hash-ranked -----
+  // The downsampling step of a balanced corpus: deterministic rank within
+  // each class by (hash, id), keep the first K. One shuffle on the class
+  // key; skew-safe for realistic class counts.
+  def q33BalancedCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(expr(s"${h60("CAST(doc_id AS STRING)")}"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q33BalancedCapSql: String =
+    s"""SELECT lang, rk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${h60d("doc_id::VARCHAR")}, doc_id) AS BIGINT) AS rk
+       |  FROM documents) WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+
+  // --- Q23f: TF-IDF-style top terms per document ---------------------------
+  // tf = count in doc; idf = N/df (rational, not ln(N/df)): transcendental
+  // functions differ in the last ulp across libm implementations (measured:
+  // Spark's Math.log vs DuckDB's C log disagree by 1 bit on real inputs —
+  // the same divergence class as double round()), so the checked weight
+  // uses division only, which IEEE pins exactly. Monotone in the classic
+  // ln weight for fixed tf, so per-doc rankings are equivalent in spirit.
+  // Two shuffles: df agg and the per-doc top-k window.
+  def q23Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count().toDouble // single scalar, driver-side by design
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("w", col("tf").cast("double") * (lit(nDocs) / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("w"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q23TfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1,2),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+      |SELECT doc_id, rk, tok, w FROM (
+      |  SELECT doc_id, tok, w,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, tok) AS BIGINT) AS rk
+      |  FROM (SELECT tf.doc_id, tf.tok,
+      |               CAST(tf.tf AS DOUBLE) * (n.n_docs / CAST(dfreq.df AS DOUBLE)) AS w
+      |        FROM tf JOIN dfreq USING (tok) CROSS JOIN n))
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_hash_sample"  -> (q33HashSample _),
+    "q33_split_assign" -> (q33SplitAssign _),
+    "q33_balanced_cap" -> (q33BalancedCap _),
+    "q23_tfidf"        -> (q23Tfidf _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q33_hash_sample"  -> q33HashSampleSql,
+    "q33_split_assign" -> q33SplitAssignSql,
+    "q33_balanced_cap" -> q33BalancedCapSql,
+    "q23_tfidf"        -> q23TfidfSql,
+  )
+}
