@@ -54,10 +54,35 @@ object Bench {
     val ingestSec = (System.nanoTime() - t0) / 1e9
     val ingestRps = nRows / ingestSec
 
+    // Streaming throughput: events parquet driven through the Q27 tumbling
+    // aggregation as a file stream (AvailableNow), rows/s wall-clock.
+    val streamSec = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      // raw file schema (ts = nanos long under nanosAsLong), converted
+      // in-stream exactly as Tables.events does for batch
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // file streams want a directory: stream the sf dir filtered to the
+      // events file
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val t1 = System.nanoTime()
+      val q = graft.streaming.StreamingJobs.tumblingCounts(src)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t1) / 1e9
+    }
+    val streamRps = nRows / streamSec
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,"sf":"$sfDir"}""")
+      s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
+      s""""stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
