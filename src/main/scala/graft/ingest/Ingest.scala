@@ -111,6 +111,36 @@ object Ingest {
       .start()
   }
 
+  /** The reference's PRIMARY path composed end-to-end (R1→R4→R5→R6→R8):
+    * pull a watermark-bounded window from a paginated REST API via the
+    * graft-rest DSv2 source (range pushdown + keyset pagination +
+    * `slices`-way parallel extraction), land hour-partitioned bronze,
+    * advance the watermark only on success. `upperBound` plays the role of
+    * the reference's `event_time` (minus lag when `useLag`). Returns rows
+    * landed. */
+  def restPullRun(spark: SparkSession, apiUrl: String, bronzeDir: String,
+                  state: StateStore, upperBound: java.time.Instant,
+                  stateKey: String = "last_successful_job_time",
+                  limit: Int = 1000, slices: Int = 4, useLag: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val upper = java.sql.Timestamp.from(
+      if (useLag) upperBound.minusSeconds(300) else upperBound)
+    val lower = state.get(stateKey).map(java.sql.Timestamp.valueOf)
+    val src = spark.read.format("graft-rest")
+      .option("url", apiUrl).option("limit", limit).option("slices", slices)
+      .load()
+    val windowed = (lower match {
+      case Some(lo) => src.filter(col("indexed_on") > lit(lo))
+      case None     => src
+    }).filter(col("indexed_on") <= lit(upper))
+      // R2's >=-restart duplicates boundary rows by design — collapse here
+      .dropDuplicates(Seq("id"))
+    val n = windowed.count()
+    if (n > 0) writeBronze(windowed, bronzeDir)
+    state.put(stateKey, upper.toInstant.toString.replace("Z", "").replace("T", " "))
+    n
+  }
+
   /** One incremental run (the Q30 slice): filter the landed data to
     * `(watermark, upper]`, land to bronze, advance the watermark state only
     * on success. `upper` defaults to max(indexed_on) − 5-minute lag (R6).

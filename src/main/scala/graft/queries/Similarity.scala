@@ -108,11 +108,11 @@ object Similarity {
   // products stay < 2⁶³). One hash pass over the shingles instead of k —
   // at 100 TB that's the difference between 1× and 12× the scan cost.
   // 4 bands × 3 rows; RNG-free, identical on both engines.
-  private val K = 12
+  private val K = graft.functions.MinHashFamily.K
   private val BANDS = 4 // rows per band = K / BANDS = 3
-  private val P = 1000000007L
-  private val hashA: Seq[Long] = (1 to K).map(i => (i * 2654435761L) % P)
-  private val hashB: Seq[Long] = (1 to K).map(i => (i * 40503L * 65537L) % P)
+  private val P = graft.functions.MinHashFamily.P
+  private val hashA: Seq[Long] = graft.functions.MinHashFamily.A
+  private val hashB: Seq[Long] = graft.functions.MinHashFamily.B
 
   /** Spark SQL: array of K universal min-hashes over the doc's shingles. */
   private val sigSpark: String = {
@@ -156,6 +156,31 @@ object Similarity {
        |       md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
        |           || ',' || sig[3*band_id+3]::VARCHAR) AS band_key
        |FROM bands ORDER BY doc_id, band_id""".stripMargin
+
+  // --- Q24b': per-lang MinHash sketch via the custom TypedImperativeAggregate
+  // One-pass mergeable k-min sketch per group (map-side partials — a
+  // group's sketch over 100 TB costs one scan). Values are identical to
+  // the columnar signature path by construction (shared MinHashFamily),
+  // and the oracle recomputes them as k plain min() aggregates.
+  def q24LangSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSketch.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesSpark))
+      .select(col("lang"), explode(col("sh")).as("s"))
+      .withColumn("hv", expr(s"${h60("s")} % ${P}L"))
+      .groupBy(col("lang"))
+      .agg(expr("minhash_sketch(hv)").as("sketch"))
+      .orderBy(col("lang"))
+  }
+
+  val q24LangSketchSql: String = {
+    val mins = (0 until K).map(i => s"min((${hashA(i)} * hv + ${hashB(i)}) % $P)").mkString(", ")
+    s"""$dDuck,
+       |ex AS (SELECT lang, unnest(sh) AS s FROM d),
+       |h AS (SELECT lang, ${h60d("s")} % $P AS hv FROM ex)
+       |SELECT lang, [$mins] AS sketch FROM h GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   // --- Q24c: LSH candidate pairs → verified Jaccard ------------------------
   // The 100 TB dedup path: equi-join on (band_id, band_key) generates
@@ -385,6 +410,7 @@ object Similarity {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q24_minhash_sig"   -> (q24MinhashSig _),
+    "q24_lang_sketch"   -> (q24LangSketch _),
     "q24_lsh_pairs"     -> (q24LshPairs _),
     "q24_simhash_pairs" -> (q24SimhashPairs _),
     "q25_cosine_topk"   -> (q25CosineTopk _),
@@ -395,6 +421,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q24_jaccard_pairs" -> q24JaccardPairsSql,
     "q24_minhash_sig"   -> q24MinhashSigSql,
+    "q24_lang_sketch"   -> q24LangSketchSql,
     "q24_lsh_pairs"     -> q24LshPairsSql,
     "q24_simhash_pairs" -> q24SimhashPairsSql,
     "q25_cosine_topk"   -> q25CosineTopkSql,

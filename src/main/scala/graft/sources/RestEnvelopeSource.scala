@@ -107,7 +107,11 @@ class RestScanBuilder(options: CaseInsensitiveStringMap)
       case f @ LessThan("indexed_on", v: java.sql.Timestamp) =>
         upper = Some(tsMicros(v)); p += f
       case f @ LessThanOrEqual("indexed_on", v: java.sql.Timestamp) =>
-        upper = Some(tsMicros(v)); p += f
+        // the API's indexed_on_end is EXCLUSIVE ([start,end) window,
+        // CommCareAPIHandler.py:180-200): push one microsecond past so the
+        // pushed window stays a SUPERSET of the predicate; the residual
+        // filter trims the overfetch
+        upper = Some(tsMicros(v) + 1); p += f
       case _ =>
     }
     pushed = p.toArray

@@ -1,0 +1,75 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.core.StateStore
+import graft.ingest.Ingest
+
+/** End-to-end of the reference's primary path: paginated REST API →
+  * graft-rest DSv2 (range pushdown, keyset pages, parallel slices) →
+  * hour-partitioned bronze → watermark advance → incremental second run.
+  * The whole R1→R8 chain under one test. */
+class RestPullE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 rows: 2024-06-01T00:00Z + i hours (spans 30 hour-partitions over 2 days)
+  private val N = 30
+  private def tsStr(i: Int): String =
+    f"2024-06-${1 + i / 24}%02dT${i % 24}%02d:00:00.000000Z"
+  private def tsMicros(i: Int): Long =
+    graft.sources.RestEnvelopeSource.parseTsMicros(tsStr(i))
+
+  private def serve(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val limit = params.getOrElse("limit", "1000").toInt
+        val start = params.get("indexed_on_start").map(graft.sources.RestEnvelopeSource.parseTsMicros)
+        val end = params.get("indexed_on_end").map(graft.sources.RestEnvelopeSource.parseTsMicros)
+        val matching = (0 until N)
+          .filter(i => start.forall(tsMicros(i) >= _) && end.forall(tsMicros(i) < _))
+        val page = matching.take(limit)
+        val objs = page.map(i => s"""{"id": $i, "indexed_on": "${tsStr(i)}", "x": $i}""")
+        val body = s"""{"meta": {"limit": $limit, "next": null, "total_count": ${matching.size}},
+                      | "objects": [${objs.mkString(",")}]}""".stripMargin
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://localhost:${server.getAddress.getPort}/api")
+    finally server.stop(0)
+  }
+
+  test("REST → bronze → watermark → incremental re-pull (R1-R8 chain)") {
+    serve { url =>
+      val bronze = java.nio.file.Files.createTempDirectory("rb").toString + "/b"
+      val state = new StateStore(java.nio.file.Files.createTempDirectory("rs").toString)
+
+      // run 1: cold start, upper bound = hour 19 inclusive
+      val n1 = Ingest.restPullRun(spark, url, bronze, state,
+        java.time.Instant.parse("2024-06-01T19:00:00Z"), limit = 7, slices = 3)
+      assert(n1 === 20) // hours 0..19
+      assert(state.get("last_successful_job_time").get.startsWith("2024-06-01 19:00:00"))
+      val hours1 = spark.read.parquet(bronze)
+        .select($"hour").distinct().as[Int].collect().sorted
+      assert(hours1.toSeq === (0 to 19))
+
+      // run 2: watermark advances — only hours 20..29 pulled
+      val n2 = Ingest.restPullRun(spark, url, bronze, state,
+        java.time.Instant.parse("2024-06-02T06:00:00Z"), limit = 7, slices = 3)
+      assert(n2 === 10)
+      val all = Ingest.readBronzeDeduped(spark, bronze, "id")
+      assert(all.count() === 30)
+      assert(all.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.get_json_object($"payload", "$.x").cast("long")))
+        .as[Long].head === (0 until N).sum)
+    }
+  }
+}
