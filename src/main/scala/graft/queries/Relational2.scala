@@ -243,7 +243,45 @@ object Relational2 {
       |             nullif(l_quantity, 25.0) AS maybe FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
+  // --- Q22c: positional explode (Generator with ordinality) ----------------
+  def q22PosExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q22PosExplodeSql: String =
+    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      |FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50),
+      |     LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // --- Q17b: multiset set ops (EXCEPT ALL / INTERSECT ALL) -----------------
+  // Duplicates manufactured by unioning overlapping windows; bag semantics
+  // must match row-for-row.
+  def q17MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"))
+    val a = e.filter(col("event_id") < 200).unionAll(e.filter(col("event_id") < 100))
+    val b = e.filter(col("event_id") >= 50 && col("event_id") < 150)
+    a.exceptAll(b).withColumn("tag", lit("except_all"))
+      .unionAll(a.intersectAll(b).withColumn("tag", lit("intersect_all")))
+      .select(col("tag"), col("event_id"))
+      .orderBy(col("tag"), col("event_id"))
+  }
+
+  val q17MultisetOpsSql: String =
+    """WITH a AS (SELECT event_id FROM events WHERE event_id < 200
+      |           UNION ALL SELECT event_id FROM events WHERE event_id < 100),
+      |     b AS (SELECT event_id FROM events WHERE event_id >= 50 AND event_id < 150)
+      |SELECT 'except_all' AS tag, event_id FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'intersect_all' AS tag, event_id FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |ORDER BY tag, event_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_pos_explode" -> (q22PosExplode _),
+    "q17_multiset_ops" -> (q17MultisetOps _),
     "q20_null_funcs"  -> (q20NullFuncs _),
     "q21_variant"     -> (q21Variant _),
     "q14_pivot"       -> (q14Pivot _),
@@ -255,6 +293,8 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q22_pos_explode" -> q22PosExplodeSql,
+    "q17_multiset_ops" -> q17MultisetOpsSql,
     "q20_null_funcs"  -> q20NullFuncsSql,
     "q21_variant"     -> q21VariantSql,
     "q14_pivot"       -> q14PivotSql,

@@ -134,8 +134,9 @@ object Similarity {
     mins.mkString("[", ", ", "]")
   }
 
-  /** Per-doc band keys: md5 of the band's 3 concatenated min-hashes. */
-  def q24MinhashSig(spark: SparkSession, dir: String): DataFrame =
+  /** Per-doc band keys: md5 of the band's 3 concatenated min-hashes.
+    * Unsorted — callers add their own output ordering. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     docsWithShingles(spark, dir)
       .withColumn("hs", expr(hsSpark))
       .withColumn("sig", expr(sigSpark))
@@ -145,7 +146,9 @@ object Similarity {
            |  md5(concat_ws(',', element_at(sig, 3*b+1), element_at(sig, 3*b+2),
            |                     element_at(sig, 3*b+3))) AS band_key))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      .orderBy(col("doc_id"), col("band_id"))
+
+  def q24MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir).orderBy(col("doc_id"), col("band_id"))
 
   val q24MinhashSigSql: String =
     s"""$dDuck,
@@ -187,11 +190,18 @@ object Similarity {
   // candidates (shuffle on a hash key — linear, skew-safe), exact Jaccard
   // verifies only those. No O(n²) anywhere.
   def q24LshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = q24MinhashSig(spark, dir)
-    val cand = sig.as("x").join(sig.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Bucket-local pair expansion (same pattern as SimHash/Jaccard): the
+    // signature pipeline runs ONCE — a self-join would recompute the
+    // md5+minhash pass per branch.
+    val cand = minhashBands(spark, dir)
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+          |    least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val d = docsWithShingles(spark, dir)
     cand
