@@ -279,7 +279,79 @@ object Relational2 {
       |SELECT 'intersect_all' AS tag, event_id FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
       |ORDER BY tag, event_id""".stripMargin
 
+  // --- Q09c: correlated scalar subquery (Catalyst decorrelation) -----------
+  // Written as SQL so RewriteCorrelatedScalarSubquery does the work —
+  // plans as a left outer aggregate join, not a per-row loop.
+  def q09ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders_v
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer_v WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q09ScalarSubquerySql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+      |   WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
+
+  // --- Q20d: ANSI-mode safety family (try_*) -------------------------------
+  // Spark 4 runs ANSI (errors on overflow/div-zero/bad cast); the try_*
+  // family is the NULL-on-failure escape hatch. Oracle equivalents:
+  // try_divide(a,b) ≡ a / nullif(b,0); try_cast exists in both.
+  def q20TryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        expr("try_divide(l_extendedprice, l_quantity - l_quantity)").as("div0"),
+        expr("try_divide(l_extendedprice, l_quantity)").as("divn"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+        expr("try_cast(CAST(l_linenumber AS STRING) AS INT)").as("good_cast"),
+        expr("try_add(l_orderkey, 1L)").as("add1"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+
+  val q20TryFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  l_extendedprice / nullif(l_quantity - l_quantity, 0.0) AS div0,
+      |  l_extendedprice / l_quantity AS divn,
+      |  TRY_CAST(l_returnflag AS INT) AS bad_cast,
+      |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS good_cast,
+      |  l_orderkey + 1 AS add1
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // --- Q15e: time-range window frame (RANGE BETWEEN INTERVAL) --------------
+  // 7-day trailing revenue per order date — the value-based frame, distinct
+  // from row-count frames. DECIMAL lane for the windowed sum.
+  def q15RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT day, rev,
+        |  CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+        |    ORDER BY day RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE) AS rev_7d
+        |FROM (SELECT date_trunc('day', o_orderdate) AS day,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |      FROM orders_v GROUP BY 1)
+        |ORDER BY day""".stripMargin)
+  }
+
+  val q15RangeFrameSql: String =
+    """SELECT day, rev,
+      |  CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+      |    ORDER BY day RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+      |  ) AS DOUBLE) AS rev_7d
+      |FROM (SELECT date_trunc('day', o_orderdate) AS day,
+      |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |      FROM orders GROUP BY 1)
+      |ORDER BY day""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_scalar_subquery" -> (q09ScalarSubquery _),
+    "q20_try_funcs"   -> (q20TryFuncs _),
+    "q15_range_frame" -> (q15RangeFrame _),
     "q22_pos_explode" -> (q22PosExplode _),
     "q17_multiset_ops" -> (q17MultisetOps _),
     "q20_null_funcs"  -> (q20NullFuncs _),
@@ -293,6 +365,9 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q09_scalar_subquery" -> q09ScalarSubquerySql,
+    "q20_try_funcs"   -> q20TryFuncsSql,
+    "q15_range_frame" -> q15RangeFrameSql,
     "q22_pos_explode" -> q22PosExplodeSql,
     "q17_multiset_ops" -> q17MultisetOpsSql,
     "q20_null_funcs"  -> q20NullFuncsSql,
