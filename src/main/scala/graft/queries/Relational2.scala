@@ -348,7 +348,79 @@ object Relational2 {
       |      FROM orders GROUP BY 1)
       |ORDER BY day""".stripMargin
 
+  // --- Q14c: CUBE with grouping_id -----------------------------------------
+  def q14Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("total"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  val q14CubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
+  // --- Q16b: explicit NULL ordering ----------------------------------------
+  // Engine DEFAULTS differ (Spark: NULLS FIRST asc; DuckDB: NULLS LAST) —
+  // checked queries over nullable sort keys must always say which.
+  def q16NullOrdering(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("maybe", nullif(col("l_quantity"), lit(25.0)))
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("maybe"))
+      .orderBy(col("maybe").desc_nulls_last, col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+
+  val q16NullOrderingSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       nullif(l_quantity, 25.0) AS maybe
+      |FROM lineitem WHERE l_orderkey <= 1000
+      |ORDER BY maybe DESC NULLS LAST, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // --- Q11b: aggregate long tail — bitwise, boolean, ordered list, arg-min -
+  // collect_list order is partition-dependent: sort_array makes it
+  // deterministic; min_by/max_by use a UNIQUE ordering key (ties would be
+  // engine-arbitrary).
+  def q11AggMisc(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bit_and(o_orderkey)").as("band"),
+        expr("bit_or(o_orderkey)").as("bor"),
+        expr("bit_xor(o_orderkey)").as("bxor"),
+        expr("every(o_totalprice > 0)").as("all_pos"),
+        expr("any(o_totalprice > 500000)").as("any_big"),
+        sort_array(collect_list(col("o_orderpriority"))).as("prios_sorted"),
+        expr("min_by(o_orderdate, o_orderkey)").as("first_key_date"),
+        expr("max_by(o_orderdate, o_orderkey)").as("last_key_date"))
+      .withColumn("prios_sorted", slice(col("prios_sorted"), 1, 5))
+      .orderBy(col("o_orderstatus"))
+
+  val q11AggMiscSql: String =
+    """SELECT o_orderstatus,
+      |  bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor, bit_xor(o_orderkey) AS bxor,
+      |  bool_and(o_totalprice > 0) AS all_pos,
+      |  bool_or(o_totalprice > 500000) AS any_big,
+      |  (list(o_orderpriority ORDER BY o_orderpriority))[1:5] AS prios_sorted,
+      |  arg_min(o_orderdate, o_orderkey) AS first_key_date,
+      |  arg_max(o_orderdate, o_orderkey) AS last_key_date
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_cube"        -> (q14Cube _),
+    "q16_null_ordering" -> (q16NullOrdering _),
+    "q11_agg_misc"    -> (q11AggMisc _),
     "q09_scalar_subquery" -> (q09ScalarSubquery _),
     "q20_try_funcs"   -> (q20TryFuncs _),
     "q15_range_frame" -> (q15RangeFrame _),
@@ -365,6 +437,9 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q14_cube"        -> q14CubeSql,
+    "q16_null_ordering" -> q16NullOrderingSql,
+    "q11_agg_misc"    -> q11AggMiscSql,
     "q09_scalar_subquery" -> q09ScalarSubquerySql,
     "q20_try_funcs"   -> q20TryFuncsSql,
     "q15_range_frame" -> q15RangeFrameSql,
