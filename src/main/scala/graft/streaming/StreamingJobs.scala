@@ -51,4 +51,40 @@ object StreamingJobs {
     events
       .withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Custom per-key state via flatMapGroupsWithState (the escape hatch when
+    * built-in windows can't express the state machine): per-user lifetime
+    * counters — events seen, distinct bursts (gap > 10 min starts a new
+    * burst), last event time — emitted on every update. State lives in the
+    * state store per user key (shuffled on user_id; RocksDB-backed on a
+    * real cluster), exactly the shape the reference fakes with its S3
+    * scalar state files but per-key and fault-tolerant. */
+  final case class UserState(nEvents: Long, nBursts: Long, lastTsMicros: Long)
+  final case class UserUpdate(user_id: Long, n_events: Long, n_bursts: Long)
+
+  def userBurstCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val typed = events.select("user_id", "ts").map { r =>
+      (r.getLong(0), r.getTimestamp(1).getTime * 1000L)
+    }(Encoders.product[(Long, Long)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          // order within the micro-batch for deterministic burst counting
+          val sorted = rows.map(_._2).toSeq.sorted
+          var s = prev
+          sorted.foreach { ts =>
+            val newBurst = s.lastTsMicros == Long.MinValue ||
+              ts - s.lastTsMicros > 10L * 60 * 1000000
+            s = UserState(s.nEvents + 1, s.nBursts + (if (newBurst) 1 else 0), ts)
+          }
+          state.update(s)
+          Iterator(UserUpdate(user, s.nEvents, s.nBursts))
+        })(Encoders.product[UserState], Encoders.product[UserUpdate])
+      .toDF()
+  }
 }

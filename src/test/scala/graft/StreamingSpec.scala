@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom state: flatMapGroupsWithState burst counters accumulate across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingJobs.userBurstCounts(src.toDF())
+      .writeStream.format("memory").queryName("bursts_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events 5 min apart (one burst)
+      src.addData(Ev(1, ts("2024-01-01 00:00:00"), 42), Ev(2, ts("2024-01-01 00:05:00"), 42))
+      q.processAllAvailable()
+      // batch 2: 3 hours later (new burst) — state must survive batches
+      src.addData(Ev(3, ts("2024-01-01 03:00:00"), 42))
+      q.processAllAvailable()
+      val rows = spark.table("bursts_out")
+        .select($"user_id", $"n_events", $"n_bursts")
+        .as[(Long, Long, Long)].collect().filter(_._1 == 42L).sortBy(_._2)
+      assert(rows.last === ((42L, 3L, 2L))) // 3 events, 2 bursts
+    } finally q.stop()
+  }
+
   test("Q29: dropDuplicatesWithinWatermark collapses re-sent boundary rows") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
