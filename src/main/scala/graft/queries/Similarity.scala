@@ -417,7 +417,44 @@ object Similarity {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
        |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // --- Q26b: dedup DECISION — survivors after near-dup detection ----------
+  // Pairs (from the SimHash banded detector) → keep/drop verdict: a doc is
+  // dropped iff some SMALLER-id doc is its near-dup (greedy keep-first —
+  // the standard one-pass policy; full connected components would need
+  // iteration and changes little on near-dup clusters, which are cliques
+  // in practice). Output: every doc with its verdict + the evicting doc.
+  def q26DedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q24SimhashPairs(spark, dir) // doc_a < doc_b, hamming ≤ 4
+    val evicted = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("evicted_by"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(evicted, Seq("doc_id"), "left")
+      .withColumn("keep", col("evicted_by").isNull)
+      .select(col("doc_id"), col("lang"), col("keep"), col("evicted_by"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26DedupSurvivorsSql: String =
+    s"""WITH h AS (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h60d("t")}) AS th
+       |           FROM documents),
+       |bits AS (SELECT doc_id, unnest(generate_series(0, 59)) AS b, th FROM h),
+       |votes AS (SELECT doc_id, b,
+       |            len(list_filter(th, t -> (t >> b) & 1 = 1))
+       |              - len(list_filter(th, t -> (t >> b) & 1 = 0)) AS v
+       |          FROM bits),
+       |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)::BIGINT AS simhash
+       |       FROM votes GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+       |ev AS (SELECT doc_b AS doc_id, min(doc_a) AS evicted_by FROM pairs GROUP BY doc_b)
+       |SELECT d.doc_id, d.lang, ev.evicted_by IS NULL AS keep, ev.evicted_by
+       |FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dedup_survivors" -> (q26DedupSurvivors _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q24_minhash_sig"   -> (q24MinhashSig _),
     "q24_lang_sketch"   -> (q24LangSketch _),
@@ -429,6 +466,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q26_dedup_survivors" -> q26DedupSurvivorsSql,
     "q24_jaccard_pairs" -> q24JaccardPairsSql,
     "q24_minhash_sig"   -> q24MinhashSigSql,
     "q24_lang_sketch"   -> q24LangSketchSql,
