@@ -417,7 +417,33 @@ object Relational2 {
       |  arg_max(o_orderdate, o_orderkey) AS last_key_date
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --- Q18c: encoding / distance functions ---------------------------------
+  // hex casing differs (Spark upper, DuckDB lower) → normalized with lower();
+  // levenshtein on short columns only (O(n·m) per pair).
+  def q18EncodeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).cast("int").as("lev"),
+        format_string("%05d", col("p_size")).as("padded"),
+        lower(hex(col("p_brand").cast("binary"))).as("hx"),
+        base64(col("p_brand").cast("binary")).as("b64"),
+        ascii(col("p_name")).cast("int").as("first_code"),
+        expr("chr(65 + CAST(p_partkey % 26 AS INT))").as("letter"))
+      .orderBy(col("p_partkey"))
+
+  val q18EncodeFuncsSql: String =
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+      |  printf('%05d', p_size) AS padded,
+      |  lower(hex(p_brand)) AS hx,
+      |  base64(CAST(p_brand AS BLOB)) AS b64,
+      |  CAST(ascii(p_name) AS INT) AS first_code,
+      |  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_encode_funcs" -> (q18EncodeFuncs _),
     "q14_cube"        -> (q14Cube _),
     "q16_null_ordering" -> (q16NullOrdering _),
     "q11_agg_misc"    -> (q11AggMisc _),
@@ -437,6 +463,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q18_encode_funcs" -> q18EncodeFuncsSql,
     "q14_cube"        -> q14CubeSql,
     "q16_null_ordering" -> q16NullOrderingSql,
     "q11_agg_misc"    -> q11AggMiscSql,
