@@ -1,6 +1,6 @@
 package graft.cli
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
 import graft.core.StateStore
 import graft.ingest.Ingest

@@ -43,11 +43,10 @@ object Ingest {
         col("meta.limit").cast("int").as("_page_limit"),
         col("meta.total_count").cast("long").as("_total_count"))
 
-  /** Bronze write: hour-partitioned by the event time (R8 layout,
+  /** Bronze write: time-partitioned by event time (R8 layout,
     * `CommCareAPIHandler.py:71-73`), append-mode, 16 MB-target file sizing
-    * via maxRecordsPerFile (R7). Empty batches write nothing (native). */
-  /** `granularity`: "hour" reproduces the reference's layout
-    * (`{Y}/{M}/{D}/{H}`, `CommCareAPIHandler.py:71-73`); "day" is the
+    * via maxRecordsPerFile (R7). Empty batches write nothing (native).
+    * `granularity`: "hour" reproduces the reference's layout; "day" is the
     * right-sized choice when per-hour volume is small — partition
     * granularity should track data density, not copy a layout into a regime
     * where each directory holds a few hundred rows of pure per-file
@@ -89,8 +88,6 @@ object Ingest {
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     // file streams need an explicit schema: stable envelope core, open
     // payload carried as JSON text (SURVEY §1.4)
-    val objSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "id BIGINT, indexed_on STRING, payload STRING")
     val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "meta STRUCT<limit: INT, next: STRING, total_count: BIGINT>, " +
         "objects ARRAY<STRUCT<id: BIGINT, indexed_on: STRING, payload: STRING>>")
@@ -153,7 +150,7 @@ object Ingest {
     val lower = state.get(stateKey).map(s => lit(s).cast("timestamp"))
     // Driver-side single-value agg (not a data collect): the batch's high
     // water mark. Empty landing zone ⇒ nothing to do, watermark unchanged.
-    val maxTs = parsed.agg(max(col("indexed_on"))).head.getTimestamp(0)
+    val maxTs = parsed.agg(max(col("indexed_on"))).head().getTimestamp(0)
     if (maxTs == null) return 0L
     val upperExpr =
       if (useLag) maxTs.toInstant.minusSeconds(300) else maxTs.toInstant
