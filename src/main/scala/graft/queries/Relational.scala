@@ -98,6 +98,33 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Scale twin of q04 — distributed prefix sum. The naive form runs ONE
+    * task (a global-order window); this one computes in-bucket running sums
+    * in parallel (shuffle on `event_id div 1000` buckets), then adds each
+    * bucket's prefix offset from a tiny bucket-totals table (bucket-level
+    * metadata — rows = n_buckets, not n_rows, so its global window is
+    * driver-scale). Bucket ranges partition the event_id order, so the
+    * result is IDENTICAL to the sequential running sum — same oracle. */
+  def q04Scalable(spark: SparkSession, dir: String): DataFrame = {
+    val wIn = Window.partitionBy(col("bucket_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.events(spark, dir)
+      .withColumn("bytes", (length(col("props")) + length(col("event_type")) + lit(50)).cast("long"))
+      .withColumn("bucket_id", expr("event_id div 1000"))
+    val inBucket = base.withColumn("in_sum", sum(col("bytes")).over(wIn))
+    val wOff = Window.orderBy(col("bucket_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bucket_id"))
+      .agg(sum(col("bytes")).as("bucket_total"))
+      .withColumn("offset", coalesce(sum(col("bucket_total")).over(wOff), lit(0L)))
+      .select(col("bucket_id"), col("offset"))
+    inBucket.join(broadcast(offsets), "bucket_id")
+      .withColumn("cum_bytes", col("offset") + col("in_sum"))
+      .select(col("event_id"), col("bytes"),
+        floor(col("cum_bytes") / lit(4096.0)).cast("long").as("bucket"))
+      .orderBy(col("event_id"))
+  }
+
   val q04Sql: String =
     """SELECT event_id, bytes,
       |       CAST(floor(cum_bytes / 4096.0) AS BIGINT) AS bucket
@@ -529,6 +556,7 @@ object Relational {
     "q02_keyset_page"         -> (q02 _),
     "q03_partition_audit"     -> (q03 _),
     "q04_batch_sizing"        -> (q04 _),
+    "q04_sizing_scalable"     -> (q04Scalable _),
     "q05_dedup_latest"        -> (q05 _),
     "q06_dedup_exact"         -> (q06 _),
     "q07_join_3way"           -> (q07 _),
@@ -558,6 +586,7 @@ object Relational {
     "q02_keyset_page"         -> q02Sql,
     "q03_partition_audit"     -> q03Sql,
     "q04_batch_sizing"        -> q04Sql,
+    "q04_sizing_scalable"     -> q04Sql,
     "q05_dedup_latest"        -> q05Sql,
     "q06_dedup_exact"         -> q06Sql,
     "q07_join_3way"           -> q07Sql,
