@@ -27,13 +27,24 @@ object Bench {
 
     // Warmup: exercise scan, shuffle-agg, join, window and codegen paths so
     // timed queries measure steady-state, not JVM/JIT/codegen first-touch.
-    graft.core.Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag")).count().count()
-    graft.queries.Relational.q11(spark, sfDir).count()
+    // Guarded: a broken environment should still emit the JSON report with
+    // its per-query failures, not die before the first line.
+    try {
+      graft.core.Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag")).count().count()
+      graft.queries.Relational.q11(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -42,21 +53,25 @@ object Bench {
     // dirs would measure per-file overhead, not throughput; day partitions
     // are the density-appropriate layout (see Ingest.writeBronze).
     val ingestOut = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
-    val ev = graft.core.Tables.events(spark, sfDir)
-    val nRows = ev.count()
-    // Warm the write path (parquet writer init, commit protocol classes):
-    // BASELINE.md measures steady-state throughput, first-touch excluded.
-    graft.ingest.Ingest.writeBronze(ev.limit(1000), s"$ingestOut/warmup",
-      tsCol = "ts", granularity = "day")
-    val t0 = System.nanoTime()
-    graft.ingest.Ingest.writeBronze(ev, s"$ingestOut/bronze", tsCol = "ts",
-      granularity = "day")
-    val ingestSec = (System.nanoTime() - t0) / 1e9
-    val ingestRps = nRows / ingestSec
+    val (nRows, ingestRps) = try {
+      val ev = graft.core.Tables.events(spark, sfDir)
+      val n = ev.count()
+      // Warm the write path (parquet writer init, commit protocol classes):
+      // BASELINE.md measures steady-state throughput, first-touch excluded.
+      graft.ingest.Ingest.writeBronze(ev.limit(1000), s"$ingestOut/warmup",
+        tsCol = "ts", granularity = "day")
+      val t0 = System.nanoTime()
+      graft.ingest.Ingest.writeBronze(ev, s"$ingestOut/bronze", tsCol = "ts",
+        granularity = "day")
+      (n, n / ((System.nanoTime() - t0) / 1e9))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest slice failed: ${e.getMessage}")
+      (0L, -1.0)
+    }
 
     // Streaming throughput: events parquet driven through the Q27 tumbling
     // aggregation as a file stream (AvailableNow), rows/s wall-clock.
-    val streamSec = {
+    val streamRps = try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
       // raw file schema (ts = nanos long under nanosAsLong), converted
       // in-stream exactly as Tables.events does for batch
@@ -74,15 +89,18 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      (System.nanoTime() - t1) / 1e9
+      nRows / ((System.nanoTime() - t1) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream slice failed: ${e.getMessage}")
+      -1.0
     }
-    val streamRps = nRows / streamSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
-      s""""stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
+      s""""stream_rows_per_sec":$streamRps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

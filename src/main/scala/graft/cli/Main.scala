@@ -55,7 +55,6 @@ object Main {
   def runPull(spark: SparkSession, conf: JobConf,
               pullTable: (SparkSession, JobConf, TableConf) => Long = defaultPull)
   : Map[String, Long] = {
-    val state = new StateStore(conf.stateDir)
     var failures = 0
     val results = scala.collection.mutable.Map[String, Long]()
     conf.tables.foreach { t =>
