@@ -71,7 +71,10 @@ object Bench {
 
     // Streaming throughput: events parquet driven through the Q27 tumbling
     // aggregation as a file stream (AvailableNow), rows/s wall-clock.
-    val streamRps = try {
+    // Measured twice: pass 1 (cold — stream-engine class-load + codegen
+    // first-touch) and pass 2 (warm — fresh checkpoint, same files, warmed
+    // JVM). Warm is the steady-state number a long-lived query would see.
+    def streamPass(): Double = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
       // raw file schema (ts = nanos long under nanosAsLong), converted
       // in-stream exactly as Tables.events does for batch
@@ -90,17 +93,34 @@ object Bench {
         .start()
       q.awaitTermination()
       nRows / ((System.nanoTime() - t1) / 1e9)
+    }
+    val (streamRps, streamWarmRps) = try {
+      val cold = streamPass()
+      val warm = streamPass()
+      (cold, warm)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream slice failed: ${e.getMessage}")
-      -1.0
+      (-1.0, -1.0)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
-      s""""stream_rows_per_sec":$streamRps,"failed":$failedJson,"sf":"$sfDir"}""")
+      s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+    // Durable copy: the driver's stdout scrape lost the line start in round 1
+    // ("parsed": null) — a file survives any log truncation.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(json)
+    Console.out.flush()
     spark.stop()
+    // Print again AFTER spark.stop so the bare JSON is the process's very
+    // last stdout line — a tail scrape always catches a complete line.
+    println(json)
+    Console.out.flush()
   }
 }

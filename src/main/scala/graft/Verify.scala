@@ -25,9 +25,24 @@ object Verify {
     // pandas compare sees identical dtypes.
     import org.apache.spark.sql.types.TimestampType
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // Hard guard (round-1 regression): the driver canonicalizes rows
+        // with a pandas sort, which cannot hash array/map/struct cells —
+        // such a column fails the gate even when values match. Serialize
+        // (array_join/to_json) in the query's final projection instead.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val bad = df.schema.fields.filter(f => f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          })
+          require(bad.isEmpty,
+            s"oracle-checked query $name emits non-scalar column(s) " +
+              s"${bad.map(_.name).mkString(", ")} — the driver's pandas sort " +
+              "cannot canonicalize them; serialize in the final projection")
+        }
         val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
           if (f.dataType == TimestampType)
             d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))

@@ -19,10 +19,17 @@ import graft.push.PushJob
   */
 object Main {
   final case class TableConf(name: String, usesIndexedOn: Boolean, limit: Int)
+  /** One push target (`lambda_function.py:69-81`): a landing-dir specifier
+    * with its own HTTP method (`CommCareAPIHandler.py:321` reads
+    * `data_type['method']`) and per-specifier auth token. */
+  final case class SpecifierConf(name: String, method: String = "POST",
+                                 token: Option[String] = None)
   final case class JobConf(
     operationType: String, domain: String, isStaging: Boolean,
     tables: Seq[TableConf], urlBase: String, landingDir: String,
-    bronzeDir: String, stateDir: String, endpoint: String, testMode: Boolean)
+    bronzeDir: String, stateDir: String, endpoint: String, testMode: Boolean,
+    specifiers: Seq[SpecifierConf] = Seq.empty,
+    authToken: Option[String] = None)
 
   def parseConf(json: String): JobConf = {
     val n = new ObjectMapper().readTree(json)
@@ -36,9 +43,17 @@ object Main {
           Option(tn.get("limit")).map(_.asInt()).getOrElse(1000))
       }
     }.getOrElse(Seq.empty)
+    val specifiers = Option(n.get("specifiers")).map { s =>
+      (0 until s.size()).map(s.get).map { sn =>
+        SpecifierConf(sn.get("name").asText(),
+          Option(sn.get("method")).map(_.asText()).getOrElse("POST"),
+          Option(sn.get("auth_token")).map(_.asText()).filter(_.nonEmpty))
+      }
+    }.getOrElse(Seq.empty)
     JobConf(str("operation_type"), str("domain"), bool("is_staging"), tables,
       str("url_base"), str("landing_dir"), str("bronze_dir"), str("state_dir"),
-      str("endpoint"), bool("test_mode"))
+      str("endpoint"), bool("test_mode"), specifiers,
+      Option(n.get("auth_token")).map(_.asText()).filter(_.nonEmpty))
   }
 
   /** `lambda_function.py:28-31`: staging domains address the staging server;
@@ -71,16 +86,37 @@ object Main {
     results.toMap
   }
 
+  /** `CommCareAPIHandler.py:71-73`: test-mode runs land in a `-test`
+    * sibling of the type dir — production data is never mixed with a dry
+    * run's output. */
+  def typeDir(conf: JobConf, table: String): String =
+    if (conf.testMode) s"$table-test" else table
+
   private def defaultPull(spark: SparkSession, conf: JobConf, t: TableConf): Long = {
     val state = new StateStore(conf.stateDir)
     Ingest.incrementalRun(spark, s"${conf.landingDir}/${t.name}",
-      s"${conf.bronzeDir}/${t.name}", state, s"${t.name}.last_successful_job_time")
+      s"${conf.bronzeDir}/${typeDir(conf, t.name)}", state,
+      s"${t.name}.last_successful_job_time")
   }
 
-  def runPush(spark: SparkSession, conf: JobConf, specifier: String): Unit = {
+  def runPush(spark: SparkSession, conf: JobConf, specifier: String,
+              method: String = "POST", token: Option[String] = None): Unit = {
     val df = spark.read.json(s"${conf.landingDir}/$specifier")
       .selectExpr("to_json(struct(*)) AS doc")
-    PushJob.push(df, "doc", conf.endpoint)
+    PushJob.push(df, "doc", conf.endpoint, method = method,
+      authToken = token.orElse(conf.authToken))
+  }
+
+  /** `lambda_function.py:69-81`: push ALL configured specifiers, each with
+    * its own method and token. Returns the specifiers pushed, in order. */
+  def runPushAll(spark: SparkSession, conf: JobConf): Seq[String] = {
+    val specs =
+      if (conf.specifiers.nonEmpty) conf.specifiers
+      else Seq(SpecifierConf("default"))
+    specs.map { sp =>
+      runPush(spark, conf, sp.name, sp.method, sp.token)
+      sp.name
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,8 +135,10 @@ object Main {
         val res = runPull(spark, conf)
         println(res.map { case (k, v) => s"$k=$v" }.mkString("pulled: ", ", ", ""))
       case "s3_to_cc" =>
-        runPush(spark, conf, if (args.length > 1) args(1) else "default")
-        println("pushed")
+        val pushed =
+          if (args.length > 1) { runPush(spark, conf, args(1)); Seq(args(1)) }
+          else runPushAll(spark, conf)
+        println(pushed.mkString("pushed: ", ", ", ""))
       case other => throw new IllegalArgumentException(s"unknown operation_type: $other")
     } finally spark.stop()
   }

@@ -45,7 +45,10 @@ final class StateStore(root: String) {
   * 10 000. The columnar twin is Q20's `new_limit` expression.
   */
 object ApiLimitCalculator {
-  val MaxFileSizeBytes: Long = 16L * 1024 * 1024 // Snowflake cap, util.py:51-52
+  // Decimal MB, matching util.py:58-67's bytes/1_000_000 arithmetic and its
+  // 16 MB cap — NOT MiB (16·1024·1024 would run limits ~4.9% hot and erode
+  // the 0.5 grace headroom the formula budgets for).
+  val MaxFileSizeBytes: Long = 16_000_000L // Snowflake cap, util.py:51-52
   val GraceFactor: Double = 0.5                  // util.py:53-55
   val MaxLimit: Int = 10000                      // util.py:56-57
 

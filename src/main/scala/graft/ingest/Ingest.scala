@@ -108,34 +108,62 @@ object Ingest {
       .start()
   }
 
-  /** The reference's PRIMARY path composed end-to-end (R1→R4→R5→R6→R8):
+  /** The reference's PRIMARY path composed end-to-end (R1→R4→R5→R6→R7→R8):
     * pull a watermark-bounded window from a paginated REST API via the
     * graft-rest DSv2 source (range pushdown + keyset pagination +
     * `slices`-way parallel extraction), land hour-partitioned bronze,
     * advance the watermark only on success. `upperBound` plays the role of
     * the reference's `event_time` (minus lag when `useLag`). Returns rows
-    * landed. */
+    * landed.
+    *
+    * R7 calibration cycle (`CommCareAPIHandler.py:96-156`): when
+    * `calibrateKey` is set, the run's page size comes from the PERSISTED
+    * limit at that state key (the `limit` param only seeds the cold start),
+    * and after a successful pull the observed serialized density recalibrates
+    * the limit (`ApiLimitCalculator.newLimit` ≡ util.py:75-85) and persists
+    * it for the next run — probe → persist → reuse, end-to-end. */
   def restPullRun(spark: SparkSession, apiUrl: String, bronzeDir: String,
                   state: StateStore, upperBound: java.time.Instant,
                   stateKey: String = "last_successful_job_time",
-                  limit: Int = 1000, slices: Int = 4, useLag: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+                  limit: Int = 1000, slices: Int = 4, useLag: Boolean = false,
+                  calibrateKey: Option[String] = None,
+                  authToken: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{avg, col, length, lit}
     val upper = java.sql.Timestamp.from(
       if (useLag) upperBound.minusSeconds(300) else upperBound)
     val lower = state.get(stateKey).map(java.sql.Timestamp.valueOf)
-    val src = spark.read.format("graft-rest")
-      .option("url", apiUrl).option("limit", limit).option("slices", slices)
-      .load()
+    val effLimit = calibrateKey.flatMap(state.getLong).map(_.toInt).getOrElse(limit)
+    val reader = spark.read.format("graft-rest")
+      .option("url", apiUrl).option("limit", effLimit).option("slices", slices)
+    authToken.foreach(reader.option("auth_token", _))
+    val src = reader.load()
     val windowed = (lower match {
       case Some(lo) => src.filter(col("indexed_on") > lit(lo))
       case None     => src
     }).filter(col("indexed_on") <= lit(upper))
       // R2's >=-restart duplicates boundary rows by design — collapse here
       .dropDuplicates(Seq("id"))
-    val n = windowed.count()
-    if (n > 0) writeBronze(windowed, bronzeDir)
-    state.put(stateKey, upper.toInstant.toString.replace("Z", "").replace("T", " "))
-    n
+      // One external scan only: count + write below would otherwise each
+      // re-execute the REST pull from scratch — doubling API requests (each
+      // pass burns its own max_requests budget) and racing data changes
+      // between the two passes.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = windowed.count()
+      if (n > 0) {
+        writeBronze(windowed, bronzeDir)
+        calibrateKey.foreach { k =>
+          // R7 probe: observed bytes of one effLimit-row page at this pull's
+          // serialized density (cheap — windowed is cached). Same formula the
+          // reference applies to the probe response's Content-Length.
+          val avgRowBytes = windowed.agg(avg(length(col("payload")))).head().getDouble(0)
+          val observed = math.max(1L, (avgRowBytes * effLimit).toLong)
+          state.putLong(k, ApiLimitCalculator.newLimit(effLimit, observed).toLong)
+        }
+      }
+      state.put(stateKey, upper.toInstant.toString.replace("Z", "").replace("T", " "))
+      n
+    } finally windowed.unpersist()
   }
 
   /** One incremental run (the Q30 slice): filter the landed data to

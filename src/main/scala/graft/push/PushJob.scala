@@ -1,8 +1,8 @@
 package graft.push
 
 import org.apache.spark.sql.DataFrame
-import java.net.{HttpURLConnection, URL}
-import java.nio.charset.StandardCharsets
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 /** Reverse-ETL push path (SURVEY.md §2A R9–R11; `CommCareAPIHandler.py:
   * 279-326`): read landed JSON, POST/PATCH each document to an HTTP
@@ -21,33 +21,38 @@ object PushJob {
 
   class ApiError(msg: String) extends RuntimeException(msg)
 
-  /** POST one JSON document; returns true on 2xx
+  // One client per executor JVM (object init) — pooled connections across
+  // rows; HttpURLConnection would both re-handshake per row and reject
+  // non-standard methods like PATCH (the reference's data_type['method']
+  // is free-form, CommCareAPIHandler.py:321).
+  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  /** Send one JSON document; returns true on 2xx
     * (`util.py:13-27` process_response). */
-  private[push] def send(endpoint: String, method: String, body: String): Boolean = {
-    val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setRequestMethod(method)
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/json")
-      val out = conn.getOutputStream
-      out.write(body.getBytes(StandardCharsets.UTF_8))
-      out.close()
-      val code = conn.getResponseCode
-      code >= 200 && code < 300
-    } finally conn.disconnect()
+  private[push] def send(endpoint: String, method: String, body: String,
+                         authToken: Option[String] = None): Boolean = {
+    val b = HttpRequest.newBuilder(URI.create(endpoint))
+      .method(method, HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+    // Reference sends `Authorization: ApiKey <token>` on every push
+    // request (CommCareAPIHandler.py:300; token lookup util.py:35-37).
+    authToken.foreach(t => b.header("Authorization", s"ApiKey $t"))
+    val code = client.send(b.build(), HttpResponse.BodyHandlers.discarding()).statusCode()
+    code >= 200 && code < 300
   }
 
   /** Push every row's `jsonCol` to `endpoint`. Per-partition failure budget:
     * more than `maxFailures` non-2xx responses ⇒ ApiError fails the task
     * (Spark retries it; at-least-once). */
   def push(df: DataFrame, jsonCol: String, endpoint: String,
-           method: String = "POST", maxFailures: Int = 3): Unit = {
+           method: String = "POST", maxFailures: Int = 3,
+           authToken: Option[String] = None): Unit = {
     val rows = df.select(jsonCol)
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       var failures = 0
       it.foreach { row =>
         val ok =
-          try send(endpoint, method, row.getString(0))
+          try send(endpoint, method, row.getString(0), authToken)
           catch { case _: java.io.IOException => false }
         if (!ok) {
           failures += 1

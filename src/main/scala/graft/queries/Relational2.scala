@@ -404,7 +404,9 @@ object Relational2 {
         sort_array(collect_list(col("o_orderpriority"))).as("prios_sorted"),
         expr("min_by(o_orderdate, o_orderkey)").as("first_key_date"),
         expr("max_by(o_orderdate, o_orderkey)").as("last_key_date"))
-      .withColumn("prios_sorted", slice(col("prios_sorted"), 1, 5))
+      // Serialized (not ARRAY): the driver's oracle canonicalizes rows with a
+      // pandas sort, which cannot hash array cells — scalar columns only.
+      .withColumn("prios_sorted", array_join(slice(col("prios_sorted"), 1, 5), ","))
       .orderBy(col("o_orderstatus"))
 
   val q11AggMiscSql: String =
@@ -412,7 +414,7 @@ object Relational2 {
       |  bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor, bit_xor(o_orderkey) AS bxor,
       |  bool_and(o_totalprice > 0) AS all_pos,
       |  bool_or(o_totalprice > 500000) AS any_big,
-      |  (list(o_orderpriority ORDER BY o_orderpriority))[1:5] AS prios_sorted,
+      |  array_to_string((list(o_orderpriority ORDER BY o_orderpriority))[1:5], ',') AS prios_sorted,
       |  arg_min(o_orderdate, o_orderkey) AS first_key_date,
       |  arg_max(o_orderdate, o_orderkey) AS last_key_date
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

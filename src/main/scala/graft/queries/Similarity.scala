@@ -174,6 +174,9 @@ object Similarity {
       .withColumn("hv", expr(s"${h60("s")} % ${P}L"))
       .groupBy(col("lang"))
       .agg(expr("minhash_sketch(hv)").as("sketch"))
+      // Serialized (not ARRAY): the driver's oracle pandas sort cannot hash
+      // array cells — emit the K=12 sketch as a comma-joined string.
+      .withColumn("sketch", array_join(expr("transform(sketch, x -> cast(x AS string))"), ","))
       .orderBy(col("lang"))
   }
 
@@ -182,7 +185,7 @@ object Similarity {
     s"""$dDuck,
        |ex AS (SELECT lang, unnest(sh) AS s FROM d),
        |h AS (SELECT lang, ${h60d("s")} % $P AS hv FROM ex)
-       |SELECT lang, [$mins] AS sketch FROM h GROUP BY lang ORDER BY lang""".stripMargin
+       |SELECT lang, array_to_string([$mins], ',') AS sketch FROM h GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // --- Q24c: LSH candidate pairs → verified Jaccard ------------------------

@@ -154,31 +154,36 @@ class RestScan(options: CaseInsensitiveStringMap,
       options.get("url"),
       options.getInt("limit", 1000),
       options.getBoolean("uses_indexed_on", true),
-      options.getInt("max_requests", 1000))
+      options.getInt("max_requests", 1000),
+      Option(options.get("auth_token")).filter(_.nonEmpty))
 }
 
 case class RestInputPartition(startMicros: Option[Long], endMicros: Option[Long])
   extends InputPartition
 
 class RestReaderFactory(url: String, limit: Int, usesIndexedOn: Boolean,
-                        maxRequests: Int) extends PartitionReaderFactory {
+                        maxRequests: Int, authToken: Option[String] = None)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestInputPartition]
     new RestPartitionReader(url, limit, usesIndexedOn, maxRequests,
-      p.startMicros, p.endMicros)
+      p.startMicros, p.endMicros, authToken)
   }
 }
 
 /** Walks one page stream; executor-side, no driver involvement. */
 class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
                           maxRequests: Int, startMicros: Option[Long],
-                          endMicros: Option[Long])
+                          endMicros: Option[Long],
+                          authToken: Option[String] = None)
   extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private var buffer: Iterator[JsonNode] = Iterator.empty
   private var nextUrl: Option[String] = Some(buildUrl(startMicros))
   private var requests = 0
-  private var lastIndexedOn: Option[Long] = None
+  // start micros of the page currently in flight — progress detector for the
+  // keyset restart (a restart equal to the page's own start can never advance)
+  private var pageStart: Option[Long] = startMicros
   private var current: InternalRow = _
 
   private def buildUrl(start: Option[Long]): String = {
@@ -201,6 +206,10 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod("GET")
+      // Reference sends `Authorization: ApiKey <token>` on every request
+      // (CommCareAPIHandler.py:41-42; token lookup util.py:35-37 — the
+      // secret-store lookup itself is out of scope, the header is not).
+      authToken.foreach(t => conn.setRequestProperty("Authorization", s"ApiKey $t"))
       val code = conn.getResponseCode
       if (code < 200 || code >= 300)
         throw new java.io.IOException(s"APIError: HTTP $code from $u (util.py:8-27)")
@@ -215,16 +224,27 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
         else if (usesIndexedOn) {
           // R2 keyset: restart at the LAST row's indexed_on with >= —
           // faithful to CommCareAPIHandler.py:229-240 incl. duplicate
-          // boundary rows (deduped downstream). Full page ⇒ maybe more.
-          if (objs.size >= limit) {
+          // boundary rows (deduped downstream). "More pages remain" follows
+          // the envelope's meta.next (the reference follows meta.next even
+          // on the indexed_on path, :231); a full page is kept as a
+          // fallback signal for envelope-less servers. Deciding on
+          // `objs.size >= limit` ALONE would stop after page 1 whenever the
+          // server caps pages below the requested limit (CommCare does).
+          if (metaNext.isDefined || objs.size >= limit) {
             val last = RestEnvelopeSource.parseTsMicros(
               objs.last.get("indexed_on").asText())
-            // guard: if a whole page shares one indexed_on, >= restart
-            // would loop forever; advance by 1µs (documented deviation)
-            val restart =
-              if (lastIndexedOn.contains(last)) last + 1 else last
-            lastIndexedOn = Some(last)
-            Some(buildUrl(Some(restart)))
+            // Progress guard: if the restart equals the page's own start,
+            // every row shares one indexed_on and a >= restart can never
+            // advance. Fail LOUDLY — silently skipping past the timestamp
+            // (e.g. +1µs) would drop its unfetched rows; the reference's
+            // equivalent outcome is the loud max_requests abort.
+            if (pageStart.contains(last))
+              throw new IllegalStateException(
+                s"keyset pagination stuck: > $limit rows share indexed_on=" +
+                  s"${RestEnvelopeSource.fmtTs(last)}; raise `limit` above the " +
+                  "per-timestamp row count or switch to cursor pagination")
+            pageStart = Some(last)
+            Some(buildUrl(Some(last)))
           } else None
         } else metaNext // R3 opaque cursor
     } finally conn.disconnect()

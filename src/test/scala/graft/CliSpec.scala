@@ -22,6 +22,60 @@ class CliSpec extends SparkSpec {
     assert(Main.apiUrl(c, c.tables.head) === "http://api.example/acme/api/case")
   }
 
+  test("specifiers + auth_token parse; test_mode suffixes the type dir " +
+    "(CommCareAPIHandler.py:71-73, lambda_function.py:69-81)") {
+    val pushJson =
+      """{"operation_type": "s3_to_cc", "domain": "acme", "endpoint": "http://e",
+        | "landing_dir": "/tmp/l", "auth_token": "global:tok",
+        | "specifiers": [{"name": "alpha", "method": "PATCH", "auth_token": "a:tok"},
+        |                {"name": "beta"}],
+        | "test_mode": true}""".stripMargin
+    val c = Main.parseConf(pushJson)
+    assert(c.specifiers === Seq(
+      Main.SpecifierConf("alpha", "PATCH", Some("a:tok")),
+      Main.SpecifierConf("beta", "POST", None)))
+    assert(c.authToken === Some("global:tok"))
+    assert(Main.typeDir(c, "case") === "case-test")
+    assert(Main.typeDir(c.copy(testMode = false), "case") === "case")
+  }
+
+  test("runPushAll loops every specifier with its own method and token " +
+    "(lambda_function.py:69-81)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // landing dirs: one JSON doc per specifier
+    val landing = java.nio.file.Files.createTempDirectory("cli_push").toString
+    Seq("alpha", "beta").foreach { s =>
+      val d = java.nio.file.Paths.get(landing, s)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("doc.json"),
+        s"""{"spec": "$s"}""".getBytes("UTF-8"))
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seen.add((ex.getRequestMethod,
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val conf = Main.parseConf(
+        s"""{"operation_type": "s3_to_cc", "landing_dir": "$landing",
+           | "endpoint": "http://localhost:${server.getAddress.getPort}/api",
+           | "auth_token": "global:tok",
+           | "specifiers": [{"name": "alpha", "method": "PATCH", "auth_token": "a:tok"},
+           |                {"name": "beta"}]}""".stripMargin)
+      val pushed = Main.runPushAll(spark, conf)
+      assert(pushed === Seq("alpha", "beta"))
+      val got = seen.toArray(Array.empty[(String, String)]).toSet
+      // alpha: its own method+token; beta: defaults + global token fallback
+      assert(got === Set(("PATCH", "ApiKey a:tok"), ("POST", "ApiKey global:tok")))
+    } finally server.stop(0)
+  }
+
   test("R12 multi-table loop tolerates 3 failures, aborts on the 4th") {
     val c = Main.parseConf(confJson).copy(tables =
       (1 to 5).map(i => Main.TableConf(s"t$i", usesIndexedOn = true, 100)),

@@ -76,10 +76,11 @@ class IngestSpec extends SparkSpec {
   }
 
   test("ApiLimitCalculator mirrors util.py:75-85") {
-    // observed 16 MB at limit 1000 → 16/16 * 1000 * 0.5 = 500
-    assert(ApiLimitCalculator.newLimit(1000, 16L * 1024 * 1024) === 500)
+    // observed 16 decimal MB at limit 1000 → 16/16 * 1000 * 0.5 = 500
+    // (util.py:58-67 converts bytes with /1_000_000, not /2^20)
+    assert(ApiLimitCalculator.newLimit(1000, 16_000_000L) === 500)
     // tiny batch → capped at 10000
     assert(ApiLimitCalculator.newLimit(1000, 1024) === 10000)
-    assert(ApiLimitCalculator.recordsPerFile(512.0) === (16L * 1024 * 1024 / 2 / 512))
+    assert(ApiLimitCalculator.recordsPerFile(512.0) === (16_000_000L / 2 / 512))
   }
 }

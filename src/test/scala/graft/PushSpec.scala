@@ -46,6 +46,24 @@ class PushSpec extends SparkSpec {
     }
   }
 
+  test("push sends the configured method and Authorization: ApiKey header " +
+    "(CommCareAPIHandler.py:300,321)") {
+    val methods = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val auths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer { ex =>
+      methods.add(ex.getRequestMethod)
+      auths.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      200
+    } { url =>
+      val df = (1 to 5).map(i => s"""{"id": $i}""").toDF("doc")
+      PushJob.push(df.coalesce(1), "doc", url, method = "PUT",
+        authToken = Some("svc:key123"))
+      assert(methods.size === 5)
+      assert(methods.toArray.forall(_ == "PUT"))
+      assert(auths.toArray.forall(_ == "ApiKey svc:key123"))
+    }
+  }
+
   test("Q31: up to 3 failures are tolerated (reference APIErrorMax)") {
     val calls = new AtomicInteger(0)
     withServer { _ => if (calls.incrementAndGet() <= 3) 500 else 200 } { url =>

@@ -100,8 +100,11 @@ class RestSourceSpec extends SparkSpec {
     val reqs = new AtomicInteger(0)
     serve(reqs) { url =>
       val e = intercept[Exception] {
+        // limit 2 + >=-restart advances ~1 row/page ⇒ ~25 pages > budget 5.
+        // (limit 1 would instead trip the stuck-keyset guard: a 1-row page
+        // re-fetches its own boundary row forever.)
         spark.read.format("graft-rest")
-          .option("url", url).option("limit", "1") // 25 pages > budget 5
+          .option("url", url).option("limit", "2")
           .option("max_requests", "5").load().count()
       }
       assert(e.getMessage.contains("request budget") ||
