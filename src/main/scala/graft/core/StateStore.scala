@@ -62,4 +62,13 @@ object ApiLimitCalculator {
     * `spark.sql.files.maxRecordsPerFile` from a sampled average row size. */
   def recordsPerFile(avgRowBytes: Double): Long =
     math.max(1L, (MaxFileSizeBytes * GraceFactor / avgRowBytes).toLong)
+
+  /** Bronze-write shuffle width for a batch of `rows` rows: ~10 k rows per
+    * writer task, floored at 8 (keep some parallelism even for tiny batches)
+    * and capped at the session's shuffle width. Small batches on a wide
+    * session otherwise pay 32+ task launches + file commits to write a few
+    * thousand rows (measured: 100 k rows at width 32 ≈ 184 k rows/s, width
+    * 8-16 ≈ 235 k rows/s); huge batches get the full cluster width. */
+  def writeWidth(rows: Long, maxWidth: Int): Int =
+    math.max(1, math.min(maxWidth, math.max(8L, rows / 10_000L).toInt))
 }

@@ -52,7 +52,8 @@ object Ingest {
     * where each directory holds a few hundred rows of pure per-file
     * overhead. */
   def writeBronze(df: DataFrame, outDir: String, tsCol: String = "indexed_on",
-                  avgRowBytes: Double = 512.0, granularity: String = "hour"): Unit = {
+                  avgRowBytes: Double = 512.0, granularity: String = "hour",
+                  writeTasks: Option[Int] = None): Unit = {
     val base = df
       .withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
@@ -64,8 +65,14 @@ object Ingest {
     }
     // One shuffle keyed on the output partitions: each output dir is written
     // by one task (no small-files explosion); AQE splits skewed partitions.
-    partitioned
-      .repartition(partCols.map(col): _*)
+    // Callers that know the batch's row count pass `writeTasks`
+    // (ApiLimitCalculator.writeWidth) so tiny batches don't pay a full-width
+    // shuffle's task-launch + file-commit overhead.
+    val shuffled = writeTasks match {
+      case Some(w) => partitioned.repartition(w, partCols.map(col): _*)
+      case None    => partitioned.repartition(partCols.map(col): _*)
+    }
+    shuffled
       .write
       .mode(SaveMode.Append)
       .option("maxRecordsPerFile", ApiLimitCalculator.recordsPerFile(avgRowBytes))
@@ -151,7 +158,9 @@ object Ingest {
     try {
       val n = windowed.count()
       if (n > 0) {
-        writeBronze(windowed, bronzeDir)
+        val width = ApiLimitCalculator.writeWidth(
+          n, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        writeBronze(windowed, bronzeDir, writeTasks = Some(width))
         calibrateKey.foreach { k =>
           // R7 probe: observed bytes of one effLimit-row page at this pull's
           // serialized density (cheap — windowed is cached). Same formula the
@@ -188,7 +197,9 @@ object Ingest {
       case None     => parsed.filter(col("indexed_on") <= upper) // cold start: full range
     }
     val n = windowed.count()
-    if (n > 0) writeBronze(windowed, bronzeDir)
+    if (n > 0) writeBronze(windowed, bronzeDir, writeTasks = Some(
+      ApiLimitCalculator.writeWidth(
+        n, spark.conf.get("spark.sql.shuffle.partitions").toInt)))
     // Advance only after a fully successful write — reference semantics
     // (`CommCareAPIHandler.py:261-262`): failures re-extract the window.
     state.put(stateKey, java.sql.Timestamp.from(upperExpr).toInstant.toString
