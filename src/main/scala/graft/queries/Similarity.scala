@@ -75,13 +75,20 @@ object Similarity {
       .groupBy(col("lang"), col("s"))
       .agg(collect_list(col("e")).as("ds"))
       .filter(size(col("ds")) > 1)
+    // Size-ratio prune inside the expansion (exactness-preserving):
+    // J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair whose size
+    // ratio is below the threshold can never reach jaccard ≥ 0.3 — drop it
+    // before it costs a row through the shuffle + count agg.
     postings
       .select(col("lang"), explode(expr(
         """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
-          |    least(x.doc_id, y.doc_id) AS doc_a,
-          |    greatest(x.doc_id, y.doc_id) AS doc_b,
-          |    x.n + y.n AS n_sum))))""".stripMargin)).as("p"))
+          |  transform(
+          |    filter(slice(ds, i + 2, size(ds)),
+          |           y -> CAST(least(x.n, y.n) AS DOUBLE) >= 0.3D * greatest(x.n, y.n)),
+          |    y -> struct(
+          |      least(x.doc_id, y.doc_id) AS doc_a,
+          |      greatest(x.doc_id, y.doc_id) AS doc_b,
+          |      x.n + y.n AS n_sum))))""".stripMargin)).as("p"))
       .groupBy(col("p.doc_a"), col("p.doc_b"), col("lang"))
       .agg(count(lit(1)).as("inter"), first(col("p.n_sum")).as("n_sum"))
       .withColumn("jaccard",
@@ -456,8 +463,54 @@ object Similarity {
        |FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- Q26c: dedup clusters as CONNECTED COMPONENTS -----------------------
+  // The transitive-closure alternative to greedy keep-first: near-dup pairs
+  // (SimHash banded detector) form an undirected graph; every doc gets its
+  // component's min doc_id as cluster_id and only that minimum survives.
+  // Differs from q26_dedup_survivors on hub-and-spoke graphs (see
+  // core.ConnectedComponents scaladoc). Iterations = cluster diameter
+  // (1–3 for near-dup graphs); each is one distributed join + min-agg.
+  def q26CcClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q24SimhashPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val labels = graft.core.ConnectedComponents.labels(
+      docs.select(col("doc_id").as("v")), pairs)
+    docs.join(labels, docs("doc_id") === labels("v"))
+      .select(col("doc_id"), col("lang"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive closure via recursive CTE: label set reachable from each
+    * vertex, min = component id. Tractable at oracle SF (pair graph is tiny
+    * after the hamming filter). */
+  val q26CcClustersSql: String =
+    s"""WITH RECURSIVE h AS (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h60d("t")}) AS th
+       |           FROM documents),
+       |bits AS (SELECT doc_id, unnest(generate_series(0, 59)) AS b, th FROM h),
+       |votes AS (SELECT doc_id, b,
+       |            len(list_filter(th, t -> (t >> b) & 1 = 1))
+       |              - len(list_filter(th, t -> (t >> b) & 1 = 0)) AS v
+       |          FROM bits),
+       |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)::BIGINT AS simhash
+       |       FROM votes GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (SELECT doc_id, doc_id FROM documents
+       |                UNION
+       |                SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+       |lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v)
+       |SELECT d.doc_id, d.lang, lab.cluster_id, d.doc_id = lab.cluster_id AS keep
+       |FROM documents d JOIN lab ON d.doc_id = lab.v
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_survivors" -> (q26DedupSurvivors _),
+    "q26_cc_clusters"     -> (q26CcClusters _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q24_minhash_sig"   -> (q24MinhashSig _),
     "q24_lang_sketch"   -> (q24LangSketch _),
@@ -470,6 +523,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q26_dedup_survivors" -> q26DedupSurvivorsSql,
+    "q26_cc_clusters"     -> q26CcClustersSql,
     "q24_jaccard_pairs" -> q24JaccardPairsSql,
     "q24_minhash_sig"   -> q24MinhashSigSql,
     "q24_lang_sketch"   -> q24LangSketchSql,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.ConnectedComponents
+
+/** CC label propagation on shapes where the answer is known by hand —
+  * including the hub-and-spoke graph where CC and greedy keep-first
+  * genuinely disagree. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def labelsOf(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val vertices = vs.toDF("v")
+    val edges = es.toDF("src", "dst")
+    ConnectedComponents.labels(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("clique + chain + isolated vertex resolve to component minima") {
+    // clique {1,2,3}, chain 10-11-12-13 (diameter 3), isolated 20
+    val labels = labelsOf(
+      Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 20L),
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+  }
+
+  test("hub-and-spoke: CC evicts a vertex greedy keep-first would keep") {
+    // edges 1-3 and 2-3: vertex 2 has no smaller NEIGHBOUR (greedy keeps it)
+    // but is not its component's minimum (CC evicts it)
+    val labels = labelsOf(Seq(1L, 2L, 3L), Seq((1L, 3L), (2L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // greedy policy on the same graph, for contrast: evicted = has a
+    // smaller neighbour = {3}; so greedy survivors {1,2} vs CC survivors {1}
+    val greedySurvivors = Set(1L, 2L)
+    val ccSurvivors = labels.collect { case (v, l) if v == l => v }.toSet
+    assert(ccSurvivors != greedySurvivors && ccSurvivors == Set(1L))
+  }
+
+  test("long chain converges within the superstep budget") {
+    val n = 12 // diameter 11: propagation needs 11 supersteps, budget is 50
+    val vs = (0L until n).toSeq
+    val es = (0L until n - 1).map(i => (i, i + 1))
+    val labels = labelsOf(vs, es)
+    assert(labels.values.toSet == Set(0L))
+  }
+}
