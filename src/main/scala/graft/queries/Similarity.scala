@@ -427,6 +427,73 @@ object Similarity {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
        |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // --- Q25d: IVF ANN — inverted-file search with a coarse quantizer --------
+  // The other classic ANN scale shape (vs q25_ann_bucket's LSH): K
+  // deterministic hash-sampled centroids form the coarse quantizer; every
+  // vector is assigned to its nearest centroid (one corpus pass against a
+  // BROADCAST K-row table; the argmax window's rank-1 limit collapses to one
+  // row per vector map-side via WindowGroupLimit — plan-verified — so the
+  // assignment Exchange moves each vector exactly once, the same cost class
+  // as q25_ann_bucket's bucket shuffle); a query probes only
+  // its NPROBE nearest centroids' inverted lists. At 100 TB: assignment is
+  // embarrassingly parallel, the probed-list filter is a broadcast semi-join,
+  // and the final top-k is TakeOrderedAndProject — the corpus is never
+  // pairwise-joined with itself. Recall is tunable via NPROBE; the exact
+  // baseline lane is q25_cosine_topk.
+  private val IvfK = 16
+  private val NProbe = 4
+
+  private def cosineOf(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def q25IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    // deterministic "training": the K vectors with the smallest 60-bit hash
+    // of their id — a reproducible uniform sample standing in for k-means
+    // (same role, RNG-free, identical on both engines)
+    val cents = e
+      .withColumn("ch", expr(h60("CAST(vec_id AS STRING)")))
+      .orderBy(col("ch"), col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+    val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosineOf(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(wAsgn)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+    val probed = cents.crossJoin(broadcast(probe))
+      .withColumn("cos_c", cosineOf(col("cvec"), col("probe_vec")))
+      .orderBy(col("cos_c").desc, col("cid")).limit(NProbe)
+      .select(col("cid"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), Seq("cid"))
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", cosineOf(col("embedding"), col("probe_vec")))
+      .select(col("vec_id"), col("label"), col("cid"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
+  val q25IvfTopkSql: String = {
+    val cosC = s"${dotDuck("e.embedding", "c.cvec")} / (sqrt(${normDuck("e.embedding")}) * sqrt(${normDuck("c.cvec")}))"
+    val cosP = s"${dotDuck("c.cvec", "probe_vec")} / (sqrt(${normDuck("c.cvec")}) * sqrt(${normDuck("probe_vec")}))"
+    val cosQ = s"${dotDuck("a.embedding", "probe_vec")} / (sqrt(${normDuck("a.embedding")}) * sqrt(${normDuck("probe_vec")}))"
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |               ORDER BY ${h60d("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfK),
+       |probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0),
+       |asgn AS (SELECT vec_id, label, embedding, cid FROM (
+       |           SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |                  row_number() OVER (PARTITION BY e.vec_id
+       |                    ORDER BY $cosC DESC, c.cid) AS rn
+       |           FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probed AS (SELECT cid FROM cents c CROSS JOIN probe
+       |           ORDER BY $cosP DESC, cid LIMIT $NProbe)
+       |SELECT a.vec_id, a.label, a.cid, $cosQ AS cosine
+       |FROM asgn a JOIN probed USING (cid) CROSS JOIN probe
+       |WHERE a.vec_id <> 0
+       |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
   // --- Q26b: dedup DECISION — survivors after near-dup detection ----------
   // Pairs (from the SimHash banded detector) → keep/drop verdict: a doc is
   // dropped iff some SMALLER-id doc is its near-dup (greedy keep-first —
@@ -519,6 +586,7 @@ object Similarity {
     "q25_cosine_topk"   -> (q25CosineTopk _),
     "q25_embed_neardup" -> (q25EmbedNearDup _),
     "q25_ann_bucket"    -> (q25AnnBucket _),
+    "q25_ivf_topk"      -> (q25IvfTopk _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,5 +600,6 @@ object Similarity {
     "q25_cosine_topk"   -> q25CosineTopkSql,
     "q25_embed_neardup" -> q25EmbedNearDupSql,
     "q25_ann_bucket"    -> q25AnnBucketSql,
+    "q25_ivf_topk"      -> q25IvfTopkSql,
   )
 }
