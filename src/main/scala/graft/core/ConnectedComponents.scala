@@ -14,48 +14,82 @@ import org.apache.spark.storage.StorageLevel
   * two differ on hub-and-spoke shapes (1–3, 2–3: greedy keeps {1,2}, CC
   * keeps {1}).
   *
-  * Scale posture: each superstep is one shuffle (edge⋈label join + min agg),
-  * all-distributed — no driver-side data, the per-step `count()` is a single
-  * scalar. Rounds = graph diameter, which for near-dup clusters (cliques and
-  * short chains) is 1–3; `localCheckpoint` truncates the growing lineage so
-  * step N doesn't replay steps 1..N−1. On a real cluster with adversarial
-  * diameters, swap the propagation step for alternating small-star /
-  * large-star (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond"), which converges in O(log n) rounds over the same join shape;
-  * `localCheckpoint` would become a reliable-storage `checkpoint`.
+  * Scale posture: each superstep is two small joins (edge⋈label + min agg,
+  * then a label⋈label pointer jump), all-distributed — no driver-side data,
+  * the per-step `count()` is a single scalar. The pointer jump (path
+  * doubling, the same device as small-star/large-star — Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") gives O(log diameter)
+  * rounds where neighbour-min alone needs O(diameter); `localCheckpoint`
+  * truncates the growing lineage so step N doesn't replay steps 1..N−1. On
+  * a real cluster it would become a reliable-storage `checkpoint`.
   */
 object ConnectedComponents {
 
   /** `vertices`: one column `v`; `edges`: columns `src`,`dst` (one row per
     * undirected edge, either orientation). Returns (`v`, `label`) where
-    * `label` = min vertex id in v's component. */
+    * `label` = min vertex id in v's component.
+    *
+    * Propagation runs only over edge ENDPOINTS — on a dedup graph the
+    * overwhelming majority of vertices are isolated (label = self) and would
+    * otherwise ride through every superstep's shuffle for nothing; they are
+    * stitched back with one left join at the end. */
   def labels(vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // both orientations so a single groupBy(dst) sees every neighbour
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    undirected.count() // materialize once; every superstep reuses the cache
-    var labels = vertices.select(col("v"), col("v").as("label"))
+    // materialize once (every superstep reuses the cache) and size the
+    // supersteps from the measured graph: a dedup pair graph is orders of
+    // magnitude smaller than the corpus, and iterating tiny joins at the
+    // session's corpus-sized shuffle width pays 30+ empty tasks per stage
+    // per round. ~50 k edges per partition, session width as the cap.
+    val edgeCount = undirected.count()
+    val sess = vertices.sparkSession
+    val oldWidth = sess.conf.get("spark.sql.shuffle.partitions")
+    val width = math.max(1L, math.min(oldWidth.toLong, edgeCount / 50_000L))
+    var labels = undirected.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
     var changed = 1L
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    def ccLoop(): Unit = while (changed > 0 && iters < maxIters) {
       val nbrMin = undirected.join(labels, undirected("src") === labels("v"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      val step = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
+      // every endpoint has ≥1 neighbour, so inner join keeps the vertex set
+      val cand = labels.join(nbrMin, labels("v") === nbrMin("dst"))
         .select(labels("v"),
-          least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"),
+          least(labels("label"), col("nbr_min")).as("c"),
           labels("label").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: label(v) ← label(label(v)). Neighbour-min alone needs
+      // diameter supersteps (a 13-long chain = 13 rounds, measured); path
+      // doubling composes two hops per round → O(log diameter). `c` is
+      // always an endpoint id (least of endpoint ids), so the self-join is
+      // total.
+      val parents = cand.select(col("v").as("pv"), col("c").as("pc"))
+      val step = cand.join(parents, cand("c") === col("pv"))
+        .select(cand("v"), least(col("c"), col("pc")).as("label"), col("prev"))
+        // localCheckpoint EVERY round is load-bearing: the pointer-jump
+        // self-join references the label subtree twice, so an untruncated
+        // logical plan doubles per round — Catalyst analysis goes
+        // exponential (measured: 6.6 s → 50+ s when truncating every 4th
+        // round only). The extra materialization job is the cheap side.
+        .localCheckpoint(true)
       changed = step.filter(col("label") < col("prev")).count()
-      // truncate lineage: without this, superstep N's plan replays 1..N−1
-      labels = step.select(col("v"), col("label")).localCheckpoint(true)
-      step.unpersist()
+      labels = step.select(col("v"), col("label"))
       iters += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] superstep $iters: $changed changed")
     }
+    try {
+      sess.conf.set("spark.sql.shuffle.partitions", width.toString)
+      ccLoop()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", oldWidth)
     undirected.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters supersteps")
-    labels
+    // isolated vertices: their own id is their component
+    vertices.select(col("v")).join(labels.withColumnRenamed("v", "ev"),
+        col("v") === col("ev"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 }

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query wall-clock timer for perf iteration (Bench times the whole
+  * surface; this times one query, 3 reps, so rep0 ≈ cold and rep2 ≈ warm).
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.QTime <queryName>…
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      (0 until 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[qtime] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}
