@@ -68,6 +68,64 @@ object Sampling {
        |           ORDER BY ${h60d("doc_id::VARCHAR")}, doc_id) AS BIGINT) AS rk
        |  FROM documents) WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
 
+  // --- Q33d: train/test DECONTAMINATION — n-gram collision audit -----------
+  // The eval-leakage check every training pipeline needs: a test-split doc
+  // is contaminated if any of its word-5-grams also occurs in any train
+  // doc. Scale shape: the train side collapses to ONE row per distinct
+  // shingle (shingle, n_train_docs) before the join, so the join key is the
+  // shingle, no train-doc×test-doc pair ever materializes, and a viral
+  // shingle costs one aggregated row instead of a fan-out. Both sides reuse
+  // the q33_split_assign hash buckets — the audit covers exactly the split
+  // the pipeline would ship.
+  private val sh5Spark: String =
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 4, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), " +
+      "element_at(toks, i+2), element_at(toks, i+3), element_at(toks, i+4))))"
+
+  private val sh5Duck: String =
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))"
+
+  def q33Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(sh5Spark))
+      .withColumn("bucket", expr(s"${h60("CAST(doc_id AS STRING)")} % 100"))
+    val train = docs.filter(col("bucket") < 80)
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_train_docs"))
+    val test = docs.filter(col("bucket") >= 90)
+    val hits = test
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(train, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"), sum(col("n_train_docs")).as("hits"))
+    test.select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        coalesce(col("hits"), lit(0L)).as("train_hits"),
+        (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q33DecontamSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
+       |                  ${h60d("doc_id::VARCHAR")} % 100 AS bucket FROM documents),
+       |d AS (SELECT doc_id, lang, bucket, $sh5Duck AS sh FROM t),
+       |tr AS (SELECT s, CAST(count(*) AS BIGINT) AS n_train_docs
+       |       FROM (SELECT unnest(sh) AS s FROM d WHERE bucket < 80) GROUP BY s),
+       |te AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE bucket >= 90),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared,
+       |                CAST(sum(n_train_docs) AS BIGINT) AS hits
+       |         FROM te JOIN tr USING (s) GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |       coalesce(h.shared, CAST(0 AS BIGINT)) AS n_shared,
+       |       coalesce(h.hits, CAST(0 AS BIGINT)) AS train_hits,
+       |       coalesce(h.shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+       |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.bucket >= 90 ORDER BY d.doc_id""".stripMargin
+
   // --- Q23f: TF-IDF-style top terms per document ---------------------------
   // tf = count in doc; idf = N/df (rational, not ln(N/df)): transcendental
   // functions differ in the last ulp across libm implementations (measured:
@@ -108,6 +166,7 @@ object Sampling {
     "q33_hash_sample"  -> (q33HashSample _),
     "q33_split_assign" -> (q33SplitAssign _),
     "q33_balanced_cap" -> (q33BalancedCap _),
+    "q33_decontam"     -> (q33Decontam _),
     "q23_tfidf"        -> (q23Tfidf _),
   )
 
@@ -115,6 +174,7 @@ object Sampling {
     "q33_hash_sample"  -> q33HashSampleSql,
     "q33_split_assign" -> q33SplitAssignSql,
     "q33_balanced_cap" -> q33BalancedCapSql,
+    "q33_decontam"     -> q33DecontamSql,
     "q23_tfidf"        -> q23TfidfSql,
   )
 }
