@@ -494,6 +494,44 @@ object Similarity {
        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // --- Q25e: int8 quantization audit -----------------------------------------
+  // The storage path for vector search at scale: per-vector linear int8
+  // quantization (256 levels between the vector's min and max) shrinks an
+  // fp32 embedding 4×. This audit computes the reconstruction error each
+  // vector would incur — entirely row-local, no shuffle. Rounding uses
+  // floor(x + 0.5), NOT round(): double round() is a known cross-engine
+  // divergence (Spark BigDecimal HALF_UP vs libm), floor is IEEE-pinned.
+  // Output is scalar-only by design (the checked surface bans array columns).
+  def q25Quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mn", expr("array_min(ed)"))
+      .withColumn("mx", expr("array_max(ed)"))
+      .withColumn("scale",
+        when(col("mx") === col("mn"), lit(1.0)).otherwise((col("mx") - col("mn")) / 255.0))
+      .withColumn("errs", expr(
+        "transform(ed, x -> abs(mn + floor((x - mn) / scale + 0.5D) * scale - x))"))
+      .withColumn("max_err", expr("array_max(errs)"))
+      .withColumn("mean_err",
+        expr("aggregate(errs, 0.0D, (s, x) -> s + x)") / size(col("ed")).cast("double"))
+      .select(col("vec_id"), col("mn"), col("mx"), col("scale"),
+        col("max_err"), col("mean_err"))
+      .orderBy(col("vec_id"))
+
+  val q25QuantizeSql: String =
+    """SELECT vec_id, mn, mx, scale,
+      |  list_max(list_transform(ed, x -> abs(mn + floor((x - mn) / scale + 0.5) * scale - x))) AS max_err,
+      |  list_reduce(list_prepend(0.0, list_transform(ed, x -> abs(mn + floor((x - mn) / scale + 0.5) * scale - x))), (s, x) -> s + x)
+      |    / CAST(len(ed) AS DOUBLE) AS mean_err
+      |FROM (
+      |  SELECT vec_id, ed, mn, mx,
+      |         CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
+      |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed,
+      |               list_min(list_transform(embedding, x -> x::DOUBLE)) AS mn,
+      |               list_max(list_transform(embedding, x -> x::DOUBLE)) AS mx
+      |        FROM embeddings))
+      |ORDER BY vec_id""".stripMargin
+
   // --- Q26b: dedup DECISION — survivors after near-dup detection ----------
   // Pairs (from the SimHash banded detector) → keep/drop verdict: a doc is
   // dropped iff some SMALLER-id doc is its near-dup (greedy keep-first —
@@ -587,6 +625,7 @@ object Similarity {
     "q25_embed_neardup" -> (q25EmbedNearDup _),
     "q25_ann_bucket"    -> (q25AnnBucket _),
     "q25_ivf_topk"      -> (q25IvfTopk _),
+    "q25_quantize"      -> (q25Quantize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -601,5 +640,6 @@ object Similarity {
     "q25_embed_neardup" -> q25EmbedNearDupSql,
     "q25_ann_bucket"    -> q25AnnBucketSql,
     "q25_ivf_topk"      -> q25IvfTopkSql,
+    "q25_quantize"      -> q25QuantizeSql,
   )
 }

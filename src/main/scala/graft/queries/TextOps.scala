@@ -193,12 +193,59 @@ object TextOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --- Q23g: repetition ratio (Gopher-style duplicate n-gram filter) -------
+  // Within-doc duplicate-bigram/-trigram fraction: 1 − distinct/total. High
+  // values mark boilerplate/looping text a training pipeline drops. Entirely
+  // row-local (no shuffle; the only exchange is the output sort) — at 100 TB
+  // this runs at scan speed.
+  private def ngramExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")
+    s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), i -> concat_ws(' ', $parts))"
+  }
+
+  private def ngramDuck(n: Int): String = {
+    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(toks) - ${n - 1}, 0)), i -> $parts)"
+  }
+
+  def q23Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g2", expr(ngramExpr(2)))
+      .withColumn("g3", expr(ngramExpr(3)))
+      .withColumn("n2", size(col("g2")).cast("long"))
+      .withColumn("d2", size(array_distinct(col("g2"))).cast("long"))
+      .withColumn("n3", size(col("g3")).cast("long"))
+      .withColumn("d3", size(array_distinct(col("g3"))).cast("long"))
+      .withColumn("dup2", lit(1.0) - col("d2").cast("double") / col("n2").cast("double"))
+      .withColumn("dup3", lit(1.0) - col("d3").cast("double") / col("n3").cast("double"))
+      .withColumn("flagged", col("dup2") > 0.15 || col("dup3") > 0.10)
+      .select(col("doc_id"), col("n2"), col("d2"), col("dup2"),
+        col("n3"), col("d3"), col("dup3"), col("flagged"))
+      .orderBy(col("doc_id"))
+
+  val q23RepetitionSql: String =
+    s"""SELECT doc_id, n2, d2,
+       |  1.0 - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup2,
+       |  n3, d3,
+       |  1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS dup3,
+       |  (1.0 - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE)) > 0.15
+       |    OR (1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)) > 0.10 AS flagged
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(g2) AS BIGINT) AS n2, CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+       |    CAST(len(g3) AS BIGINT) AS n3, CAST(len(list_distinct(g3)) AS BIGINT) AS d3
+       |  FROM (SELECT doc_id, ${ngramDuck(2)} AS g2, ${ngramDuck(3)} AS g3
+       |        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_top_terms"       -> (q23TopTerms _),
     "q23_lang_id"         -> (q23LangId _),
     "q23_quality"         -> (q23Quality _),
     "q23_token_count"     -> (q23TokenCount _),
     "q23_fingerprint"     -> (q23Fingerprint _),
+    "q23_repetition"      -> (q23Repetition _),
     "q26_neardup_cluster" -> (q26NearDupCluster _),
   )
 
@@ -208,6 +255,7 @@ object TextOps {
     "q23_quality"         -> q23QualitySql,
     "q23_token_count"     -> q23TokenCountSql,
     "q23_fingerprint"     -> q23FingerprintSql,
+    "q23_repetition"      -> q23RepetitionSql,
     "q26_neardup_cluster" -> q26NearDupClusterSql,
   )
 }
