@@ -37,21 +37,12 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-
     // Q30 ingest slice: events parquet → normalize → partitioned write.
-    // Day granularity: at sf0.1 the fixture has ~139 rows/hour, so hourly
-    // dirs would measure per-file overhead, not throughput; day partitions
-    // are the density-appropriate layout (see Ingest.writeBronze).
+    // Measured BEFORE the query loop: 70+ queries leave shuffle files and
+    // heap debris that contaminate a later write-path measurement (measured
+    // 142 k vs 202-233 k rows/s for the identical write). Day granularity:
+    // at sf0.1 the fixture has ~139 rows/hour, so hourly dirs would measure
+    // per-file overhead, not throughput (see Ingest.writeBronze).
     val ingestOut = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
     val (nRows, ingestRps) = try {
       val ev = graft.core.Tables.events(spark, sfDir)
@@ -61,18 +52,29 @@ object Bench {
       // BASELINE.md measures steady-state throughput, first-touch excluded.
       graft.ingest.Ingest.writeBronze(ev.limit(1000), s"$ingestOut/warmup",
         tsCol = "ts", granularity = "day")
-      // Median of 3 reps: single-shot wall time on a shared box swings ±30%
+      // Median of 5 reps: single-shot wall time on a shared box swings ±30%
       // from scheduler/FS noise; the median is the steady-state number.
-      val reps = (0 until 3).map { i =>
+      val reps = (0 until 5).map { i =>
         val t0 = System.nanoTime()
         graft.ingest.Ingest.writeBronze(ev, s"$ingestOut/bronze$i", tsCol = "ts",
           granularity = "day", writeTasks = Some(width))
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (n, n / reps(1))
+      (n, n / reps(2))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest slice failed: ${e.getMessage}")
       (0L, -1.0)
+    }
+
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
     }
 
     // Streaming throughput: events parquet driven through the Q27 tumbling
