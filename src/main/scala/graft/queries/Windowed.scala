@@ -70,15 +70,44 @@ object Windowed {
       |    FROM events))
       |GROUP BY user_id, sess_id ORDER BY user_id, s_start""".stripMargin
 
+  // --- Q29b batch: interval-join attribution -------------------------------
+  // Batch twin of StreamingJobs.intervalJoin: each click attributed to the
+  // views that preceded it within 10 minutes, per user. Plans as an equi-
+  // join on user_id with the time bounds as post-join range predicates —
+  // shuffle both sides on user_id once, the same state-partitioning the
+  // streaming form uses.
+  def q29IntervalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    v.join(a, col("user_id") === col("a_user") && col("a_ts") >= col("v_ts") &&
+        col("a_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"), col("v_ts"), col("a_ts"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
+  val q29IntervalBatchSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, a.event_id AS click_id,
+      |       v.ts AS v_ts, a.ts AS a_ts
+      |FROM events v JOIN events a ON v.user_id = a.user_id
+      |WHERE v.event_type = 'view' AND a.event_type = 'click'
+      |  AND a.ts >= v.ts AND a.ts <= v.ts + INTERVAL '10 minutes'
+      |ORDER BY view_id, click_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_tumbling_batch" -> (q27Tumbling _),
-    "q28_sliding_batch"  -> (q28Sliding _),
-    "q28_session_batch"  -> (q28Session _),
+    "q27_tumbling_batch"  -> (q27Tumbling _),
+    "q28_sliding_batch"   -> (q28Sliding _),
+    "q28_session_batch"   -> (q28Session _),
+    "q29_interval_batch"  -> (q29IntervalBatch _),
   )
 
   val oracle: Map[String, String] = Map(
-    "q27_tumbling_batch" -> q27TumblingSql,
-    "q28_sliding_batch"  -> q28SlidingSql,
-    "q28_session_batch"  -> q28SessionSql,
+    "q27_tumbling_batch"  -> q27TumblingSql,
+    "q28_sliding_batch"   -> q28SlidingSql,
+    "q28_session_batch"   -> q28SessionSql,
+    "q29_interval_batch"  -> q29IntervalBatchSql,
   )
 }

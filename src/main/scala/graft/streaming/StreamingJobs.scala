@@ -52,6 +52,27 @@ object StreamingJobs {
       .withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Q29b: stream-stream INTERVAL join — the attribution shape (match each
+    * action to the views that preceded it within 10 minutes, per user).
+    * Both sides carry watermarks and the join condition bounds event time in
+    * both directions, so the state store provably expires rows: view-side
+    * state is held only until `view.ts + 10 min` passes the action-side
+    * watermark. Without the time bound the state would grow forever — this
+    * is the streaming twin of the batch as-of join (Q10). Shuffles both
+    * streams on user_id once; inner join, append mode. */
+  def intervalJoin(views: DataFrame, actions: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "5 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val a = actions.withWatermark("ts", "5 minutes")
+      .select(col("event_id").as("action_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    v.join(a, expr(
+      "v_user = a_user AND a_ts >= v_ts AND a_ts <= v_ts + INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("action_id"),
+        col("v_ts"), col("a_ts"))
+  }
+
   /** Custom per-key state via flatMapGroupsWithState (the escape hatch when
     * built-in windows can't express the state machine): per-user lifetime
     * counters — events seen, distinct bursts (gap > 10 min starts a new

@@ -38,10 +38,49 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("long chain converges within the superstep budget") {
-    val n = 12 // diameter 11: propagation needs 11 supersteps, budget is 50
+    val n = 12 // diameter 11: pointer jumping needs ~log2(11) supersteps
     val vs = (0L until n).toSeq
     val es = (0L until n - 1).map(i => (i, i + 1))
     val labels = labelsOf(vs, es)
     assert(labels.values.toSet == Set(0L))
+  }
+
+  test("insufficient superstep budget fails loudly, never silently partial") {
+    import spark.implicits._
+    val vs = (0L until 9L).toDF("v")
+    val es = (0L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.labels(vs, es, maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  /** Reference union-find, the simplest possible correct implementation. */
+  private def unionFind(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+    def find(v: Long): Long = { if (parent(v) != v) parent(v) = find(parent(v)); parent(v) }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress fully, then the root IS the component min because unions
+    // always parent the larger root under the smaller
+    vs.map(v => v -> find(v)).toMap
+  }
+
+  test("property: labels match a union-find oracle on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(0, 30)
+      es <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (a, b))
+    } yield ((0L until n).toSeq, es)
+    val prop = Prop.forAllNoShrink(gen) { case (vs, es) =>
+      labelsOf(vs, es) == unionFind(vs, es)
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
   }
 }

@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Q29b: stream-stream interval join matches actions to preceding views") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val actions = MemoryStream[Ev]
+    val q = StreamingJobs.intervalJoin(views.toDF(), actions.toDF())
+      .writeStream.format("memory").queryName("q29b_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Ev(100, ts("2024-01-01 00:00:00"), 1),  // matched by action 200
+        Ev(101, ts("2024-01-01 00:30:00"), 1),  // too late for action 200
+        Ev(102, ts("2024-01-01 00:01:00"), 2))  // other user: no match
+      actions.addData(
+        Ev(200, ts("2024-01-01 00:05:00"), 1),  // 5 min after view 100 ✓
+        Ev(201, ts("2024-01-01 00:50:00"), 1))  // >10 min after any view ✗
+      q.processAllAvailable()
+      val rows = spark.table("q29b_out")
+        .select($"view_id", $"action_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("Q29: dropDuplicatesWithinWatermark collapses re-sent boundary rows") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
