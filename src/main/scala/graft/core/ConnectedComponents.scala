@@ -51,6 +51,15 @@ object ConnectedComponents {
       .select(col("v"), col("v").as("label"))
     var changed = 1L
     var iters = 0
+    // each superstep's localCheckpoint caches an RDD that outlives the loop;
+    // free every round's blocks except the final one (still referenced by
+    // the returned plan) so a long-lived session doesn't accumulate one
+    // orphan RDD per superstep per call. Like the width override above,
+    // this assumes no concurrent query is persisting RDDs on this session
+    // while the loop runs (single driver thread per operator call).
+    val sc = vertices.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    var prevRoundIds = Set.empty[Int]
     def ccLoop(): Unit = while (changed > 0 && iters < maxIters) {
       val nbrMin = undirected.join(labels, undirected("src") === labels("v"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
@@ -78,6 +87,10 @@ object ConnectedComponents {
       iters += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] superstep $iters: $changed changed")
+      val nowIds = (sc.getPersistentRDDs.keySet -- preexisting).toSet
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = nowIds
     }
     try {
       sess.conf.set("spark.sql.shuffle.partitions", width.toString)
