@@ -126,6 +126,36 @@ object Sampling {
        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |WHERE d.bucket >= 90 ORDER BY d.doc_id""".stripMargin
 
+  // --- Q33e: corpus MIXTURE report — the sampling-weight driver ------------
+  // Per (source, lang): docs, whitespace tokens, token share of the whole
+  // corpus, mean doc length. The report that decides mixture weights before
+  // a training run. One hash agg on (source, lang) + a broadcast of the
+  // single global-total row — at 100 TB the grouped frame is a few hundred
+  // rows, so the share computation never re-shuffles the corpus.
+  def q33Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    val grouped = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = grouped.agg(sum(col("n_tokens")).as("total_tokens"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("token_share"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("mean_doc_toks"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q33MixtureSql: String =
+    """WITH g AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source, lang),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g)
+      |SELECT source, lang, n_docs, n_tokens,
+      |       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+      |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_toks
+      |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin
+
   // --- Q23f: TF-IDF-style top terms per document ---------------------------
   // tf = count in doc; idf = N/df (rational, not ln(N/df)): transcendental
   // functions differ in the last ulp across libm implementations (measured:
@@ -167,6 +197,7 @@ object Sampling {
     "q33_split_assign" -> (q33SplitAssign _),
     "q33_balanced_cap" -> (q33BalancedCap _),
     "q33_decontam"     -> (q33Decontam _),
+    "q33_mixture"      -> (q33Mixture _),
     "q23_tfidf"        -> (q23Tfidf _),
   )
 
@@ -175,6 +206,7 @@ object Sampling {
     "q33_split_assign" -> q33SplitAssignSql,
     "q33_balanced_cap" -> q33BalancedCapSql,
     "q33_decontam"     -> q33DecontamSql,
+    "q33_mixture"      -> q33MixtureSql,
     "q23_tfidf"        -> q23TfidfSql,
   )
 }
