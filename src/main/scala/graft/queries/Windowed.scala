@@ -97,7 +97,52 @@ object Windowed {
       |  AND a.ts >= v.ts AND a.ts <= v.ts + INTERVAL '10 minutes'
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- Q34: conversion FUNNEL — view → click → purchase --------------------
+  // Per user: first view, then earliest click at-or-after it, then earliest
+  // purchase at-or-after that click; report survivors per stage. Min-based
+  // (no ordering sensitivity, no windows needed): three filtered aggs and
+  // two equi-joins, all shuffled on user_id — one key, reused partitioning,
+  // no skew risk beyond a power user's own events.
+  def q34Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val firstClick = v.join(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("c_ts0")),
+        col("user_id") === col("cu") && col("c_ts0") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("c_ts0")).as("c_ts"))
+    val firstPurchase = firstClick.join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("p_ts0")),
+        col("user_id") === col("pu") && col("p_ts0") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("p_ts0")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(firstClick.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(firstPurchase.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
+  val q34FunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |fc AS (SELECT v.user_id, min(e.ts) AS c_ts
+      |       FROM v JOIN events e ON e.user_id = v.user_id
+      |       WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY v.user_id),
+      |fp AS (SELECT fc.user_id, min(e.ts) AS p_ts
+      |       FROM fc JOIN events e ON e.user_id = fc.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts GROUP BY fc.user_id)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT) FROM fc
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM fp
+      |ORDER BY stage""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_funnel"          -> (q34Funnel _),
     "q27_tumbling_batch"  -> (q27Tumbling _),
     "q28_sliding_batch"   -> (q28Sliding _),
     "q28_session_batch"   -> (q28Session _),
@@ -105,6 +150,7 @@ object Windowed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q34_funnel"          -> q34FunnelSql,
     "q27_tumbling_batch"  -> q27TumblingSql,
     "q28_sliding_batch"   -> q28SlidingSql,
     "q28_session_batch"   -> q28SessionSql,
