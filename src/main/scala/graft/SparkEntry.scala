@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ TextOps.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Windowed.defs ++ Sampling.defs
+      Multimodal.defs ++ Windowed.defs ++ Sampling.defs ++ Analytics.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ TextOps.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Windowed.oracle ++ Sampling.oracle
+      Multimodal.oracle ++ Windowed.oracle ++ Sampling.oracle ++ Analytics.oracle
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Distribution analytics over the events stream: quantile fences and
+  * histograms — the profiling pass that precedes outlier filtering in a
+  * data pipeline.
+  *
+  * Determinism notes: quantiles use Spark's exact interpolated `percentile`
+  * (≡ DuckDB `quantile_cont`, bit-exact — the proven q20 lane); histogram
+  * bucketing uses an explicit floor expression instead of `width_bucket`
+  * (absent in DuckDB) — identical arithmetic on both engines.
+  */
+object Analytics {
+
+  // --- Q34b: IQR-fence outlier counts per event type -----------------------
+  // Tukey fences: [q1 − 1.5·IQR, q3 + 1.5·IQR]. Two passes: a grouped
+  // exact-percentile agg (one tiny row per type) broadcast back onto the
+  // stream, then a grouped count. At 100 TB the fence table is still 5 rows
+  // — the events are never re-shuffled for the join. Exact percentile sorts
+  // within each group; the at-scale variant swaps in approx_percentile
+  // (same plan shape, sketch-mergeable) when 1e12-row groups make exact
+  // sorting unreasonable.
+  def q34Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        col("n_outliers").cast("double") / col("n").cast("double"))
+      .select(col("event_type"), col("q1"), col("q3"), col("lo"), col("hi"),
+        col("n"), col("n_outliers"), col("outlier_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val q34OutliersSql: String =
+    """WITH f AS (
+      |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+      |         quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type),
+      |fx AS (SELECT event_type, q1, q3,
+      |              q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+      |SELECT e.event_type, fx.q1, fx.q3, fx.lo, fx.hi,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN e.value < fx.lo OR e.value > fx.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(sum(CASE WHEN e.value < fx.lo OR e.value > fx.hi THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS outlier_share
+      |FROM events e JOIN fx USING (event_type)
+      |GROUP BY e.event_type, fx.q1, fx.q3, fx.lo, fx.hi
+      |ORDER BY e.event_type""".stripMargin
+
+  // --- Q34c: 20-bucket histogram of `value` per event type -----------------
+  // Global [min, max] from one tiny agg broadcast back; bucket =
+  // clamp(floor((v − lo) / (hi − lo) · 20), 0, 19) — floor is IEEE-pinned
+  // (round() is not, cross-engine). One narrow pass + one hash agg.
+  def q34Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(greatest(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+          .cast("long"), lit(0L)), lit(19L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q34HistogramSql: String =
+    """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+      |SELECT event_type,
+      |       least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 0), 19) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events CROSS JOIN b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_outliers"  -> (q34Outliers _),
+    "q34_histogram" -> (q34Histogram _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_outliers"  -> q34OutliersSql,
+    "q34_histogram" -> q34HistogramSql,
+  )
+}
