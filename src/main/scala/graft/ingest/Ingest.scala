@@ -43,6 +43,33 @@ object Ingest {
         col("meta.limit").cast("int").as("_page_limit"),
         col("meta.total_count").cast("long").as("_total_count"))
 
+  /** Envelope read with a DEAD-LETTER lane: line-delimited envelopes parsed
+    * against the explicit schema via `from_json` (null ⇒ malformed); good
+    * rows explode as in `readEnvelopes`, bad lines return as-is for
+    * quarantine. The reference crashes the whole batch on one malformed
+    * response body — quarantining isolates the poison row, keeps the batch,
+    * and preserves the evidence. `from_json` instead of PERMISSIVE-mode
+    * `_corrupt_record` because filtering on the corrupt column alone is a
+    * documented Spark caveat (requires caching the raw scan); a null struct
+    * has no such restriction. Both lanes are narrow per-partition work. */
+  def readEnvelopesQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "meta STRUCT<limit: INT, next: STRING, total_count: BIGINT>, " +
+        "objects ARRAY<STRUCT<id: BIGINT, indexed_on: STRING, payload: STRING>>")
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), envSchema).as("env"))
+    val bad = parsed
+      .filter(col("env").isNull || col("env.objects").isNull)
+      .select(col("value").as("raw_line"))
+    val good = parsed.filter(col("env.objects").isNotNull)
+      .select(explode(col("env.objects")).as("obj"), col("env.meta").as("meta"))
+      .select(
+        col("obj.*"),
+        col("meta.limit").cast("int").as("_page_limit"),
+        col("meta.total_count").cast("long").as("_total_count"))
+    (good, bad)
+  }
+
   /** Bronze write: time-partitioned by event time (R8 layout,
     * `CommCareAPIHandler.py:71-73`), append-mode, 16 MB-target file sizing
     * via maxRecordsPerFile (R7). Empty batches write nothing (native).

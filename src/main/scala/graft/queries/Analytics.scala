@@ -82,13 +82,45 @@ object Analytics {
       |FROM events CROSS JOIN b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- Q34d: weekly retention cohorts --------------------------------------
+  // cohort = ISO week of a user's first event; a cell (cohort, offset) counts
+  // users from that cohort active `offset` weeks later. Both engines
+  // truncate weeks to ISO Monday, and because both sides are week-truncated
+  // the day difference is an exact multiple of 7 — the /7 stays
+  // integer-valued, so no floor/round cross-engine hazard. Shapes: one
+  // distinct (user, week) projection, a min-agg, a user_id join, a count
+  // agg — user_id partitioning reused across all of them.
+  def q34Retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q34RetentionSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      |c AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |       CAST(date_diff('day', c.cohort_week, uw.w) / 7 AS BIGINT) AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_outliers"  -> (q34Outliers _),
     "q34_histogram" -> (q34Histogram _),
+    "q34_retention" -> (q34Retention _),
   )
 
   val oracle: Map[String, String] = Map(
     "q34_outliers"  -> q34OutliersSql,
     "q34_histogram" -> q34HistogramSql,
+    "q34_retention" -> q34RetentionSql,
   )
 }

@@ -60,6 +60,24 @@ class IngestSpec extends SparkSpec {
     assert(deduped.select(sum($"payload.k")).as[Long].head === 10L)
   }
 
+  test("dead-letter lane: malformed envelope lines quarantine, batch survives") {
+    val land = tmp()
+    writeEnvelope(land, "good.json", Seq(
+      obj(1, "2024-03-01T00:00:00.000000Z"), obj(2, "2024-03-01T00:01:00.000000Z")))
+    Files.write(java.nio.file.Paths.get(land, "poison.json"),
+      "{this is not json at all]".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(land, "wrong_shape.json"),
+      """{"meta": {"limit": 1}, "noobjects": true}""".getBytes("UTF-8"))
+    val (good, bad) = Ingest.readEnvelopesQuarantine(spark, land)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the poison line AND the schema-shape miss both land in quarantine,
+    // raw text preserved as evidence
+    val badLines = bad.as[String].collect()
+    assert(badLines.length == 2)
+    assert(badLines.exists(_.contains("not json")))
+    assert(badLines.exists(_.contains("noobjects")))
+  }
+
   test("cold start reads full range (NoSuchKey ⇒ skip semantics)") {
     val land = tmp(); val bronze = tmp() + "/bronze"
     val state = new StateStore(tmp())
