@@ -208,8 +208,20 @@ object Ingest {
     * Returns rows written. */
   def incrementalRun(spark: SparkSession, landedJsonPath: String, bronzeDir: String,
                      state: StateStore, stateKey: String = "last_successful_job_time",
-                     useLag: Boolean = false): Long = {
-    val parsed = readEnvelopes(spark, landedJsonPath)
+                     useLag: Boolean = false,
+                     quarantineDir: Option[String] = None): Long = {
+    val source = quarantineDir match {
+      case Some(qd) =>
+        // dead-letter lane: malformed lines land in the quarantine dir (raw
+        // text preserved), good rows continue. Two scans of the LOCAL landed
+        // files (one per lane) — unlike the REST path, re-reading costs no
+        // external requests.
+        val (good, bad) = readEnvelopesQuarantine(spark, landedJsonPath)
+        bad.write.mode(SaveMode.Append).text(qd)
+        good
+      case None => readEnvelopes(spark, landedJsonPath)
+    }
+    val parsed = source
       .withColumn("indexed_on", parseIndexedOn(col("indexed_on")))
     val lower = state.get(stateKey).map(s => lit(s).cast("timestamp"))
     // Driver-side single-value agg (not a data collect): the batch's high

@@ -106,13 +106,52 @@ object Multimodal {
       .toDF()
   }
 
+  // --- Q32c: batched embedding-INFERENCE stub (oracle-checked) -------------
+  // The GPU-inference batching shape as a first-class checked query: typed
+  // `mapPartitions`, model invoked per 64-row batch (a real encoder replaces
+  // `embedOne`; init amortizes per batch exactly like mapInPandas' Arrow
+  // batches). The stub emits an 8-dim md5-derived vector; the checked
+  // output is scalar projections (norm + first component) because the
+  // checked surface bans array columns. Narrow — scales with executors.
+  final case class EmbOut(doc_id: Long, emb_norm: Double, emb_c1: Double)
+
+  private def embedOne(id: Long): EmbOut = {
+    val v = (1 to 8).map(j =>
+      (graft.functions.Hash60(s"$id:$j") % 2001L - 1000L) / 1000.0)
+    // left-fold sum of squares — same association as the oracle's list_reduce
+    val ss = v.foldLeft(0.0)((s, x) => s + x * x)
+    EmbOut(id, math.sqrt(ss), v.head)
+  }
+
+  def q32EmbedStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.map(embedOne)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q32EmbedStubSql: String = {
+    val comp = (j: String) =>
+      s"(${h60d(s"doc_id::VARCHAR || ':' || $j")} % 2001 - 1000) / 1000.0"
+    s"""SELECT doc_id,
+       |  sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(list_transform(generate_series(1, 8), j -> ${comp("j::VARCHAR")}),
+       |                   x -> x * x)), (s, x) -> s + x)) AS emb_norm,
+       |  ${comp("'1'")} AS emb_c1
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_meta"   -> (q32MediaMeta _),
     "q32_frame_sample" -> (q32FrameSample _),
+    "q32_embed_stub"   -> (q32EmbedStub _),
   )
 
   val oracle: Map[String, String] = Map(
     "q32_media_meta"   -> q32MediaMetaSql,
     "q32_frame_sample" -> q32FrameSampleSql,
+    "q32_embed_stub"   -> q32EmbedStubSql,
   )
 }

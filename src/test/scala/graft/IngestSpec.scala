@@ -76,6 +76,15 @@ class IngestSpec extends SparkSpec {
     assert(badLines.length == 2)
     assert(badLines.exists(_.contains("not json")))
     assert(badLines.exists(_.contains("noobjects")))
+
+    // e2e: incrementalRun with the quarantine lane lands the good rows in
+    // bronze and the poison lines in the quarantine dir
+    val bronze = tmp(); val quarantine = tmp(); val stateDir = tmp()
+    val n = Ingest.incrementalRun(spark, land, bronze,
+      new graft.core.StateStore(stateDir), quarantineDir = Some(quarantine))
+    assert(n == 2)
+    assert(spark.read.parquet(bronze).count() == 2)
+    assert(spark.read.text(quarantine).count() == 2)
   }
 
   test("cold start reads full range (NoSuchKey ⇒ skip semantics)") {
