@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Distribution analytics over the events stream: quantile fences and
@@ -112,15 +113,49 @@ object Analytics {
       |FROM uw JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- Q34e: event-transition mining (Markov counts) -----------------------
+  // Per user, events ordered by (ts, event_id); each adjacent pair is a
+  // from→to transition; global counts + shares. One shuffle on user_id for
+  // the lead() window, one hash agg on the 25-cell transition matrix, a
+  // broadcast single-row total for the share. The tie-break on event_id
+  // makes the sequence (hence the matrix) deterministic on both engines.
+  def q34Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = trans.agg(sum(col("n")).as("total_n"))
+    trans.crossJoin(broadcast(total))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("total_n").cast("double")).as("share"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q34TransitionsSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM g)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE) AS share
+      |FROM g CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_outliers"  -> (q34Outliers _),
-    "q34_histogram" -> (q34Histogram _),
-    "q34_retention" -> (q34Retention _),
+    "q34_outliers"    -> (q34Outliers _),
+    "q34_histogram"   -> (q34Histogram _),
+    "q34_retention"   -> (q34Retention _),
+    "q34_transitions" -> (q34Transitions _),
   )
 
   val oracle: Map[String, String] = Map(
-    "q34_outliers"  -> q34OutliersSql,
-    "q34_histogram" -> q34HistogramSql,
-    "q34_retention" -> q34RetentionSql,
+    "q34_outliers"    -> q34OutliersSql,
+    "q34_histogram"   -> q34HistogramSql,
+    "q34_retention"   -> q34RetentionSql,
+    "q34_transitions" -> q34TransitionsSql,
   )
 }
