@@ -145,7 +145,45 @@ object Analytics {
       |       CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE) AS share
       |FROM g CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
 
+  // --- Q34f: inter-arrival gap profile per event type ----------------------
+  // Per type: median and p95 of the gap (seconds) between consecutive
+  // events of that type, plus rate (events/hour over the observed span).
+  // lag() per (event_type) ordered by (ts, event_id) — deterministic; gaps
+  // in whole microseconds, so the exact interpolated percentile interpolates
+  // between integers (bit-exact cross-engine, the q20 lane).
+  def q34Gaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_gap_us"),
+        expr("percentile(gap_us, 0.95)").as("p95_gap_us"),
+        (count(col("gap_us")).cast("double") * 3.6e9 /
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).cast("double"))
+          .as("events_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  val q34GapsSql: String =
+    """WITH g AS (
+      |  SELECT event_type, ts,
+      |         epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY event_type
+      |                                                  ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+      |       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+      |       quantile_cont(gap_us, 0.95) AS p95_gap_us,
+      |       CAST(count(gap_us) AS DOUBLE) * 3.6e9
+      |         / CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) AS events_per_hour
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_gaps"        -> (q34Gaps _),
     "q34_outliers"    -> (q34Outliers _),
     "q34_histogram"   -> (q34Histogram _),
     "q34_retention"   -> (q34Retention _),
@@ -153,6 +191,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q34_gaps"        -> q34GapsSql,
     "q34_outliers"    -> q34OutliersSql,
     "q34_histogram"   -> q34HistogramSql,
     "q34_retention"   -> q34RetentionSql,
