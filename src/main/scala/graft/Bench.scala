@@ -58,7 +58,16 @@ object Bench {
         val t0 = System.nanoTime()
         graft.ingest.Ingest.writeBronze(ev, s"$ingestOut/bronze$i", tsCol = "ts",
           granularity = "day", writeTasks = Some(width))
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // delete the rep's output OUTSIDE the timed region: 5 dataset
+        // copies per bench run would otherwise strand in /tmp
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(s"$ingestOut/bronze$i"))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        } catch { case _: Throwable => () }
+        dt
       }.sorted
       (n, n / reps(2))
     } catch { case e: Throwable =>

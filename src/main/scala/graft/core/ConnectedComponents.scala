@@ -96,11 +96,21 @@ object ConnectedComponents {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevRoundIds = nowIds
     }
+    var succeeded = false
     try {
       sess.conf.set("spark.sql.shuffle.partitions", width.toString)
       ccLoop()
-    } finally sess.conf.set("spark.sql.shuffle.partitions", oldWidth)
-    undirected.unpersist()
+      succeeded = true
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", oldWidth)
+      undirected.unpersist()
+      // a mid-superstep failure must not strand checkpoint blocks: free
+      // everything this call cached (on success only the final round's RDD
+      // stays — the returned plan references it)
+      if (!succeeded)
+        (sc.getPersistentRDDs.keySet -- preexisting).foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters supersteps")

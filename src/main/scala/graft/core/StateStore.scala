@@ -70,5 +70,8 @@ object ApiLimitCalculator {
     * thousand rows (measured: 100 k rows at width 32 ≈ 184 k rows/s, width
     * 8-16 ≈ 235 k rows/s); huge batches get the full cluster width. */
   def writeWidth(rows: Long, maxWidth: Int): Int =
-    math.max(1, math.min(maxWidth, math.max(8L, rows / 10_000L).toInt))
+    // clamp in Long BEFORE narrowing: rows/10k can exceed Int.MaxValue for
+    // multi-trillion-row batches, and a wrapped-negative .toInt would
+    // collapse the write to width 1
+    math.max(1, math.min(maxWidth.toLong, math.max(8L, rows / 10_000L)).toInt)
 }

@@ -215,7 +215,13 @@ object Ingest {
         // dead-letter lane: malformed lines land in the quarantine dir (raw
         // text preserved), good rows continue. Two scans of the LOCAL landed
         // files (one per lane) — unlike the REST path, re-reading costs no
-        // external requests.
+        // external requests. Two contracts to know: (1) this mode fixes
+        // `payload` to its raw JSON text (explicit schema), while the
+        // default mode infers a struct — pick ONE mode per bronze dataset
+        // or the parquet schemas conflict; (2) the evidence lane is
+        // at-least-once like the data lane — a failed-and-retried run
+        // re-appends its poison lines (dedup by line content on read; raw
+        // lines carry no key for dedup-on-write).
         val (good, bad) = readEnvelopesQuarantine(spark, landedJsonPath)
         bad.write.mode(SaveMode.Append).text(qd)
         good

@@ -66,10 +66,13 @@ object Analytics {
   def q34Histogram(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    // hi = lo (degenerate distribution) would make the division throw under
+    // ANSI; every value then belongs in bucket 0 on both engines
     ev.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(greatest(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
-          .cast("long"), lit(0L)), lit(19L)))
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(greatest(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+            .cast("long"), lit(0L)), lit(19L))))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
@@ -78,7 +81,9 @@ object Analytics {
   val q34HistogramSql: String =
     """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
       |SELECT event_type,
-      |       least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 0), 19) AS bucket,
+      |       CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+      |            ELSE least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 0), 19)
+      |       END AS bucket,
       |       CAST(count(*) AS BIGINT) AS n
       |FROM events CROSS JOIN b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -162,8 +167,10 @@ object Analytics {
         count(col("gap_us")).as("n_gaps"),
         expr("percentile(gap_us, 0.5)").as("p50_gap_us"),
         expr("percentile(gap_us, 0.95)").as("p95_gap_us"),
-        (count(col("gap_us")).cast("double") * 3.6e9 /
-          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).cast("double"))
+        // nullif: a single-event (or single-instant) type has span 0 —
+        // ANSI mode would throw DIVIDE_BY_ZERO; null matches DuckDB
+        expr("CAST(count(gap_us) AS DOUBLE) * 3.6e9 / CAST(nullif(" +
+          "max(unix_micros(ts)) - min(unix_micros(ts)), 0L) AS DOUBLE)")
           .as("events_per_hour"))
       .orderBy(col("event_type"))
   }
@@ -179,7 +186,7 @@ object Analytics {
       |       quantile_cont(gap_us, 0.5) AS p50_gap_us,
       |       quantile_cont(gap_us, 0.95) AS p95_gap_us,
       |       CAST(count(gap_us) AS DOUBLE) * 3.6e9
-      |         / CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) AS events_per_hour
+      |         / CAST(nullif(max(epoch_us(ts)) - min(epoch_us(ts)), 0) AS DOUBLE) AS events_per_hour
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

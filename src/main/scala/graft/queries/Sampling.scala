@@ -77,10 +77,13 @@ object Sampling {
   // shingle costs one aggregated row instead of a fan-out. Both sides reuse
   // the q33_split_assign hash buckets — the audit covers exactly the split
   // the pipeline would ship.
+  // IF guard: Spark sequence(1, 0) descends ([1,0]) → element_at(toks, 0)
+  // throws on any doc with < 5 tokens; DuckDB generate_series(1,0) is empty.
   private val sh5Spark: String =
-    "array_distinct(transform(sequence(1, greatest(size(toks) - 4, 0)), " +
+    "IF(size(toks) >= 5, array_distinct(transform(sequence(1, size(toks) - 4), " +
       "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), " +
-      "element_at(toks, i+2), element_at(toks, i+3), element_at(toks, i+4))))"
+      "element_at(toks, i+2), element_at(toks, i+3), element_at(toks, i+4)))), " +
+      "CAST(array() AS ARRAY<STRING>))"
 
   private val sh5Duck: String =
     "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)), " +

@@ -22,9 +22,12 @@ import TextOps.{h60, h60d}
 object Similarity {
   /** Distinct word-3-gram shingles over a precomputed `toks` column — the
     * split is materialized once per row, not once per array element. */
+  // IF guard: Spark sequence(1, 0) descends ([1,0]) → element_at(toks, 0)
+  // throws on any doc with < 3 tokens; DuckDB generate_series(1,0) is empty.
   private val shinglesSpark: String =
-    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
+    "IF(size(toks) >= 3, array_distinct(transform(sequence(1, size(toks) - 2), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))), " +
+      "CAST(array() AS ARRAY<STRING>))"
 
   /** Same shingles — DuckDB fragment. Kept single-line: these fragments are
     * interpolated into outer `.stripMargin` strings, which would otherwise

@@ -198,9 +198,14 @@ object TextOps {
   // values mark boilerplate/looping text a training pipeline drops. Entirely
   // row-local (no shuffle; the only exchange is the output sort) — at 100 TB
   // this runs at scan speed.
+  // The IF guard is load-bearing: Spark's sequence(1, 0) DESCENDS ([1, 0] —
+  // default step −1 when start > stop), so a doc with < n tokens would hit
+  // element_at(toks, 0) → INVALID_INDEX_OF_ZERO and kill the whole query
+  // (DuckDB's generate_series(1, 0) is empty — crash + oracle divergence).
   private def ngramExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")
-    s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), i -> concat_ws(' ', $parts))"
+    s"IF(size(toks) >= $n, transform(sequence(1, size(toks) - ${n - 1}), " +
+      s"i -> concat_ws(' ', $parts)), CAST(array() AS ARRAY<STRING>))"
   }
 
   private def ngramDuck(n: Int): String = {
@@ -217,8 +222,10 @@ object TextOps {
       .withColumn("d2", size(array_distinct(col("g2"))).cast("long"))
       .withColumn("n3", size(col("g3")).cast("long"))
       .withColumn("d3", size(array_distinct(col("g3"))).cast("long"))
-      .withColumn("dup2", lit(1.0) - col("d2").cast("double") / col("n2").cast("double"))
-      .withColumn("dup3", lit(1.0) - col("d3").cast("double") / col("n3").cast("double"))
+      // nullif: a guarded-empty n-gram list (doc shorter than n) has n=0 —
+      // ANSI mode would throw DIVIDE_BY_ZERO; null matches DuckDB
+      .withColumn("dup2", expr("1.0 - CAST(d2 AS DOUBLE) / CAST(nullif(n2, 0L) AS DOUBLE)"))
+      .withColumn("dup3", expr("1.0 - CAST(d3 AS DOUBLE) / CAST(nullif(n3, 0L) AS DOUBLE)"))
       .withColumn("flagged", col("dup2") > 0.15 || col("dup3") > 0.10)
       .select(col("doc_id"), col("n2"), col("d2"), col("dup2"),
         col("n3"), col("d3"), col("dup3"), col("flagged"))
@@ -226,11 +233,11 @@ object TextOps {
 
   val q23RepetitionSql: String =
     s"""SELECT doc_id, n2, d2,
-       |  1.0 - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup2,
+       |  1.0 - CAST(d2 AS DOUBLE) / CAST(nullif(n2, 0) AS DOUBLE) AS dup2,
        |  n3, d3,
-       |  1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS dup3,
-       |  (1.0 - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE)) > 0.15
-       |    OR (1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)) > 0.10 AS flagged
+       |  1.0 - CAST(d3 AS DOUBLE) / CAST(nullif(n3, 0) AS DOUBLE) AS dup3,
+       |  (1.0 - CAST(d2 AS DOUBLE) / CAST(nullif(n2, 0) AS DOUBLE)) > 0.15
+       |    OR (1.0 - CAST(d3 AS DOUBLE) / CAST(nullif(n3, 0) AS DOUBLE)) > 0.10 AS flagged
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(g2) AS BIGINT) AS n2, CAST(len(list_distinct(g2)) AS BIGINT) AS d2,

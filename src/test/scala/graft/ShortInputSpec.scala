@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.{Sampling, Similarity, TextOps}
+
+/** Regression: Spark's `sequence(1, 0)` DESCENDS (default step −1 when
+  * start > stop), so an unguarded n-gram builder evaluates
+  * `element_at(toks, 0)` on any doc shorter than n and kills the whole
+  * query with INVALID_INDEX_OF_ZERO — while DuckDB's generate_series(1, 0)
+  * is empty and the oracle sails on. Every shingle/n-gram query must
+  * survive a corpus containing short docs. */
+class ShortInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_short").toString
+    Seq(
+      (0L, "one", "en", "src0", 3L),
+      (1L, "two words", "en", "src0", 9L),
+      (2L, "a b c d", "en", "src1", 7L),
+      (3L, "a full length document with plenty of tokens to shingle", "en", "src1", 56L),
+      (4L, "a full length document with plenty of tokens to shingle", "en", "src1", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("repetition ratios: short docs yield null ratios, not a crash") {
+    val rows = TextOps.q23Repetition(spark, dir)
+      .select(col("doc_id"), col("dup2")).collect()
+    assert(rows.length == 5)
+    // the 1-token doc has zero bigrams → null ratio (matches the oracle)
+    assert(rows.find(_.getLong(0) == 0L).exists(_.isNullAt(1)))
+  }
+
+  test("decontamination: sub-5-gram docs contribute no shingles, query runs") {
+    // counts depend on hash split membership; surviving the scan is the test
+    assert(Sampling.q33Decontam(spark, dir).count() >= 0)
+  }
+
+  test("jaccard pairs: short docs produce no postings, dup docs still pair") {
+    val pairs = Similarity.q24JaccardPairs(spark, dir).collect()
+    // the two identical full-length docs are the only qualifying pair
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)))
+  }
+}
