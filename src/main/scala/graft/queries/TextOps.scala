@@ -246,7 +246,39 @@ object TextOps {
        |        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)))
        |ORDER BY doc_id""".stripMargin
 
+  // --- Q23h: document CHUNKING — overlapping token windows -----------------
+  // The embedding/RAG prep step: 50-token chunks on a 40-token stride
+  // (10-token overlap). Chunk starts come from sequence(1, n_toks, 40) —
+  // an ASCENDING sequence by construction (start 1 ≤ stop ≥ 1), so no
+  // short-doc hazard; Spark's slice() caps at the array end and the oracle
+  // caps explicitly. chunk_no derives from the start offset ((s−1)/40,
+  // integer-exact) rather than an explode ordinal, so no position-parity
+  // concern. Row-local explode — scan-speed at 100 TB; chunk text leaves
+  // as an md5 fingerprint (checked surface keeps outputs scalar + small).
+  def q23Chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("s", explode(expr("sequence(1, size(toks), 40)")))
+      .select(
+        col("doc_id"),
+        expr("CAST((s - 1) DIV 40 AS BIGINT)").as("chunk_no"),
+        col("s").cast("long").as("start_tok"),
+        expr("CAST(size(slice(toks, s, 50)) AS BIGINT)").as("n_chunk_toks"),
+        expr("md5(concat_ws(' ', slice(toks, s, 50)))").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  val q23ChunksSql: String =
+    """SELECT doc_id,
+      |       CAST((s - 1) // 40 AS BIGINT) AS chunk_no,
+      |       CAST(s AS BIGINT) AS start_tok,
+      |       CAST(len(list_slice(toks, s, least(s + 49, len(toks)))) AS BIGINT) AS n_chunk_toks,
+      |       md5(array_to_string(list_slice(toks, s, least(s + 49, len(toks))), ' ')) AS chunk_md5
+      |FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 40)) AS s
+      |      FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+      |ORDER BY doc_id, chunk_no""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_chunks"          -> (q23Chunks _),
     "q23_top_terms"       -> (q23TopTerms _),
     "q23_lang_id"         -> (q23LangId _),
     "q23_quality"         -> (q23Quality _),
@@ -257,6 +289,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q23_chunks"          -> q23ChunksSql,
     "q23_top_terms"       -> q23TopTermsSql,
     "q23_lang_id"         -> q23LangIdSql,
     "q23_quality"         -> q23QualitySql,
