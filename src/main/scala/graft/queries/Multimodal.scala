@@ -75,6 +75,41 @@ object Multimodal {
       |        FROM documents))
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  // --- Q32d: resize PLANNING — fit-within-256² target dimensions -----------
+  // The resize operator's arithmetic layer over the decode-stub dims: scale
+  // = min(256/w, 256/h, 1) (never upscale), target dims floored, aspect
+  // ratio preserved. A real resizer consumes (content, out_w, out_h) in the
+  // same mapPartitions batch slot as decodeBatched; the planning math here
+  // IS the production logic. floor() not round() — round() diverges
+  // cross-engine. Row-local, scan-speed.
+  def q32ResizePlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", expr(h60("CAST(doc_id AS STRING)")))
+      .select(
+        col("doc_id"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END").as("format"),
+        (lit(64L) + pmod(col("h"), lit(577L))).as("width"),
+        (lit(64L) + pmod(col("h"), lit(449L))).as("height"))
+      .withColumn("scale",
+        least(lit(256.0) / col("width"), lit(256.0) / col("height"), lit(1.0)))
+      .select(
+        col("doc_id"), col("format"), col("width"), col("height"), col("scale"),
+        greatest(expr("CAST(floor(width * scale) AS BIGINT)"), lit(1L)).as("out_w"),
+        greatest(expr("CAST(floor(height * scale) AS BIGINT)"), lit(1L)).as("out_h"))
+      .orderBy(col("doc_id"))
+
+  val q32ResizePlanSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       |  64 + (${h60d("doc_id::VARCHAR")} % 577) AS width,
+       |  64 + (${h60d("doc_id::VARCHAR")} % 449) AS height
+       |  FROM documents),
+       |s AS (SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale FROM m)
+       |SELECT doc_id, format, width, height, scale,
+       |       greatest(CAST(floor(width * scale) AS BIGINT), 1) AS out_w,
+       |       greatest(CAST(floor(height * scale) AS BIGINT), 1) AS out_h
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** The external-codec integration shape: `mapPartitions` over typed rows,
     * decoding in BATCHES of 64 (the Arrow-batch shape a real decoder or a
     * Python `mapInPandas` worker would receive). The decode itself is the
@@ -147,11 +182,13 @@ object Multimodal {
     "q32_media_meta"   -> (q32MediaMeta _),
     "q32_frame_sample" -> (q32FrameSample _),
     "q32_embed_stub"   -> (q32EmbedStub _),
+    "q32_resize_plan"  -> (q32ResizePlan _),
   )
 
   val oracle: Map[String, String] = Map(
     "q32_media_meta"   -> q32MediaMetaSql,
     "q32_frame_sample" -> q32FrameSampleSql,
     "q32_embed_stub"   -> q32EmbedStubSql,
+    "q32_resize_plan"  -> q32ResizePlanSql,
   )
 }
