@@ -53,9 +53,12 @@ object ConnectedComponents {
     import spark.implicits._
 
     // both orientations so one (src → dst) join sees every neighbour;
-    // partitioned once, reused by every round's join
+    // partitioned once, reused by every round's join. `oriented` is cached
+    // for the sizing count so the (expensive) upstream edge query runs
+    // once, not once for the count and again for `undirected`.
     val oriented = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // ~50 k edges (100 k oriented rows after doubling) per superstep task
     val edgeCount = oriented.count()
     val width = math.max(1, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
@@ -64,14 +67,20 @@ object ConnectedComponents {
     val undirected = oriented.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels: RDD[(Long, Long)] = undirected.keys.distinct(width)
-      .map(v => (v, v)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // endpoint dedup + landing on `part` in ONE shuffle (distinct +
+    // partitionBy would pay two)
+    var labels: RDD[(Long, Long)] = undirected.keys.map(v => (v, v))
+      .reduceByKey(part, (a: Long, _: Long) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iters = 0
     // the one materialized RDD of the previous round (freed once the next
     // round has materialized); the FINAL round's cache must stay — the
-    // returned plan reads it
+    // returned plan reads it. `inFlight` tracks the round being
+    // materialized so a mid-count failure can't strand its blocks.
     var prevCache: RDD[_] = labels
+    var inFlight: RDD[_] = null
+    var succeeded = false
     try {
       while (changed > 0 && iters < maxIters) {
         // neighbour minimum: co-partitioned join (no edge shuffle), then a
@@ -90,18 +99,27 @@ object ConnectedComponents {
         // one materialization per round: carry (new, old) so the changed
         // count and the next round's labels read the same cached RDD
         val paired = step.join(labels).persist(StorageLevel.MEMORY_AND_DISK)
+        inFlight = paired
         changed = paired.filter { case (_, (n, o)) => n < o }.count()
         labels = paired.mapValues { case (n, _) => n } // partitioning preserved
         prevCache.unpersist(blocking = false) // next round reads `paired` now
         prevCache = paired
+        inFlight = null
         iters += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] superstep $iters: $changed changed")
       }
+      succeeded = changed == 0
     } finally {
+      oriented.unpersist(blocking = false)
       undirected.unpersist(blocking = false)
-      // on failure the caller never sees `labels`, so its cache goes too
-      if (changed > 0) prevCache.unpersist(blocking = false)
+      // on failure the caller never sees `labels`, so its cache goes too —
+      // including a round whose count() died after partial materialization
+      if (!succeeded) {
+        prevCache.unpersist(blocking = false)
+        if (inFlight != null && (inFlight ne prevCache))
+          inFlight.unpersist(blocking = false)
+      }
     }
     if (changed > 0)
       throw new IllegalStateException(

@@ -186,9 +186,9 @@ object Similarity {
   // and the oracle recomputes them as k plain min() aggregates.
   def q24LangSketch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MinHashSketch.register(spark)
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shinglesSpark))
+    // via docsWithShingles: its ≥3-token filter is the shared short-doc
+    // crash guard (and matches the oracle CTE's WHERE)
+    docsWithShingles(spark, dir)
       .select(col("lang"), explode(col("sh")).as("s"))
       .withColumn("hv", expr(s"${h60("s")} % ${P}L"))
       .groupBy(col("lang"))

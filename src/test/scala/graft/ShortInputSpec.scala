@@ -44,4 +44,8 @@ class ShortInputSpec extends SparkSpec {
     // the two identical full-length docs are the only qualifying pair
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)))
   }
+
+  test("lang sketch: the second shinglesSpark consumer also survives short docs") {
+    assert(graft.queries.Similarity.q24LangSketch(spark, dir).count() == 1)
+  }
 }
