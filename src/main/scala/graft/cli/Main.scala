@@ -29,7 +29,15 @@ object Main {
     tables: Seq[TableConf], urlBase: String, landingDir: String,
     bronzeDir: String, stateDir: String, endpoint: String, testMode: Boolean,
     specifiers: Seq[SpecifierConf] = Seq.empty,
-    authToken: Option[String] = None)
+    authToken: Option[String] = None,
+    /** Shared HTTP-request cap across ALL tables of one pull run — the
+      * reference's handler-level counter (`CommCareAPIHandler.py:217-224`).
+      * None ⇒ only the per-reader `max_requests` cap applies. */
+    maxTotalRequests: Option[Int] = None,
+    /** Filled by runPull when maxTotalRequests is set: the run's
+      * RequestBudget accumulator key, for pull implementations to pass as
+      * the graft-rest `budget_key` option. */
+    budgetKey: Option[String] = None)
 
   def parseConf(json: String): JobConf = {
     val n = new ObjectMapper().readTree(json)
@@ -53,7 +61,8 @@ object Main {
     JobConf(str("operation_type"), str("domain"), bool("is_staging"), tables,
       str("url_base"), str("landing_dir"), str("bronze_dir"), str("state_dir"),
       str("endpoint"), bool("test_mode"), specifiers,
-      Option(n.get("auth_token")).map(_.asText()).filter(_.nonEmpty))
+      Option(n.get("auth_token")).map(_.asText()).filter(_.nonEmpty),
+      Option(n.get("max_total_requests")).map(_.asInt()))
   }
 
   /** `lambda_function.py:28-31`: staging domains address the staging server;
@@ -66,23 +75,59 @@ object Main {
 
   /** R12 pull loop with the R11 per-table budget: up to 3 table failures
     * are skipped-and-counted; the 4th aborts the run. Watermark state is
-    * per (domain, table). Returns rows ingested per table. */
+    * per (domain, table). Returns rows ingested per table.
+    *
+    * Cross-table request budget (`CommCareAPIHandler.py:217-224` — the
+    * reference counts requests across ALL tables of one run): when
+    * `conf.maxTotalRequests` is set, a shared RequestBudget accumulator is
+    * acquired for the run and its key handed to `pullTable` via
+    * `conf.budgetKey` (REST pulls pass it as the graft-rest `budget_key`
+    * option). Executors add to the counter per HTTP request; the driver —
+    * the only place accumulators are readable — checks it before each table
+    * and aborts the run loudly once the cap is spent. The budget abort is
+    * raised OUTSIDE the 3-strike catch: an exhausted run budget is a run
+    * failure, never a skippable table failure. */
   def runPull(spark: SparkSession, conf: JobConf,
               pullTable: (SparkSession, JobConf, TableConf) => Long = defaultPull)
   : Map[String, Long] = {
+    val budgetKey = conf.maxTotalRequests.map { _ =>
+      val k = s"pull-${java.util.UUID.randomUUID()}"
+      graft.sources.RequestBudget.acquire(spark, k)
+      k
+    }
+    val effConf = budgetKey.fold(conf)(k => conf.copy(budgetKey = Some(k)))
     var failures = 0
     val results = scala.collection.mutable.Map[String, Long]()
-    conf.tables.foreach { t =>
-      try results(t.name) = pullTable(spark, conf, t)
-      catch {
-        case e: Exception =>
-          failures += 1
-          if (failures > 3)
+    try {
+      effConf.tables.foreach { t =>
+        for (k <- budgetKey; cap <- effConf.maxTotalRequests) {
+          val spent = graft.sources.RequestBudget.spent(k)
+          if (spent >= cap)
             throw new IllegalStateException(
-              s"table failure budget exceeded after ${t.name} (APIErrorMax, CommCareAPIHandler.py:23-24)", e)
-          System.err.println(s"[cli] table ${t.name} failed (${failures}/3): ${e.getMessage}")
+              s"cross-table request budget exhausted: $spent of $cap requests " +
+                s"used before table ${t.name} (APIErrorMax across the whole " +
+                "run, CommCareAPIHandler.py:217-224)")
+        }
+        try results(t.name) = pullTable(spark, effConf, t)
+        catch {
+          case e: Exception =>
+            failures += 1
+            if (failures > 3)
+              throw new IllegalStateException(
+                s"table failure budget exceeded after ${t.name} (APIErrorMax, CommCareAPIHandler.py:23-24)", e)
+            System.err.println(s"[cli] table ${t.name} failed (${failures}/3): ${e.getMessage}")
+        }
       }
-    }
+      // final check so a last-table overshoot still fails the RUN loudly
+      // (within a table, the per-reader max_requests cap bounds the overshoot)
+      for (k <- budgetKey; cap <- effConf.maxTotalRequests) {
+        val spent = graft.sources.RequestBudget.spent(k)
+        if (spent > cap)
+          throw new IllegalStateException(
+            s"cross-table request budget exceeded: $spent > $cap requests " +
+              "across the run (CommCareAPIHandler.py:217-224)")
+      }
+    } finally budgetKey.foreach(graft.sources.RequestBudget.release)
     results.toMap
   }
 
@@ -99,12 +144,32 @@ object Main {
       s"${t.name}.last_successful_job_time")
   }
 
+  /** REST-backed pull for one table: per-table wire params
+    * (`RestEnvelopeSource.tableOptions` — form/action_times special cases)
+    * plus the run's shared request-budget key, wired into graft-rest. Use as
+    * `runPull(spark, conf, restPull(upperBound))`. */
+  def restPull(upperBound: java.time.Instant)
+              (spark: SparkSession, conf: JobConf, t: TableConf): Long = {
+    val state = new StateStore(conf.stateDir)
+    val opts = graft.sources.RestEnvelopeSource.tableOptions(t.name) ++
+      conf.budgetKey.map("budget_key" -> _)
+    Ingest.restPullRun(spark, apiUrl(conf, t),
+      s"${conf.bronzeDir}/${typeDir(conf, t.name)}", state, upperBound,
+      s"${t.name}.last_successful_job_time", limit = t.limit,
+      authToken = conf.authToken, tableOptions = opts)
+  }
+
   def runPush(spark: SparkSession, conf: JobConf, specifier: String,
               method: String = "POST", token: Option[String] = None): Unit = {
     val df = spark.read.json(s"${conf.landingDir}/$specifier")
       .selectExpr("to_json(struct(*)) AS doc")
+    // `case`-shaped pushes log each record's form_id
+    // (`CommCareAPIHandler.py:303-304` via const.py:1) — observability
+    // parity for reconciling a push against the source forms
+    val logId = if (specifier == "case" || specifier.startsWith("case_"))
+      Some("form_id") else None
     PushJob.push(df, "doc", conf.endpoint, method = method,
-      authToken = token.orElse(conf.authToken))
+      authToken = token.orElse(conf.authToken), logIdField = logId)
   }
 
   /** `lambda_function.py:69-81`: push ALL configured specifiers, each with
@@ -128,18 +193,34 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try conf.operationType match {
+    try dispatch(spark, conf, if (args.length > 1) Some(args(1)) else None)
+    finally spark.stop()
+  }
+
+  /** Route one parsed job (separated from `main` so specs can drive the
+    * dispatch on a shared session). */
+  def dispatch(spark: SparkSession, conf: JobConf,
+               specifierArg: Option[String] = None): Unit =
+    conf.operationType match {
       case "cc_to_s3" =>
         val res = runPull(spark, conf)
         println(res.map { case (k, v) => s"$k=$v" }.mkString("pulled: ", ", ", ""))
       case "s3_to_cc" =>
-        val pushed =
-          if (args.length > 1) { runPush(spark, conf, args(1)); Seq(args(1)) }
-          else runPushAll(spark, conf)
+        val pushed = specifierArg match {
+          case Some(name) =>
+            // a named specifier keeps its configured method/token — the CLI
+            // path must push exactly as runPushAll would
+            // (`lambda_function.py:69-81`)
+            val sp = conf.specifiers.find(_.name == name)
+              .getOrElse(SpecifierConf(name))
+            runPush(spark, conf, sp.name, sp.method, sp.token)
+            Seq(sp.name)
+          case None => runPushAll(spark, conf)
+        }
         println(pushed.mkString("pushed: ", ", ", ""))
       case other => throw new IllegalArgumentException(s"unknown operation_type: $other")
-    } finally spark.stop()
-  }
+    }
 }

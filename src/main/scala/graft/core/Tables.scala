@@ -14,13 +14,14 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and truncate to micros —
-    * identical to DuckDB's ns→us truncation, keeping the oracle in lockstep.
-    * Integer `div` (not `/`): epoch-nanos exceed 2^53, double math would
-    * corrupt the low bits.
+    * rejects; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * AT BUILD TIME (Bench/Verify/QTime/cli/SparkSpec all do) — a loader
+    * must not mutate shared session conf at plan-build time. The long nanos
+    * truncate to micros — identical to DuckDB's ns→us truncation, keeping
+    * the oracle in lockstep. Integer `div` (not `/`): epoch-nanos exceed
+    * 2^53, double math would corrupt the low bits.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -155,23 +155,47 @@ object Ingest {
     * limit at that state key (the `limit` param only seeds the cold start),
     * and after a successful pull the observed serialized density recalibrates
     * the limit (`ApiLimitCalculator.newLimit` ≡ util.py:75-85) and persists
-    * it for the next run — probe → persist → reuse, end-to-end. */
+    * it for the next run — probe → persist → reuse, end-to-end.
+    *
+    * CUSTOM-RANGE mode (`CommCareAPIHandler.py:158-162,261-262`;
+    * `lambda_function.py:46-54`): when `customRange` is set, exactly that
+    * `[start, end]` window is extracted, the late-data lag is forced OFF
+    * (a historical re-extract has no in-flight writes to dodge), and the
+    * watermark state is NOT advanced — a backfill must never move the
+    * incremental frontier. `calibrateKey` recalibration is also skipped:
+    * the probe cycle belongs to the steady-state incremental loop.
+    *
+    * `tableOptions` carries per-table wire params
+    * (`RestEnvelopeSource.tableOptions`: `form`'s include_archived,
+    * `action_times`' UTC_start_time family). */
   def restPullRun(spark: SparkSession, apiUrl: String, bronzeDir: String,
                   state: StateStore, upperBound: java.time.Instant,
                   stateKey: String = "last_successful_job_time",
                   limit: Int = 1000, slices: Int = 4, useLag: Boolean = false,
                   calibrateKey: Option[String] = None,
-                  authToken: Option[String] = None): Long = {
+                  authToken: Option[String] = None,
+                  tableOptions: Map[String, String] = Map.empty,
+                  customRange: Option[(java.time.Instant, java.time.Instant)] = None)
+  : Long = {
     import org.apache.spark.sql.functions.{avg, col, length, lit}
-    val upper = java.sql.Timestamp.from(
-      if (useLag) upperBound.minusSeconds(300) else upperBound)
-    val lower = state.get(stateKey).map(java.sql.Timestamp.valueOf)
+    val upper = java.sql.Timestamp.from(customRange match {
+      case Some((_, end)) => end // custom range forces use_lag off
+      case None => if (useLag) upperBound.minusSeconds(300) else upperBound
+    })
+    val lower: Option[java.sql.Timestamp] = customRange match {
+      case Some((start, _)) => Some(java.sql.Timestamp.from(start))
+      case None             => state.get(stateKey).map(java.sql.Timestamp.valueOf)
+    }
     val effLimit = calibrateKey.flatMap(state.getLong).map(_.toInt).getOrElse(limit)
     val reader = spark.read.format("graft-rest")
       .option("url", apiUrl).option("limit", effLimit).option("slices", slices)
+    tableOptions.foreach { case (k, v) => reader.option(k, v) }
     authToken.foreach(reader.option("auth_token", _))
     val src = reader.load()
     val windowed = (lower match {
+      // custom range is inclusive of its own start (a fresh window, not a
+      // `>`-resume past an already-extracted watermark row)
+      case Some(lo) if customRange.isDefined => src.filter(col("indexed_on") >= lit(lo))
       case Some(lo) => src.filter(col("indexed_on") > lit(lo))
       case None     => src
     }).filter(col("indexed_on") <= lit(upper))
@@ -188,7 +212,7 @@ object Ingest {
         val width = ApiLimitCalculator.writeWidth(
           n, spark.conf.get("spark.sql.shuffle.partitions").toInt)
         writeBronze(windowed, bronzeDir, writeTasks = Some(width))
-        calibrateKey.foreach { k =>
+        if (customRange.isEmpty) calibrateKey.foreach { k =>
           // R7 probe: observed bytes of one effLimit-row page at this pull's
           // serialized density (cheap — windowed is cached). Same formula the
           // reference applies to the probe response's Content-Length.
@@ -197,7 +221,11 @@ object Ingest {
           state.putLong(k, ApiLimitCalculator.newLimit(effLimit, observed).toLong)
         }
       }
-      state.put(stateKey, upper.toInstant.toString.replace("Z", "").replace("T", " "))
+      // Custom ranges NEVER advance the watermark (`CommCareAPIHandler.py:
+      // 261-262` guards _save_run_time behind `not custom_range`): a
+      // backfill re-extract leaves the incremental frontier untouched.
+      if (customRange.isEmpty)
+        state.put(stateKey, upper.toInstant.toString.replace("Z", "").replace("T", " "))
       n
     } finally windowed.unpersist()
   }
@@ -205,50 +233,76 @@ object Ingest {
   /** One incremental run (the Q30 slice): filter the landed data to
     * `(watermark, upper]`, land to bronze, advance the watermark state only
     * on success. `upper` defaults to max(indexed_on) − 5-minute lag (R6).
-    * Returns rows written. */
+    * Returns rows written.
+    *
+    * CUSTOM-RANGE mode (`CommCareAPIHandler.py:158-162,261-262`;
+    * `lambda_function.py:46-54`): `customRange = Some((start, end))`
+    * extracts exactly `[start, end]` (inclusive start — a backfill window,
+    * not a watermark resume), forces the lag off, and leaves the watermark
+    * state file byte-identical — the incremental frontier never moves on a
+    * re-extract. */
   def incrementalRun(spark: SparkSession, landedJsonPath: String, bronzeDir: String,
                      state: StateStore, stateKey: String = "last_successful_job_time",
                      useLag: Boolean = false,
-                     quarantineDir: Option[String] = None): Long = {
+                     quarantineDir: Option[String] = None,
+                     customRange: Option[(java.time.Instant, java.time.Instant)] = None)
+  : Long = {
     val source = quarantineDir match {
       case Some(qd) =>
         // dead-letter lane: malformed lines land in the quarantine dir (raw
-        // text preserved), good rows continue. Two scans of the LOCAL landed
-        // files (one per lane) — unlike the REST path, re-reading costs no
-        // external requests. Two contracts to know: (1) this mode fixes
-        // `payload` to its raw JSON text (explicit schema), while the
-        // default mode infers a struct — pick ONE mode per bronze dataset
-        // or the parquet schemas conflict; (2) the evidence lane is
-        // at-least-once like the data lane — a failed-and-retried run
-        // re-appends its poison lines (dedup by line content on read; raw
-        // lines carry no key for dedup-on-write).
+        // text preserved), good rows continue. Two contracts to know:
+        // (1) this mode fixes `payload` to its raw JSON text (explicit
+        // schema), while the default mode infers a struct — pick ONE mode
+        // per bronze dataset or the parquet schemas conflict; (2) the
+        // evidence lane is at-least-once like the data lane — a
+        // failed-and-retried run re-appends its poison lines (dedup by line
+        // content on read; raw lines carry no key for dedup-on-write).
         val (good, bad) = readEnvelopesQuarantine(spark, landedJsonPath)
         bad.write.mode(SaveMode.Append).text(qd)
         good
       case None => readEnvelopes(spark, landedJsonPath)
     }
+    // ONE scan of the landing zone for the whole run: max-ts agg, count, and
+    // bronze write all read this cached frame. Uncached, each action re-reads
+    // and re-parses the landed JSON (3 passes; 4 with the quarantine lane) —
+    // at a 100 TB landing zone JSON parsing is the dominant cost, so the
+    // scan count is the job's cost model. Mirrors restPullRun's persist.
     val parsed = source
       .withColumn("indexed_on", parseIndexedOn(col("indexed_on")))
-    val lower = state.get(stateKey).map(s => lit(s).cast("timestamp"))
-    // Driver-side single-value agg (not a data collect): the batch's high
-    // water mark. Empty landing zone ⇒ nothing to do, watermark unchanged.
-    val maxTs = parsed.agg(max(col("indexed_on"))).head().getTimestamp(0)
-    if (maxTs == null) return 0L
-    val upperExpr =
-      if (useLag) maxTs.toInstant.minusSeconds(300) else maxTs.toInstant
-    val upper = lit(java.sql.Timestamp.from(upperExpr))
-    val windowed = lower match {
-      case Some(lo) => parsed.filter(col("indexed_on") > lo && col("indexed_on") <= upper)
-      case None     => parsed.filter(col("indexed_on") <= upper) // cold start: full range
-    }
-    val n = windowed.count()
-    if (n > 0) writeBronze(windowed, bronzeDir, writeTasks = Some(
-      ApiLimitCalculator.writeWidth(
-        n, spark.conf.get("spark.sql.shuffle.partitions").toInt)))
-    // Advance only after a fully successful write — reference semantics
-    // (`CommCareAPIHandler.py:261-262`): failures re-extract the window.
-    state.put(stateKey, java.sql.Timestamp.from(upperExpr).toInstant.toString
-      .replace("Z", "").replace("T", " "))
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lower: Option[Column] = customRange match {
+        case Some((start, _)) => Some(lit(java.sql.Timestamp.from(start)))
+        case None             => state.get(stateKey).map(s => lit(s).cast("timestamp"))
+      }
+      // Driver-side single-value agg (not a data collect): the batch's high
+      // water mark. Empty landing zone ⇒ nothing to do, watermark unchanged.
+      val upperInstant: java.time.Instant = customRange match {
+        case Some((_, end)) => end // custom range: fixed bound, lag forced off
+        case None =>
+          val maxTs = parsed.agg(max(col("indexed_on"))).head().getTimestamp(0)
+          if (maxTs == null) return 0L
+          if (useLag) maxTs.toInstant.minusSeconds(300) else maxTs.toInstant
+      }
+      val upper = lit(java.sql.Timestamp.from(upperInstant))
+      val windowed = lower match {
+        case Some(lo) if customRange.isDefined =>
+          parsed.filter(col("indexed_on") >= lo && col("indexed_on") <= upper)
+        case Some(lo) => parsed.filter(col("indexed_on") > lo && col("indexed_on") <= upper)
+        case None     => parsed.filter(col("indexed_on") <= upper) // cold start: full range
+      }
+      val n = windowed.count()
+      if (n > 0) writeBronze(windowed, bronzeDir, writeTasks = Some(
+        ApiLimitCalculator.writeWidth(
+          n, spark.conf.get("spark.sql.shuffle.partitions").toInt)))
+      // Advance only after a fully successful write — reference semantics
+      // (`CommCareAPIHandler.py:261-262`): failures re-extract the window,
+      // and a custom-range backfill NEVER advances (`not custom_range`
+      // guards _save_run_time in the reference).
+      if (customRange.isEmpty)
+        state.put(stateKey, java.sql.Timestamp.from(upperInstant).toInstant.toString
+          .replace("Z", "").replace("T", " "))
+      n
+    } finally parsed.unpersist()
   }
 }

@@ -24,8 +24,16 @@ object PushJob {
   // One client per executor JVM (object init) — pooled connections across
   // rows; HttpURLConnection would both re-handshake per row and reject
   // non-standard methods like PATCH (the reference's data_type['method']
-  // is free-form, CommCareAPIHandler.py:321).
-  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+  // is free-form, CommCareAPIHandler.py:321). Bounded connect time: a
+  // hung endpoint must count toward the failure budget, not pin the
+  // executor task (and every Spark task retry) forever.
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(30))
+    .build()
+
+  /** Per-request wall-clock bound; HttpTimeoutException extends IOException
+    * so a slow response takes the same failed-send path as a refused one. */
+  private val RequestTimeout = java.time.Duration.ofSeconds(60)
 
   /** Send one JSON document; returns true on 2xx
     * (`util.py:13-27` process_response). */
@@ -34,6 +42,7 @@ object PushJob {
     val b = HttpRequest.newBuilder(URI.create(endpoint))
       .method(method, HttpRequest.BodyPublishers.ofString(body))
       .header("Content-Type", "application/json")
+      .timeout(RequestTimeout)
     // Reference sends `Authorization: ApiKey <token>` on every push
     // request (CommCareAPIHandler.py:300; token lookup util.py:35-37).
     authToken.foreach(t => b.header("Authorization", s"ApiKey $t"))
@@ -43,17 +52,29 @@ object PushJob {
 
   /** Push every row's `jsonCol` to `endpoint`. Per-partition failure budget:
     * more than `maxFailures` non-2xx responses ⇒ ApiError fails the task
-    * (Spark retries it; at-least-once). */
+    * (Spark retries it; at-least-once).
+    *
+    * `logIdField`: when set, each record logs that field of its document
+    * before the send — the reference's per-record `form_id` line on
+    * `case`-type pushes (`CommCareAPIHandler.py:303-304`), the hook for
+    * reconciling a push run against its source documents. */
   def push(df: DataFrame, jsonCol: String, endpoint: String,
            method: String = "POST", maxFailures: Int = 3,
-           authToken: Option[String] = None): Unit = {
+           authToken: Option[String] = None,
+           logIdField: Option[String] = None): Unit = {
     val rows = df.select(jsonCol)
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      val mapper = logIdField.map(_ => new com.fasterxml.jackson.databind.ObjectMapper())
       var failures = 0
       it.foreach { row =>
+        val body = row.getString(0)
+        for (f <- logIdField; m <- mapper) {
+          val v = try m.readTree(body).path(f).asText("") catch { case _: Exception => "" }
+          System.err.println(s"[push] $f=$v")
+        }
         val ok =
-          try send(endpoint, method, row.getString(0), authToken)
-          catch { case _: java.io.IOException => false }
+          try send(endpoint, method, body, authToken)
+          catch { case _: java.io.IOException => false } // incl. HttpTimeoutException
         if (!ok) {
           failures += 1
           if (failures > maxFailures)

@@ -63,6 +63,20 @@ object RestEnvelopeSource {
     StructField("indexed_on", TimestampType),
     StructField("payload", StringType)))
 
+  /** Per-table API param special cases (`CommCareAPIHandler.py:180-200`):
+    * `form` adds `include_archived=true` to every page request;
+    * `action_times` keys its window on `UTC_start_time_start/end` instead of
+    * `indexed_on_start/end` and sends NO `order_by`. Returned maps are
+    * reader options — pass them through `.options(...)` (or
+    * `Ingest.restPullRun(tableOptions = ...)`). The output column is still
+    * named `indexed_on` (the typed index-timestamp core); only the wire
+    * params and the payload field the keyset restart reads change. */
+  def tableOptions(table: String): Map[String, String] = table match {
+    case "form"         => Map("extra_params" -> "include_archived=true")
+    case "action_times" => Map("index_field" -> "UTC_start_time", "order_by" -> "")
+    case _              => Map.empty
+  }
+
   /** Dual-format micros parse (`CommCareAPIHandler.py:235-238`). */
   def parseTsMicros(s: String): Long = {
     val trimmed = if (s.endsWith("Z")) s.dropRight(1) else s
@@ -149,25 +163,51 @@ class RestScan(options: CaseInsensitiveStringMap,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val indexField =
+      Option(options.get("index_field")).filter(_.nonEmpty).getOrElse("indexed_on")
+    // order_by: absent → order by the index field (the reference's default);
+    // explicitly empty → omit entirely (the `action_times` shape,
+    // CommCareAPIHandler.py:193-199)
+    val orderBy = Option(options.get("order_by")) match {
+      case None     => Some(indexField)
+      case Some("") => None
+      case Some(o)  => Some(o)
+    }
+    // cross-table budget: resolved DRIVER-side (this method runs on the
+    // driver) so the accumulator rides the serialized factory into every
+    // partition reader task
+    val budget = Option(options.get("budget_key")).filter(_.nonEmpty)
+      .map(k => RequestBudget.acquire(
+        org.apache.spark.sql.SparkSession.active, k))
     new RestReaderFactory(
       options.get("url"),
       options.getInt("limit", 1000),
       options.getBoolean("uses_indexed_on", true),
       options.getInt("max_requests", 1000),
-      Option(options.get("auth_token")).filter(_.nonEmpty))
+      Option(options.get("auth_token")).filter(_.nonEmpty),
+      indexField,
+      orderBy,
+      Option(options.get("extra_params")).filter(_.nonEmpty),
+      budget)
+  }
 }
 
 case class RestInputPartition(startMicros: Option[Long], endMicros: Option[Long])
   extends InputPartition
 
 class RestReaderFactory(url: String, limit: Int, usesIndexedOn: Boolean,
-                        maxRequests: Int, authToken: Option[String] = None)
+                        maxRequests: Int, authToken: Option[String] = None,
+                        indexField: String = "indexed_on",
+                        orderBy: Option[String] = Some("indexed_on"),
+                        extraParams: Option[String] = None,
+                        budget: Option[org.apache.spark.util.LongAccumulator] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestInputPartition]
     new RestPartitionReader(url, limit, usesIndexedOn, maxRequests,
-      p.startMicros, p.endMicros, authToken)
+      p.startMicros, p.endMicros, authToken, indexField, orderBy, extraParams,
+      budget)
   }
 }
 
@@ -175,7 +215,11 @@ class RestReaderFactory(url: String, limit: Int, usesIndexedOn: Boolean,
 class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
                           maxRequests: Int, startMicros: Option[Long],
                           endMicros: Option[Long],
-                          authToken: Option[String] = None)
+                          authToken: Option[String] = None,
+                          indexField: String = "indexed_on",
+                          orderBy: Option[String] = Some("indexed_on"),
+                          extraParams: Option[String] = None,
+                          budget: Option[org.apache.spark.util.LongAccumulator] = None)
   extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private var buffer: Iterator[JsonNode] = Iterator.empty
@@ -189,12 +233,19 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
   private def buildUrl(start: Option[Long]): String = {
     val sep = if (url.contains("?")) "&" else "?"
     val base = s"$url${sep}limit=$limit"
+    // table-shape extras ride every page request (`form`'s
+    // include_archived=true, CommCareAPIHandler.py:186-188)
+    val extra = extraParams.map(p => s"&$p").getOrElse("")
     if (usesIndexedOn) {
-      // R2/R4: order_by + window params, exactly _get_indexing_params
-      val s = start.map(m => s"&indexed_on_start=${RestEnvelopeSource.fmtTs(m)}").getOrElse("")
-      val e = endMicros.map(m => s"&indexed_on_end=${RestEnvelopeSource.fmtTs(m)}").getOrElse("")
-      s"$base&order_by=indexed_on$s$e"
-    } else base
+      // R2/R4: order_by + window params, exactly _get_indexing_params —
+      // the param family is `<index_field>_start/end` (`indexed_on` for
+      // case-shaped tables, `UTC_start_time` for action_times,
+      // CommCareAPIHandler.py:180-200); `action_times` sends no order_by
+      val ob = orderBy.map(o => s"&order_by=$o").getOrElse("")
+      val s = start.map(m => s"&${indexField}_start=${RestEnvelopeSource.fmtTs(m)}").getOrElse("")
+      val e = endMicros.map(m => s"&${indexField}_end=${RestEnvelopeSource.fmtTs(m)}").getOrElse("")
+      s"$base$ob$s$e$extra"
+    } else s"$base$extra"
   }
 
   private def fetchPage(u: String): Unit = {
@@ -202,6 +253,10 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
     if (requests > maxRequests)
       throw new IllegalStateException(
         s"request budget exceeded: $requests > $maxRequests (R11, CommCareAPIHandler.py:217-224)")
+    // cross-table run budget: executor-side add, driver-side read — the
+    // driver (cli.runPull) aborts the run between table jobs once the
+    // shared cap is spent
+    budget.foreach(_.add(1L))
     val conn = new java.net.URL(u).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
@@ -232,19 +287,28 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
           // server caps pages below the requested limit (CommCare does).
           if (metaNext.isDefined || objs.size >= limit) {
             val last = RestEnvelopeSource.parseTsMicros(
-              objs.last.get("indexed_on").asText())
+              objs.last.get(indexField).asText())
             // Progress guard: if the restart equals the page's own start,
-            // every row shares one indexed_on and a >= restart can never
-            // advance. Fail LOUDLY — silently skipping past the timestamp
-            // (e.g. +1µs) would drop its unfetched rows; the reference's
-            // equivalent outcome is the loud max_requests abort.
-            if (pageStart.contains(last))
-              throw new IllegalStateException(
-                s"keyset pagination stuck: > $limit rows share indexed_on=" +
-                  s"${RestEnvelopeSource.fmtTs(last)}; raise `limit` above the " +
-                  "per-timestamp row count or switch to cursor pagination")
-            pageStart = Some(last)
-            Some(buildUrl(Some(last)))
+            // every row shares one index timestamp and a >= restart can
+            // never advance. The reference would progress here by following
+            // meta.next's server-provided continuation URL
+            // (CommCareAPIHandler.py:231) — do the same when the envelope
+            // offers one; the keyset restart resumes at the next page whose
+            // last timestamp differs. Only when the server gives no
+            // continuation is failing LOUDLY correct — silently skipping
+            // past the timestamp (e.g. +1µs) would drop its unfetched rows.
+            if (pageStart.contains(last)) {
+              if (metaNext.isDefined) metaNext
+              else
+                throw new IllegalStateException(
+                  s"keyset pagination stuck: a full page of ${objs.size} rows " +
+                    s"shares $indexField=${RestEnvelopeSource.fmtTs(last)} and the " +
+                    "server offered no meta.next continuation; raise `limit` above " +
+                    "the per-timestamp row count or switch to cursor pagination")
+            } else {
+              pageStart = Some(last)
+              Some(buildUrl(Some(last)))
+            }
           } else None
         } else metaNext // R3 opaque cursor
     } finally conn.disconnect()
@@ -255,7 +319,9 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
     if (!buffer.hasNext) return false
     val obj = buffer.next()
     val id = Option(obj.get("id")).map(_.asLong()).getOrElse(-1L)
-    val ts = Option(obj.get("indexed_on")).map(n =>
+    // the typed core column is the table's INDEX timestamp — `indexed_on`
+    // for case-shaped tables, `UTC_start_time` for action_times
+    val ts = Option(obj.get(indexField)).map(n =>
       RestEnvelopeSource.parseTsMicros(n.asText()))
     current = InternalRow(
       id,

@@ -76,6 +76,37 @@ class CliSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("CLI-named specifier pushes with its CONFIGURED method and token, " +
+    "same as runPushAll would (lambda_function.py:69-81)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val landing = java.nio.file.Files.createTempDirectory("cli_named").toString
+    val d = java.nio.file.Paths.get(landing, "alpha")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.write(d.resolve("doc.json"),
+      """{"spec": "alpha"}""".getBytes("UTF-8"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seen.add((ex.getRequestMethod,
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val conf = Main.parseConf(
+        s"""{"operation_type": "s3_to_cc", "landing_dir": "$landing",
+           | "endpoint": "http://localhost:${server.getAddress.getPort}/api",
+           | "auth_token": "global:tok",
+           | "specifiers": [{"name": "alpha", "method": "PATCH", "auth_token": "a:tok"}]}""".stripMargin)
+      Main.dispatch(spark, conf, specifierArg = Some("alpha"))
+      val got = seen.toArray(Array.empty[(String, String)]).toSet
+      assert(got === Set(("PATCH", "ApiKey a:tok")))
+    } finally server.stop(0)
+  }
+
   test("R12 multi-table loop tolerates 3 failures, aborts on the 4th") {
     val c = Main.parseConf(confJson).copy(tables =
       (1 to 5).map(i => Main.TableConf(s"t$i", usesIndexedOn = true, 100)),

@@ -87,6 +87,38 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.text(quarantine).count() == 2)
   }
 
+  test("custom-range run: backfill window lands, watermark file untouched, " +
+    "incremental behavior unchanged after it (CommCareAPIHandler.py:158-162,261-262)") {
+    val land = tmp(); val bronze = tmp() + "/bronze"; val stateDir = tmp()
+    val state = new StateStore(stateDir)
+    writeEnvelope(land, "p.json", Seq(
+      obj(1, "2024-05-01T10:00:00.000000Z"),
+      obj(2, "2024-05-01T11:00:00.000000Z"),
+      obj(3, "2024-05-01T12:00:00.000000Z"),
+      obj(4, "2024-05-01T13:00:00.000000Z")))
+    // steady-state run establishes the watermark
+    assert(Ingest.incrementalRun(spark, land, bronze, state) === 4)
+    assert(state.get("last_successful_job_time").get.startsWith("2024-05-01 13:00:00"))
+    val stateFile = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+      .iterator().next()
+    val bytesBefore = java.nio.file.Files.readAllBytes(stateFile).toSeq
+
+    // custom-range backfill re-extracts [11:00, 12:00] INCLUSIVE of its own
+    // start (a fresh window, not a `>`-resume), with useLag forced off
+    val n = Ingest.incrementalRun(spark, land, bronze + "2", state, useLag = true,
+      customRange = Some((
+        java.time.Instant.parse("2024-05-01T11:00:00Z"),
+        java.time.Instant.parse("2024-05-01T12:00:00Z"))))
+    assert(n === 2)
+    // the watermark file is byte-identical — the backfill moved nothing
+    assert(java.nio.file.Files.readAllBytes(stateFile).toSeq === bytesBefore)
+
+    // the incremental loop after the backfill behaves as if it never ran
+    writeEnvelope(land, "p2.json", Seq(obj(5, "2024-05-01T14:00:00.000000Z")))
+    assert(Ingest.incrementalRun(spark, land, bronze, state) === 1)
+    assert(state.get("last_successful_job_time").get.startsWith("2024-05-01 14:00:00"))
+  }
+
   test("cold start reads full range (NoSuchKey ⇒ skip semantics)") {
     val land = tmp(); val bronze = tmp() + "/bronze"
     val state = new StateStore(tmp())

@@ -64,6 +64,24 @@ class PushSpec extends SparkSpec {
     }
   }
 
+  test("case-type push logs each record's form_id (CommCareAPIHandler.py:303-304)") {
+    withServer { _ => 200 } { url =>
+      val df = Seq(
+        """{"id": 1, "form_id": "f-aaa"}""",
+        """{"id": 2, "form_id": "f-bbb"}""").toDF("doc")
+      // capture executor-thread stderr (local mode: same JVM, so the global
+      // stream swap sees the foreachPartition logging)
+      val buf = new java.io.ByteArrayOutputStream()
+      val prev = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try PushJob.push(df.coalesce(1), "doc", url, logIdField = Some("form_id"))
+      finally System.setErr(prev)
+      val logged = buf.toString("UTF-8")
+      assert(logged.contains("[push] form_id=f-aaa"))
+      assert(logged.contains("[push] form_id=f-bbb"))
+    }
+  }
+
   test("Q31: up to 3 failures are tolerated (reference APIErrorMax)") {
     val calls = new AtomicInteger(0)
     withServer { _ => if (calls.incrementAndGet() <= 3) 500 else 200 } { url =>

@@ -74,10 +74,14 @@ class RestRound2Spec extends SparkSpec {
 
   test("stuck keyset restart (full page, one indexed_on) fails loudly " +
     "instead of silently skipping rows") {
+    // limit == row count so the server's single full page carries NO
+    // meta.next: with a continuation present the reader now follows it
+    // instead (the round-3 fallback, covered by RestRound3Spec) — the loud
+    // failure is reserved for servers that offer no way forward
     serve(12, sameTs = true) { (url, _) =>
       val e = intercept[Exception] {
         spark.read.format("graft-rest")
-          .option("url", url).option("limit", "5").load().count()
+          .option("url", url).option("limit", "12").load().count()
       }
       def msgs(t: Throwable): List[String] =
         if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
