@@ -72,6 +72,30 @@ object ConnectedComponents {
     var labels: RDD[(Long, Long)] = undirected.keys.map(v => (v, v))
       .reduceByKey(part, (a: Long, _: Long) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One hook + double pointer jump: lower every endpoint's label to its
+    // neighbourhood minimum, then follow the label graph ~4 hops
+    // (jump(jump)) so label distance shrinks ~4× per application.
+    def hookJump(cur: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      // neighbour minimum: co-partitioned join (no edge shuffle), then a
+      // map-side-combining reduceByKey on the destination vertex
+      val nbrMin = undirected.join(cur)
+        .map { case (_, (dst, label)) => (dst, label) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // self ∧ neighbour min (every endpoint has ≥ 1 neighbour)
+      val cand = cur.join(nbrMin)
+        .mapValues { case (self, nbr) => math.min(self, nbr) }
+      // pointer jump: label(v) ← min(c, label(c)); c is always an
+      // endpoint id, so the self-join is total
+      val jump1 = cand.map { case (v, c) => (c, v) }.join(cand)
+        .map { case (c, (v, cc)) => (v, math.min(c, cc)) }
+        .partitionBy(part)
+      // second jump on the JUMPED map — the extra co-partitioned join is
+      // cheaper than the superstep round it replaces
+      jump1.map { case (v, c) => (c, v) }.join(jump1)
+        .map { case (c, (v, cc)) => (v, math.min(c, cc)) }
+        .partitionBy(part)
+    }
+
     var changed = 1L
     var iters = 0
     // the one materialized RDD of the previous round (freed once the next
@@ -83,20 +107,13 @@ object ConnectedComponents {
     var succeeded = false
     try {
       while (changed > 0 && iters < maxIters) {
-        // neighbour minimum: co-partitioned join (no edge shuffle), then a
-        // map-side-combining reduceByKey on the destination vertex
-        val nbrMin = undirected.join(labels)
-          .map { case (_, (dst, label)) => (dst, label) }
-          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        // self ∧ neighbour min (every endpoint has ≥ 1 neighbour)
-        val cand = labels.join(nbrMin)
-          .mapValues { case (self, nbr) => math.min(self, nbr) }
-        // pointer jump: label(v) ← min(c, label(c)); c is always an
-        // endpoint id, so the self-join is total
-        val step = cand.map { case (v, c) => (c, v) }.join(cand)
-          .map { case (c, (v, cc)) => (v, math.min(c, cc)) }
-          .partitionBy(part)
-        // one materialization per round: carry (new, old) so the changed
+        // TWO hook+jump rounds per materialization: on the pair graphs this
+        // runs over, per-round data is tiny and the count JOB is the cost —
+        // batching halves the driver round-trips for one extra (cheap)
+        // in-job round after convergence. Lineage stays bounded: every
+        // batch materializes `paired`.
+        val step = hookJump(hookJump(labels))
+        // one materialization per batch: carry (new, old) so the changed
         // count and the next round's labels read the same cached RDD
         val paired = step.join(labels).persist(StorageLevel.MEMORY_AND_DISK)
         inFlight = paired
@@ -107,7 +124,7 @@ object ConnectedComponents {
         inFlight = null
         iters += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[cc] superstep $iters: $changed changed")
+          System.err.println(s"[cc] superstep batch $iters: $changed changed")
       }
       succeeded = changed == 0
     } finally {
@@ -124,8 +141,15 @@ object ConnectedComponents {
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters supersteps")
+    // Materialize the final labels OUT of the superstep cache (eager
+    // localCheckpoint truncates lineage), then release the last round's
+    // persisted RDD — without this, every labels() call in a session
+    // stranded one MEMORY_AND_DISK RDD until eviction. The checkpoint
+    // blocks themselves are dropped by the ContextCleaner once the
+    // returned frame is unreachable.
+    val labelDf = labels.toDF("ev", "label").localCheckpoint()
+    prevCache.unpersist(blocking = false)
     // isolated vertices: their own id is their component
-    val labelDf = labels.toDF("ev", "label")
     vertices.select(col("v")).join(labelDf, col("v") === col("ev"), "left")
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }

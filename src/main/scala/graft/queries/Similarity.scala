@@ -71,27 +71,42 @@ object Similarity {
   // t=0.3 and ~10 s at t=0.8. On this dense-vocabulary corpus the prefix
   // prunes too little and its prep stages (df agg + per-doc ordering)
   // dominate; the technique needs long-tailed token frequencies to win.
-  def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Postings above this frequency leave the in-place expansion for the
+    * salted-join path: a shingle shared by f docs expands f²/2 pairs inside
+    * ONE task in-place, so a boilerplate shingle with f = 10⁵ would be a
+    * 10¹⁰-pair straggler at 100 TB. 256² / 2 ≈ 33 k pairs is comfortably
+    * sub-millisecond per task; everything hotter is spread across salt
+    * buckets. Exactness is unchanged — only WHERE pairs are generated moves. */
+  private val HotPostingCap = 256
+
+  def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    q24JaccardPairsCapped(spark, dir, HotPostingCap)
+
+  /** `hotCap` exposed for adversarial-fixture specs; production entry uses
+    * [[HotPostingCap]]. */
+  private[graft] def q24JaccardPairsCapped(spark: SparkSession, dir: String,
+                                           hotCap: Int): DataFrame = {
     val d = docsWithShingles(spark, dir)
     // Posting lists via ONE pass: group each shingle's (doc, size) postings
     // and expand i<j pairs in-place (carrying sizes avoids joining the doc
     // table back — two fewer scans of the corpus than a self-join, which
-    // would recompute the shingle projection per branch). Tradeoff: a
-    // pathologically hot shingle expands f²/2 pairs in one task where a
-    // self-join + AQE could split it — acceptable for n-gram vocabularies
-    // (bounded f); adversarially skewed keys would use the join form +
-    // skew splitting (core.SkewJoin).
+    // would recompute the shingle projection per branch). localCheckpoint
+    // (eager) materializes the aggregation ONCE for the two consumers below;
+    // without it each branch would re-run the corpus scan + shuffle. The
+    // checkpoint blocks are released by the ContextCleaner with the frame.
     val postings = d
       .select(col("lang"), explode(col("sh")).as("s"),
         struct(col("doc_id"), size(col("sh")).as("n")).as("e"))
       .groupBy(col("lang"), col("s"))
       .agg(collect_list(col("e")).as("ds"))
       .filter(size(col("ds")) > 1)
+      .localCheckpoint()
     // Size-ratio prune inside the expansion (exactness-preserving):
     // J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair whose size
     // ratio is below the threshold can never reach jaccard ≥ 0.3 — drop it
     // before it costs a row through the shuffle + count agg.
-    postings
+    val inPlacePairs = postings
+      .filter(size(col("ds")) <= hotCap)
       .select(col("lang"), explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(
@@ -101,8 +116,28 @@ object Similarity {
           |      least(x.doc_id, y.doc_id) AS doc_a,
           |      greatest(x.doc_id, y.doc_id) AS doc_b,
           |      x.n + y.n AS n_sum))))""".stripMargin)).as("p"))
-      .groupBy(col("p.doc_a"), col("p.doc_b"), col("lang"))
-      .agg(count(lit(1)).as("inter"), first(col("p.n_sum")).as("n_sum"))
+      .select(col("lang"), col("p.doc_a"), col("p.doc_b"), col("p.n_sum"))
+    // VIRAL shingles (posting list > hotCap): pair generation through
+    // core.SkewJoin's salted self-join — the hot key's f²/2 pairs spread
+    // over `buckets` shuffle partitions instead of one task. Same pairs,
+    // same prune, different placement; row-for-row exact vs the in-place
+    // branch, so the union below is the identical multiset either way.
+    val hotPostings = postings
+      .filter(size(col("ds")) > hotCap)
+      .select(
+        concat_ws("\u0001", col("lang"), col("s")).as("k"),
+        col("lang"), explode(col("ds")).as("e"))
+    val hotPairs = graft.core.SkewJoin.saltedInnerJoin(
+        hotPostings.select(col("k"), col("lang"), col("e").as("x")),
+        hotPostings.select(col("k"), col("e").as("y")),
+        "k", buckets = 32, saltBy = Seq("x"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("CAST(least(x.n, y.n) AS DOUBLE) >= 0.3D * greatest(x.n, y.n)"))
+      .select(col("lang"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"), (col("x.n") + col("y.n")).as("n_sum"))
+    inPlacePairs.unionByName(hotPairs)
+      .groupBy(col("doc_a"), col("doc_b"), col("lang"))
+      .agg(count(lit(1)).as("inter"), first(col("n_sum")).as("n_sum"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_sum") - col("inter")).cast("double"))
