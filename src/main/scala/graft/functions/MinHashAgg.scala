@@ -85,10 +85,83 @@ case class MinHashSketch(
     copy(child = newChildren.head)
 }
 
+/** Merge pre-computed per-row K-vector partial sketches (input:
+  * `array<long>` of the K per-row minima, e.g. the columnar `sig` the
+  * signature path already builds per doc). Element-wise min is associative,
+  * so min-of-per-doc-minima ≡ min-over-all-shingles — identical output to
+  * [[MinHashSketch]] over the exploded values, but the rows crossing the
+  * (non-codegen) imperative aggregate drop by the per-doc shingle count
+  * (~200× here): the hash work stays inside whole-stage codegen and the
+  * object-hash agg only sees one short array per doc. This IS the two-level
+  * aggregation you'd deploy at 100 TB. */
+case class MinHashSketchMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+  import MinHashFamily._
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def prettyName: String = "minhash_sketch_merge"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(K)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == K,
+        s"minhash_sketch_merge expects a $K-element partial, got ${arr.numElements()}")
+      var i = 0
+      while (i < K) {
+        val m = arr.getLong(i)
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < K) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * K)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(K)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinHashSketchMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinHashSketchMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinHashSketchMerge =
+    copy(child = newChildren.head)
+}
+
 object MinHashSketch {
   /** Register alongside dotf (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch", exprs => MinHashSketch(exprs.head).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sketch_merge",
+      exprs => MinHashSketchMerge(exprs.head).toAggregateExpression(),
+      "built-in")
+  }
 }
