@@ -499,22 +499,34 @@ object Similarity {
   private def cosineOf(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  def q25IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic coarse quantizer: the [[IvfK]] vectors with the smallest
+    * 60-bit hash of their id — a reproducible uniform sample standing in
+    * for k-means (same role, RNG-free, identical on both engines). */
+  private def ivfCentroids(e: DataFrame): DataFrame = e
+    .withColumn("ch", expr(h60("CAST(vec_id AS STRING)")))
+    .orderBy(col("ch"), col("vec_id")).limit(IvfK)
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** IVF assignment shared by q25_ivf_topk and q26_semantic_dedup: every
+    * vector to its nearest centroid via one corpus pass against the
+    * BROADCAST centroid table; the argmax rank-1 window collapses map-side
+    * (WindowGroupLimit), so each vector crosses exactly one Exchange. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    // deterministic "training": the K vectors with the smallest 60-bit hash
-    // of their id — a reproducible uniform sample standing in for k-means
-    // (same role, RNG-free, identical on both engines)
-    val cents = e
-      .withColumn("ch", expr(h60("CAST(vec_id AS STRING)")))
-      .orderBy(col("ch"), col("vec_id")).limit(IvfK)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
     val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(ivfCentroids(e)))
       .withColumn("cos_c", cosineOf(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(wAsgn)).filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+  }
+
+  def q25IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(e)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+    val assigned = ivfAssigned(spark, dir)
     val probed = cents.crossJoin(broadcast(probe))
       .withColumn("cos_c", cosineOf(col("cvec"), col("probe_vec")))
       .orderBy(col("cos_c").desc, col("cid")).limit(NProbe)
@@ -666,8 +678,63 @@ object Similarity {
        |FROM documents d JOIN lab ON d.doc_id = lab.v
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- Q26d: SEMANTIC dedup — embedding-space near-dup survivors ----------
+  // The semantic twin of q26_dedup_survivors (which works on token
+  // SimHash): candidate pairs come from the IVF coarse quantizer's
+  // inverted lists — an equi-join on the centroid id, never a corpus
+  // cross-join — and a doc is dropped iff some smaller-id vector in the
+  // SAME list has cosine ≥ τ (greedy keep-first, the one-pass policy).
+  // At 100 TB the structure survives unchanged: assignment is a broadcast
+  // join + map-side argmax (one Exchange per vector); within-list pair
+  // expansion is quadratic in LIST size, so K scales with the corpus
+  // (K ≈ n / target_list_size keeps per-list cost constant) and an
+  // oversized list would route through SkewJoin exactly like
+  // q24_jaccard_pairs' hot shingles. Recall loss vs the exact O(n²) lane
+  // (q25_embed_neardup) is cross-list pairs — the IVF tradeoff, tunable
+  // via K and multi-assignment (NPROBE-style), not a structural limit.
+  private val SemTau = 0.4
+
+  def q26SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: ONE assignment pass (scan + broadcast argmax) feeds
+    // both sides of the pair join and the final verdict join; without it
+    // each consumer re-runs the corpus×centroid cross product.
+    val assigned = ivfAssigned(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .localCheckpoint()
+    val a = assigned.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val evicted = a.join(b, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .filter(cosineOf(col("ea"), col("eb")) >= SemTau)
+      .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("evicted_by"))
+    assigned.join(evicted, Seq("vec_id"), "left")
+      .withColumn("keep", col("evicted_by").isNull)
+      .select(col("vec_id"), col("cid"), col("keep"), col("evicted_by"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q26SemanticDedupSql: String = {
+    val cosC = s"${dotDuck("e.embedding", "c.cvec")} / (sqrt(${normDuck("e.embedding")}) * sqrt(${normDuck("c.cvec")}))"
+    val cosP = s"${dotDuck("a.embedding", "b.embedding")} / (sqrt(${normDuck("a.embedding")}) * sqrt(${normDuck("b.embedding")}))"
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |               ORDER BY ${h60d("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfK),
+       |asgn AS (SELECT vec_id, embedding, cid FROM (
+       |           SELECT e.vec_id, e.embedding, c.cid,
+       |                  row_number() OVER (PARTITION BY e.vec_id
+       |                    ORDER BY $cosC DESC, c.cid) AS rn
+       |           FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |ev AS (SELECT b.vec_id, min(a.vec_id) AS evicted_by
+       |       FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       WHERE $cosP >= $SemTau
+       |       GROUP BY b.vec_id)
+       |SELECT a.vec_id, a.cid, ev.evicted_by IS NULL AS keep, ev.evicted_by
+       |FROM asgn a LEFT JOIN ev ON a.vec_id = ev.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_survivors" -> (q26DedupSurvivors _),
+    "q26_semantic_dedup"  -> (q26SemanticDedup _),
     "q26_cc_clusters"     -> (q26CcClusters _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q24_minhash_sig"   -> (q24MinhashSig _),
@@ -683,6 +750,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q26_dedup_survivors" -> q26DedupSurvivorsSql,
+    "q26_semantic_dedup"  -> q26SemanticDedupSql,
     "q26_cc_clusters"     -> q26CcClustersSql,
     "q24_jaccard_pairs" -> q24JaccardPairsSql,
     "q24_minhash_sig"   -> q24MinhashSigSql,
