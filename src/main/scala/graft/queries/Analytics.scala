@@ -189,7 +189,38 @@ object Analytics {
       |         / CAST(nullif(max(epoch_us(ts)) - min(epoch_us(ts)), 0) AS DOUBLE) AS events_per_hour
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- Q36: SCD2 validity intervals ----------------------------------------
+  // The warehouse history-build downstream of the reference's extracts:
+  // each user's event sequence becomes versioned rows with
+  // [valid_from, valid_to) intervals — valid_to = next event's ts, open
+  // (NULL) for the current row. Deterministic ordering tie-break on
+  // event_id. Scale shape: ONE shuffle on user_id; version, valid_to and
+  // is_current all ride the same Window partitioning (single WindowExec —
+  // the classic SCD2 build shuffles each event exactly once at any scale).
+  def q36Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("ts").as("valid_from"), col("valid_to"), col("event_type"),
+        col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q36Scd2Sql: String =
+    """SELECT user_id, version, event_id, valid_from, valid_to, event_type,
+      |       value, is_current FROM (
+      |  SELECT user_id, event_id, ts AS valid_from, event_type, value,
+      |         CAST(row_number() OVER w AS BIGINT) AS version,
+      |         lead(ts) OVER w AS valid_to,
+      |         lead(ts) OVER w IS NULL AS is_current
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |ORDER BY user_id, version""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_scd2"        -> (q36Scd2 _),
     "q34_gaps"        -> (q34Gaps _),
     "q34_outliers"    -> (q34Outliers _),
     "q34_histogram"   -> (q34Histogram _),
@@ -198,6 +229,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q36_scd2"        -> q36Scd2Sql,
     "q34_gaps"        -> q34GapsSql,
     "q34_outliers"    -> q34OutliersSql,
     "q34_histogram"   -> q34HistogramSql,

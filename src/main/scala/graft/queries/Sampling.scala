@@ -159,6 +159,103 @@ object Sampling {
       |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_toks
       |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin
 
+  // --- Q33f: mixture-target RESAMPLING -------------------------------------
+  // The step after the q33_mixture report: rebalance the corpus toward an
+  // equal token share per source. Each source's keep-rate is
+  // min(1, (total_tokens / n_sources) / source_tokens) — over-represented
+  // sources are hash-downsampled, under-represented ones kept whole — and
+  // membership is the deterministic `h60(doc_id) mod 10⁴ < floor(rate·10⁴)`
+  // threshold (reproducible across engines/topologies, row-local like all
+  // q33 lanes; the float work is division/floor only — IEEE-pinned, no
+  // transcendentals). Scale shape: the rate table is one row per source,
+  // BROADCAST back onto the corpus; two scans total (stats + verdict), no
+  // corpus re-shuffle.
+  def q33Resample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (col("total_tokens").cast("double") / col("n_sources").cast("double"))
+          / col("n_tokens").cast("double")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("kept",
+        expr(s"${h60("CAST(doc_id AS STRING)")} % 10000")
+          < floor(col("rate") * 10000).cast("long"))
+      .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("rate"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"),
+        col("kept_docs"), col("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q33ResampleSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks FROM documents),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |              CAST(count(*) AS BIGINT) AS n_sources FROM g),
+       |r AS (SELECT source, n_docs, n_tokens,
+       |        least(1.0, (CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+       |                     / CAST(n_tokens AS DOUBLE)) AS rate
+       |      FROM g CROSS JOIN tt)
+       |SELECT r.source, r.n_docs, r.n_tokens, r.rate,
+       |  CAST(sum(CASE WHEN ${h60d("t.doc_id::VARCHAR")} % 10000
+       |                     < CAST(floor(r.rate * 10000) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN ${h60d("t.doc_id::VARCHAR")} % 10000
+       |                     < CAST(floor(r.rate * 10000) AS BIGINT) THEN t.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM t JOIN r USING (source)
+       |GROUP BY r.source, r.n_docs, r.n_tokens, r.rate
+       |ORDER BY r.source""".stripMargin
+
+  // --- Q35: token-budget SEQUENCE PACKING ----------------------------------
+  // Training-shard layout: documents laid end-to-end per source in doc_id
+  // order, cut into 512-token packs. pack_id = the pack holding the doc's
+  // FIRST token (prefix-sum formulation — the standard distributed packing:
+  // an exact first-fit is a sequential recurrence, so pipelines pack by
+  // offset and let boundary docs span two packs, flagged here). All integer
+  // arithmetic via floor(double) — exact to 2⁵³ tokens per source, and
+  // identical on both engines. Scale shape: ONE shuffle on `source` (the
+  // window partitioning); packing is embarrassingly parallel across
+  // sources/shards — at 100 TB the partition key would be (source, shard)
+  // with per-shard token budgets, same plan.
+  private val PackCap = 512
+
+  def q35Pack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("pack_id", expr(
+        s"CAST(floor(CAST(cum - n_toks AS DOUBLE) / $PackCap.0D) AS BIGINT)"))
+      .withColumn("pack_offset", col("cum") - col("n_toks") - col("pack_id") * PackCap)
+      .withColumn("spans_boundary", expr(
+        s"CAST(floor(CAST(cum - 1 AS DOUBLE) / $PackCap.0D) AS BIGINT)") > col("pack_id"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("pack_id"),
+        col("pack_offset"), col("spans_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q35PackSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks FROM documents),
+       |c AS (SELECT doc_id, source, n_toks,
+       |        CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+       |SELECT doc_id, source, n_toks,
+       |  CAST(floor(CAST(cum - n_toks AS DOUBLE) / $PackCap.0) AS BIGINT) AS pack_id,
+       |  CAST(cum - n_toks - CAST(floor(CAST(cum - n_toks AS DOUBLE) / $PackCap.0) AS BIGINT) * $PackCap AS BIGINT) AS pack_offset,
+       |  CAST(floor(CAST(cum - 1 AS DOUBLE) / $PackCap.0) AS BIGINT)
+       |    > CAST(floor(CAST(cum - n_toks AS DOUBLE) / $PackCap.0) AS BIGINT) AS spans_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // --- Q23f: TF-IDF-style top terms per document ---------------------------
   // tf = count in doc; idf = N/df (rational, not ln(N/df)): transcendental
   // functions differ in the last ulp across libm implementations (measured:
@@ -169,13 +266,17 @@ object Sampling {
   // Two shuffles: df agg and the per-doc top-k window.
   def q23Tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count().toDouble // single scalar, driver-side by design
+    // N as a broadcast one-row frame, not a driver-side docs.count(): keeps
+    // the whole query one non-blocking job (the count scan rides the same
+    // plan; mirrors the oracle's `n` CTE)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("tok"))
     tf.join(dfreq, "tok")
-      .withColumn("w", col("tf").cast("double") * (lit(nDocs) / col("df").cast("double")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("w"))
@@ -201,6 +302,8 @@ object Sampling {
     "q33_balanced_cap" -> (q33BalancedCap _),
     "q33_decontam"     -> (q33Decontam _),
     "q33_mixture"      -> (q33Mixture _),
+    "q33_resample"     -> (q33Resample _),
+    "q35_pack"         -> (q35Pack _),
     "q23_tfidf"        -> (q23Tfidf _),
   )
 
@@ -210,6 +313,8 @@ object Sampling {
     "q33_balanced_cap" -> q33BalancedCapSql,
     "q33_decontam"     -> q33DecontamSql,
     "q33_mixture"      -> q33MixtureSql,
+    "q33_resample"     -> q33ResampleSql,
+    "q35_pack"         -> q35PackSql,
     "q23_tfidf"        -> q23TfidfSql,
   )
 }

@@ -732,9 +732,64 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // --- Q26e: QUALITY-aware dedup survivors --------------------------------
+  // Real pipelines keep the BEST duplicate, not the first: a doc is dropped
+  // iff some near-dup neighbor (banded SimHash pairs, hamming ≤ 4) strictly
+  // beats it on (quality, then smaller id as the tie-break); evicted_by is
+  // the smallest-id beating neighbor. Local rule — each neighborhood's
+  // maximum survives; a beaten doc may itself beat another (chain evictions
+  // are intended, same as every local-maxima dedup). Scale shape: pairs are
+  // the banded equi-join, quality is row-local, and the verdict is two
+  // hash joins on doc_id + one min-agg — no new shuffle class.
+  def q26QualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q24SimhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val q = TextOps.qualityScored(spark, dir).select(col("doc_id"), col("quality"))
+    val nbrs = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("d", "n")
+    val beaten = nbrs
+      .join(q.select(col("doc_id").as("d"), col("quality").as("qd")), "d")
+      .join(q.select(col("doc_id").as("n"), col("quality").as("qn")), "n")
+      .filter(col("qn") > col("qd") || (col("qn") === col("qd") && col("n") < col("d")))
+      .groupBy(col("d").as("doc_id")).agg(min(col("n")).as("evicted_by"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(q, "doc_id")
+      .join(beaten, Seq("doc_id"), "left")
+      .withColumn("keep", col("evicted_by").isNull)
+      .select(col("doc_id"), col("lang"), col("quality"), col("keep"), col("evicted_by"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26QualitySurvivorsSql: String =
+    s"""WITH h AS (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h60d("t")}) AS th
+       |           FROM documents),
+       |bits AS (SELECT doc_id, unnest(generate_series(0, 59)) AS b, th FROM h),
+       |votes AS (SELECT doc_id, b,
+       |            len(list_filter(th, t -> (t >> b) & 1 = 1))
+       |              - len(list_filter(th, t -> (t >> b) & 1 = 0)) AS v
+       |          FROM bits),
+       |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)::BIGINT AS simhash
+       |       FROM votes GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+       |q AS (${TextOps.qualityScoredDuck.replace("\n", "\n      ")}),
+       |nb AS (SELECT doc_a AS d, doc_b AS n FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |beaten AS (SELECT nb.d AS doc_id, min(nb.n) AS evicted_by
+       |           FROM nb JOIN q qd ON nb.d = qd.doc_id JOIN q qn ON nb.n = qn.doc_id
+       |           WHERE qn.quality > qd.quality
+       |              OR (qn.quality = qd.quality AND nb.n < nb.d)
+       |           GROUP BY nb.d)
+       |SELECT d.doc_id, d.lang, q.quality, beaten.evicted_by IS NULL AS keep,
+       |       beaten.evicted_by
+       |FROM documents d JOIN q USING (doc_id) LEFT JOIN beaten USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_survivors" -> (q26DedupSurvivors _),
     "q26_semantic_dedup"  -> (q26SemanticDedup _),
+    "q26_quality_survivors" -> (q26QualitySurvivors _),
     "q26_cc_clusters"     -> (q26CcClusters _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q24_minhash_sig"   -> (q24MinhashSig _),
@@ -751,6 +806,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q26_dedup_survivors" -> q26DedupSurvivorsSql,
     "q26_semantic_dedup"  -> q26SemanticDedupSql,
+    "q26_quality_survivors" -> q26QualitySurvivorsSql,
     "q26_cc_clusters"     -> q26CcClustersSql,
     "q24_jaccard_pairs" -> q24JaccardPairsSql,
     "q24_minhash_sig"   -> q24MinhashSigSql,

@@ -99,7 +99,11 @@ object TextOps {
   }
 
   // --- Q23c: quality scoring (length / type-token ratio / stopword ratio) --
-  def q23Quality(spark: SparkSession, dir: String): DataFrame =
+  /** Per-doc composite quality — ONE definition shared by q23_quality and
+    * the quality-aware dedup verdict (q26_quality_survivors), so the two
+    * lanes and their oracles cannot drift. Row-local: scan-speed at any
+    * scale. */
+  private[queries] def qualityScored(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -111,6 +115,23 @@ object TextOps {
       .withColumn("len_score", least(col("n_toks").cast("double") / lit(100.0), lit(1.0)))
       .withColumn("quality",
         lit(0.4) * col("len_score") + lit(0.3) * col("ttr") + lit(0.3) * col("stop_ratio"))
+
+  /** DuckDB twin of [[qualityScored]] restricted to (doc_id, quality) — a
+    * CTE body both oracle SQLs embed. */
+  private[queries] val qualityScoredDuck: String =
+    """SELECT doc_id,
+      |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE))
+      |    + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop
+      |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))""".stripMargin
+
+  def q23Quality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
       .select(col("doc_id"), col("n_toks"), col("n_uniq"), col("n_stop"),
         col("ttr"), col("stop_ratio"), col("len_score"), col("quality"))
       .orderBy(col("doc_id"))
