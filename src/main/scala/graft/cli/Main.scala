@@ -62,7 +62,9 @@ object Main {
       str("url_base"), str("landing_dir"), str("bronze_dir"), str("state_dir"),
       str("endpoint"), bool("test_mode"), specifiers,
       Option(n.get("auth_token")).map(_.asText()).filter(_.nonEmpty),
-      Option(n.get("max_total_requests")).map(_.asInt()))
+      // filter(!_.isNull): an explicit JSON `null` would otherwise parse as
+      // asInt() == 0 and abort every run before its first request
+      Option(n.get("max_total_requests")).filter(!_.isNull).map(_.asInt()))
   }
 
   /** `lambda_function.py:28-31`: staging domains address the staging server;
@@ -214,8 +216,16 @@ object Main {
             // a named specifier keeps its configured method/token — the CLI
             // path must push exactly as runPushAll would
             // (`lambda_function.py:69-81`)
-            val sp = conf.specifiers.find(_.name == name)
-              .getOrElse(SpecifierConf(name))
+            val sp = conf.specifiers.find(_.name == name).getOrElse {
+              // a typo'd name must not silently push with default
+              // method/token; only a config with NO specifier list at all
+              // may fall back to defaults for an ad-hoc name
+              if (conf.specifiers.nonEmpty)
+                throw new IllegalArgumentException(
+                  s"unknown specifier '$name': configured specifiers are " +
+                    conf.specifiers.map(_.name).mkString(", "))
+              SpecifierConf(name)
+            }
             runPush(spark, conf, sp.name, sp.method, sp.token)
             Seq(sp.name)
           case None => runPushAll(spark, conf)

@@ -5,14 +5,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Shared universal-hash family for MinHash (hᵢ = (aᵢ·h + bᵢ) mod p over a
   * 60-bit md5 base hash reduced mod p): ONE definition consumed by the
-  * columnar signature path (`queries.Similarity`), this aggregate, and the
-  * generated DuckDB oracle SQL — every consumer must produce identical
-  * values. */
+  * columnar signature path (`queries.Similarity`), the sketch aggregates,
+  * and the generated DuckDB oracle SQL — every consumer must produce
+  * identical values. */
 object MinHashFamily {
   val K = 12
   val P = 1000000007L
@@ -20,43 +20,17 @@ object MinHashFamily {
   val B: IndexedSeq[Long] = (1 to K).map(i => (i * 40503L * 65537L) % P)
 }
 
-/** k-min MinHash sketch as a `TypedImperativeAggregate[Array[Long]]` — the
-  * mutable-buffer custom-aggregate lane (SURVEY §2B UDAF surface; the
-  * guide's sketch pattern). Input: the pre-hashed shingle (`h60(s) mod p`,
-  * a LongType column); buffer: the running k minima; merge: elementwise min
-  * (associative + commutative ⇒ map-side partial aggregation applies, so a
-  * group's sketch costs one pass at any scale). Output: array<long> of the
-  * k minima — a mergeable set signature whose agreement rate estimates
-  * Jaccard between groups.
-  */
-case class MinHashSketch(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+/** Buffer, merge, eval and serde shared by the two k-min sketch aggregates
+  * — the invariant `minhash_sketch ≡ minhash_sketch_merge` (MinHashAggSpec)
+  * depends on this logic existing exactly once; only `update` differs. */
+sealed trait MinHashSketchLike extends TypedImperativeAggregate[Array[Long]] {
   import MinHashFamily._
 
-  override def prettyName: String = "minhash_sketch"
-  override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(K)(Long.MaxValue)
-
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var i = 0
-      while (i < K) {
-        val m = (A(i) * h + B(i)) % P
-        if (m < buf(i)) buf(i) = m
-        i += 1
-      }
-    }
-    buf
-  }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
@@ -75,6 +49,40 @@ case class MinHashSketch(
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
     Array.fill(K)(bb.getLong)
+  }
+}
+
+/** k-min MinHash sketch as a `TypedImperativeAggregate[Array[Long]]` — the
+  * mutable-buffer custom-aggregate lane (SURVEY §2B UDAF surface; the
+  * guide's sketch pattern). Input: the pre-hashed shingle (`h60(s) mod p`,
+  * a LongType column); buffer: the running k minima; merge: elementwise min
+  * (associative + commutative ⇒ map-side partial aggregation applies, so a
+  * group's sketch costs one pass at any scale). Output: array<long> of the
+  * k minima — a mergeable set signature whose agreement rate estimates
+  * Jaccard between groups.
+  */
+case class MinHashSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends MinHashSketchLike {
+  import MinHashFamily._
+
+  override def prettyName: String = "minhash_sketch"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < K) {
+        val m = (A(i) * h + B(i)) % P
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+    }
+    buf
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): MinHashSketch =
@@ -98,17 +106,11 @@ case class MinHashSketchMerge(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends MinHashSketchLike {
   import MinHashFamily._
-  import org.apache.spark.sql.catalyst.util.ArrayData
 
   override def prettyName: String = "minhash_sketch_merge"
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(K)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -124,25 +126,6 @@ case class MinHashSketchMerge(
       }
     }
     buf
-  }
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < K) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
-    a
-  }
-
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
-
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * K)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    Array.fill(K)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): MinHashSketchMerge =

@@ -177,9 +177,13 @@ class RestScan(options: CaseInsensitiveStringMap,
     // cross-table budget: resolved DRIVER-side (this method runs on the
     // driver) so the accumulator rides the serialized factory into every
     // partition reader task
+    // lookup, NOT acquire: only the run owner (cli.runPull) registers the
+    // counter. A scan whose key has already been released (e.g. a plan
+    // re-executed after the run ended) must not re-register an accumulator
+    // nobody will ever read or release — that entry would be pinned in the
+    // registry forever.
     val budget = Option(options.get("budget_key")).filter(_.nonEmpty)
-      .map(k => RequestBudget.acquire(
-        org.apache.spark.sql.SparkSession.active, k))
+      .flatMap(RequestBudget.lookup)
     new RestReaderFactory(
       options.get("url"),
       options.getInt("limit", 1000),
@@ -276,7 +280,16 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
       buffer = objs.iterator
       nextUrl =
         if (objs.isEmpty) None
-        else if (usesIndexedOn) {
+        else if (usesIndexedOn && orderBy.isEmpty) {
+          // No server-side order_by (the `action_times` shape): the page
+          // stream carries NO ordering guarantee, so a keyset restart from
+          // the last row's timestamp could exclude unfetched rows that sort
+          // earlier than it. The only sound continuation is the server's
+          // own meta.next — exactly how the reference progresses this table
+          // (CommCareAPIHandler.py:231 follows meta.next; :193-199 omits
+          // order_by for action_times).
+          metaNext
+        } else if (usesIndexedOn) {
           // R2 keyset: restart at the LAST row's indexed_on with >= —
           // faithful to CommCareAPIHandler.py:229-240 incl. duplicate
           // boundary rows (deduped downstream). "More pages remain" follows

@@ -125,4 +125,25 @@ class CliSpec extends SparkSpec {
     })
     assert(res === Map("t4" -> 7L, "t5" -> 7L))
   }
+
+  test("explicit null max_total_requests means NO budget, not a zero budget") {
+    val c = Main.parseConf(
+      """{"operation_type": "cc_to_s3", "max_total_requests": null,
+        | "tables": [{"name": "t1"}]}""".stripMargin)
+    assert(c.maxTotalRequests === None)
+    // and the run proceeds instead of aborting at '0 of 0'
+    assert(Main.runPull(spark, c, (_, _, _) => 3L) === Map("t1" -> 3L))
+  }
+
+  test("typo'd push specifier fails loudly instead of pushing with defaults") {
+    val conf = Main.parseConf(
+      """{"operation_type": "s3_to_cc", "landing_dir": "/tmp/none",
+        | "endpoint": "http://localhost:9/api",
+        | "specifiers": [{"name": "alpha", "method": "PATCH", "auth_token": "a:tok"}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Main.dispatch(spark, conf, specifierArg = Some("alhpa"))
+    }
+    assert(e.getMessage.contains("unknown specifier 'alhpa'"))
+    assert(e.getMessage.contains("alpha"))
+  }
 }

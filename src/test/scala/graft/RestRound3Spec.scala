@@ -239,4 +239,61 @@ class RestRound3Spec extends SparkSpec {
       assert(uris.size === 3)
     } finally server.stop(0)
   }
+
+  /** Server for the UNORDERED regime (`action_times` sends no order_by, so
+    * the server pages in its own storage order): timestamps are NOT
+    * monotone across pages — page 1 ends at a LATER timestamp than rows on
+    * page 2. Progress must come from meta.next; a keyset restart from page
+    * 1's last timestamp would silently exclude those earlier rows. */
+  private def unorderedServe(f: (String, ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val uris = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def base: String = s"http://localhost:${server.getAddress.getPort}/api"
+    // storage order: minute 9, 1, 7, 2, 5 — pageSize 2
+    val order = Seq(9, 1, 7, 2, 5)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        uris.add(ex.getRequestURI.toString)
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val offset = q.split("&").collectFirst {
+          case kv if kv.startsWith("offset=") => kv.drop(7).toInt
+        }.getOrElse(0)
+        val page = order.slice(offset, offset + 2).map { m =>
+          val ts = f"2024-01-01T00:$m%02d:00.000000Z"
+          s"""{"id": $m, "indexed_on": "$ts", "UTC_start_time": "$ts"}"""
+        }
+        val next =
+          if (offset + 2 < order.size) s""""$base?offset=${offset + 2}"""" else "null"
+        val body =
+          s"""{"meta": {"limit": 2, "next": $next, "total_count": ${order.size}},
+             | "objects": [${page.mkString(",")}]}""".stripMargin
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(base, uris)
+    finally server.stop(0)
+  }
+
+  test("action_times (no order_by): pagination follows meta.next, never a " +
+    "keyset restart — unordered pages lose no rows (CommCareAPIHandler.py:231)") {
+    unorderedServe { (url, uris) =>
+      val reader = spark.read.format("graft-rest")
+        .option("url", url).option("limit", "2")
+      RestEnvelopeSource.tableOptions("action_times").foreach {
+        case (k, v) => reader.option(k, v)
+      }
+      val ids = reader.load().select($"id").as[Long].collect().sorted
+      // minute-1 and minute-2 rows sort BEFORE page 1's last timestamp
+      // (minute 9 is first in storage order): a keyset restart would have
+      // dropped them; meta.next delivers all five exactly once
+      assert(ids.toSeq === Seq(1L, 2L, 5L, 7L, 9L))
+      // and no restart-window params were invented mid-scan: every follow-up
+      // request is the server's own offset continuation
+      assert(uris.toArray(Array.empty[String]).count(_.contains("offset=")) === 2)
+    }
+  }
 }
