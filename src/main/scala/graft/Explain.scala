@@ -27,7 +27,8 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("q01_scan_filter_project", "q07_join_3way", "q08_broadcast_join",
         "q11_hash_agg", "q16_global_topk", "q24_lsh_pairs", "q25_embed_neardup",
-        "q25_ivf_topk", "q26_cc_clusters")
+        "q25_ivf_topk", "q26_cc_clusters", "q26_semantic_dedup", "q35_pack",
+        "q36_scd2")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
