@@ -9,12 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val builder = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val builder = GraftSession.builder("4")
     // SPARK_GRAFT_NO_BROADCAST=1: preview the at-scale plan shape — with
     // test-SF inputs every join side fits under the broadcast threshold,
     // which hides the SMJ/shuffle structure a 100 TB run would use.

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ONE definition of the session configuration every graft entry point
+  * shares — Verify, Bench, Explain, QTime and the CLI previously each
+  * repeated the same five conf lines, and a conf dropped from one of them
+  * (e.g. `nanosAsLong`, required before any `events.parquet` scan) is the
+  * kind of drift a round-2 review actually had to chase. Extras that are
+  * genuinely per-main (bench's concurrent writers, Explain's
+  * no-broadcast preview) layer on top of the returned builder.
+  *
+  * Conf notes:
+  *  - `shuffle.partitions` = core count, not the 200 default — at test SF
+  *    a 200-way shuffle is pure task-scheduling overhead; a real cluster
+  *    deployment overrides BOTH master and this value.
+  *  - `nanosAsLong`: the fixture `events.parquet` carries
+  *    TIMESTAMP(NANOS), which Spark reads only as raw longs; set at
+  *    session build (NOT mutated later — plan-build-time conf mutation was
+  *    a round-2 finding).
+  *  - `outputTimestampType=TIMESTAMP_MICROS`: written parquet carries the
+  *    same unit DuckDB reads, keeping the oracle compare unit-exact.
+  *  - [[graft.functions.GraftExtensions]] injects the custom expressions
+  *    (dotf, the minhash sketch aggregates) so plain `spark.sql` sees them
+  *    with no imperative register call.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .withExtensions(new graft.functions.GraftExtensions)
+
+  /** Env-driven convenience used by the tool mains. */
+  def build(defaultCpus: String = "32"): SparkSession = {
+    val spark = builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** SQL-first entry: register every testdata table of `dir` as a temp
+    * view (events through its nanos→micros normalization) plus all custom
+    * functions, so a user can drive the whole engine from `spark.sql(...)`
+    * — the shape a Snowflake-SQL user of the reference would reach for
+    * first. Idempotent; returns the same session for chaining. */
+  def openSql(spark: SparkSession, dir: String): SparkSession = {
+    graft.functions.GraftFunctions.register(spark)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      graft.core.Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    graft.core.Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark
+  }
+}

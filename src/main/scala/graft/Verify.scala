@@ -6,18 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long + truncate (Tables.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // write micros (not INT96) so the driver's reader sees the same unit as DuckDB
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
     // Spark TimestampType is instant-semantics and lands in parquet as
     // UTC-adjusted; DuckDB's TIMESTAMP is naive. Same wall-clock (session

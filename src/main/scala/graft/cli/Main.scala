@@ -190,13 +190,11 @@ object Main {
     require(args.length >= 1, "usage: graft.cli.Main <config.json> [specifier]")
     val conf = parseConf(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8"))
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // a real deployment points SPARK_MASTER at the cluster manager; every
+      // other conf in the shared builder still applies there
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     try dispatch(spark, conf, if (args.length > 1) Some(args(1)) else None)
     finally spark.stop()

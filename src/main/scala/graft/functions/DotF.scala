@@ -82,10 +82,14 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
 
 /** Session-scoped registration of graft's custom Catalyst expressions. */
 object GraftFunctions {
-  /** Idempotent: createOrReplaceTempFunction overwrites in place. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent: createOrReplaceTempFunction overwrites in place. Registers
+    * the WHOLE custom surface (dotf + both minhash sketch aggregates) so a
+    * caller never sees a session with half the functions. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotf", exprs => DotF(exprs(0), exprs(1)), "built-in")
+    MinHashSketch.register(spark)
+  }
 }
 
 /** `SparkSessionExtensions` hook — the deployment-grade registration path:
@@ -107,5 +111,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DotF].getName, "dotf"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotF(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSketch(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sketch_merge"),
+      new ExpressionInfo(classOf[MinHashSketchMerge].getName, "minhash_sketch_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSketchMerge(exprs.head).toAggregateExpression()))
   }
 }
