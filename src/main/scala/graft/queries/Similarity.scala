@@ -188,11 +188,20 @@ object Similarity {
     mins.mkString("[", ", ", "]")
   }
 
-  /** Per-doc band keys: md5 of the band's 3 concatenated min-hashes.
-    * Unsorted — callers add their own output ordering. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    docsWithShingles(spark, dir)
-      .withColumn("hs", expr(hsSpark))
+  /** Shingles over ANY frame carrying (doc_id, text) — the dir-less form
+    * the streaming near-dup detector shares with the batch lanes (same
+    * ≥3-token guard; see docsWithShingles). */
+  private[graft] def shingledFrame(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(shinglesSpark))
+
+  /** Band keys of any frame carrying (doc_id, sh): md5 of each band's 3
+    * concatenated min-hashes. ONE definition of the banding arithmetic —
+    * batch lanes, their DuckDB oracles, and the streaming detector must
+    * produce identical keys. Unsorted — callers add output ordering. */
+  private[graft] def bandKeysOf(d: DataFrame): DataFrame =
+    d.withColumn("hs", expr(hsSpark))
       .withColumn("sig", expr(sigSpark))
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${BANDS - 1}), b -> struct(
@@ -200,6 +209,10 @@ object Similarity {
            |  md5(concat_ws(',', element_at(sig, 3*b+1), element_at(sig, 3*b+2),
            |                     element_at(sig, 3*b+3))) AS band_key))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
+  /** Per-doc band keys of the documents table. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandKeysOf(docsWithShingles(spark, dir))
 
   def q24MinhashSig(spark: SparkSession, dir: String): DataFrame =
     minhashBands(spark, dir).orderBy(col("doc_id"), col("band_id"))

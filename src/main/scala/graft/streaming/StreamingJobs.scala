@@ -108,4 +108,54 @@ object StreamingJobs {
         })(Encoders.product[UserState], Encoders.product[UserUpdate])
       .toDF()
   }
+
+  /** Q29c: STREAMING near-dup detection over a documents stream — the
+    * online form of the q24_lsh_pairs batch candidate generator, for
+    * dedup-at-ingest (skip a doc before it ever lands). Each arriving
+    * doc's MinHash band keys (identical arithmetic to the batch lane —
+    * `Similarity.bandKeysOf` is the ONE definition) probe per-band-key
+    * state; a doc sharing ANY band with an earlier doc emits a hit naming
+    * the band and the key's first holder. Hits are candidates (same
+    * contract as the batch lane: banding over-generates; a downstream
+    * verifier confirms) — a doc with no hit is a guaranteed non-dup at
+    * banding granularity.
+    *
+    * Scale shape: the stream shuffles once on band_key; state is ONE long
+    * per distinct band key, RocksDB-backed on a real cluster. State is
+    * corpus-lifetime BY DESIGN (dedup horizon = forever); bounding it is a
+    * policy choice — swap NoTimeout for ProcessingTimeTimeout to expire
+    * keys and narrow the horizon. Within one micro-batch, docs are
+    * processed in doc_id order so re-runs are deterministic. */
+  final case class BandState(firstDoc: Long)
+  final case class NearDupHit(doc_id: Long, band_id: Int, dup_of: Long)
+
+  def streamingNearDup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val bands = graft.queries.Similarity
+      .bandKeysOf(graft.queries.Similarity.shingledFrame(docs))
+      .select(col("band_key"), col("doc_id"), col("band_id"))
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))(
+        Encoders.product[(String, Long, Int)])
+    bands
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[(String, Long, Int)],
+         state: GroupState[BandState]) => {
+          val sorted = rows.toSeq.sortBy(_._2)
+          var first = state.getOption.map(_.firstDoc)
+          val hits = Seq.newBuilder[NearDupHit]
+          sorted.foreach { case (_, doc, bandId) =>
+            first match {
+              case None          => first = Some(doc)
+              case Some(f) if f != doc => hits += NearDupHit(doc, bandId, f)
+              case _             => () // same doc re-delivered: no self-hit
+            }
+          }
+          first.foreach(f => state.update(BandState(f)))
+          hits.result().iterator
+        })(Encoders.product[BandState], Encoders.product[NearDupHit])
+      .toDF()
+  }
 }

@@ -123,4 +123,54 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq === Seq(10L, 11L, 12L))
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("Q29c: streaming near-dup flags a later duplicate against the first holder") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = StreamingJobs.streamingNearDup(src.toDF())
+      .writeStream.format("memory").queryName("q29c_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val b = "completely different content with no shared shingles at all here"
+      src.addData(Doc(1, a), Doc(2, b))
+      q.processAllAvailable()
+      // first holders: no hits yet
+      assert(spark.table("q29c_out").count() === 0)
+      // an exact duplicate of doc 1 arrives in a LATER micro-batch; its
+      // identical signature collides on every band, each naming doc 1
+      src.addData(Doc(7, a))
+      q.processAllAvailable()
+      val hits = spark.table("q29c_out")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect()
+      assert(hits.nonEmpty && hits.forall(_ == ((7L, 1L))))
+      // a short doc (< 3 tokens) produces no bands and no state — and a
+      // fresh unique doc stays hit-less (a mostly-overlapping suffix
+      // extension of b would legitimately collide: that IS a near-dup)
+      src.addData(Doc(8, "too short"), Doc(9, "entirely fresh words that overlap nothing from before in any shingle"))
+      q.processAllAvailable()
+      val all = spark.table("q29c_out").select($"doc_id").as[Long].collect().toSet
+      assert(all === Set(7L))
+    } finally q.stop()
+  }
+
+  test("Q29c: within one micro-batch the smallest doc_id becomes the holder") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = StreamingJobs.streamingNearDup(src.toDF())
+      .writeStream.format("memory").queryName("q29c_batch_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t = "one shared text body repeated across three concurrent documents"
+      src.addData(Doc(30, t), Doc(10, t), Doc(20, t))
+      q.processAllAvailable()
+      val hits = spark.table("q29c_batch_out")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet.toSeq.sorted
+      // deterministic: 10 holds every band; 20 and 30 are flagged against it
+      assert(hits.map(_._2).forall(_ == 10L))
+      assert(hits.map(_._1).toSet === Set(20L, 30L))
+    } finally q.stop()
+  }
 }
