@@ -112,6 +112,79 @@ object Ingest {
   def readBronzeDeduped(spark: SparkSession, bronzeDir: String, key: String): DataFrame =
     spark.read.parquet(bronzeDir).dropDuplicates(Seq(key))
 
+  final case class CompactionReport(partitions: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Bronze COMPACTION — the operational counterpart of R8's append-only
+    * partitioned sink: every incremental run appends its own files, so a
+    * partition accretes one small file per run and at 100 TB millions of
+    * KB-scale files dominate list/open cost. Partitions holding ≥
+    * `minFiles` part-files are rewritten size-targeted (the same
+    * `recordsPerFile` policy the writer uses) in ONE distributed job —
+    * partition values ride the directory layout via `basePath`, the
+    * rewrite shuffles once on the partition columns (one task per
+    * oversized partition), and each leaf's files are then swapped in
+    * place. Steady-state partitions below the threshold are never churned.
+    *
+    * Durability note: the per-leaf swap (delete olds, move news) is atomic
+    * per rename on a real filesystem but not transactional across leaves —
+    * a reader racing the swap can see a partition mid-rewrite. That is the
+    * append-only-parquet trade-off; a table format (Delta/Iceberg) makes
+    * the swap a metadata commit and is the production choice when readers
+    * are concurrent. Rows are preserved bit-for-bit (spec-checked).
+    */
+  def compactBronze(spark: SparkSession, bronzeDir: String, minFiles: Int = 4,
+                    avgRowBytes: Double = 512.0): CompactionReport = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(bronzeDir)
+    if (!Files.isDirectory(root)) return CompactionReport(0, 0, 0)
+    def partsOf(d: Path): Seq[Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.toSeq
+      finally s.close()
+    }
+    val walk = Files.walk(root)
+    val leaves =
+      try walk.iterator().asScala.filter(Files.isDirectory(_))
+        .map(d => d -> partsOf(d)).filter(_._2.size >= minFiles).toSeq
+      finally walk.close()
+    if (leaves.isEmpty) return CompactionReport(0, 0, 0)
+    val partCols = root.relativize(leaves.head._1).toString.split("/")
+      .filter(_.contains("=")).map(_.split("=")(0)).toSeq
+    val staging = Files.createTempDirectory("graft_compact").toString
+    spark.read.option("basePath", bronzeDir)
+      .parquet(leaves.map(_._1.toString): _*)
+      .repartition(leaves.size, partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", ApiLimitCalculator.recordsPerFile(avgRowBytes))
+      .partitionBy(partCols: _*)
+      .parquet(staging)
+    var after = 0
+    leaves.foreach { case (leaf, olds) =>
+      val stagedLeaf = Paths.get(staging).resolve(root.relativize(leaf))
+      require(Files.isDirectory(stagedLeaf),
+        s"compaction staging missed partition ${root.relativize(leaf)}")
+      val news = partsOf(stagedLeaf)
+      // swap: drop the olds (and their local-FS checksum shadows), move the
+      // news in under their own names — no name collision possible
+      olds.foreach { f =>
+        Files.delete(f)
+        val crc = f.getParent.resolve("." + f.getFileName.toString + ".crc")
+        Files.deleteIfExists(crc)
+      }
+      news.foreach { f =>
+        Files.move(f, leaf.resolve(f.getFileName))
+        val crc = f.getParent.resolve("." + f.getFileName.toString + ".crc")
+        if (Files.exists(crc)) Files.move(crc, leaf.resolve(crc.getFileName))
+      }
+      after += news.size
+    }
+    CompactionReport(leaves.size, leaves.map(_._2.size).sum, after)
+  }
+
   /** Streaming form of the Q30 slice: watch the landing directory as a
     * file stream, explode envelopes, write hour-partitioned bronze with a
     * checkpoint. The checkpoint IS the watermark state (R5) — restart

@@ -142,4 +142,42 @@ class IngestSpec extends SparkSpec {
     assert(ApiLimitCalculator.newLimit(1000, 1024) === 10000)
     assert(ApiLimitCalculator.recordsPerFile(512.0) === (16_000_000L / 2 / 512))
   }
+
+  test("compactBronze merges accreted small files, preserves rows, skips steady partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bronze = java.nio.file.Files.createTempDirectory("graft_compact_t").toString + "/b"
+    // 5 append runs → every touched partition accretes ≥5 part-files
+    (0 until 5).foreach { run =>
+      val df = (0 until 200).map { i =>
+        (run * 1000L + i, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 2}%02d:00:00"), s"v$run-$i")
+      }.toDF("event_id", "ts", "payload")
+      Ingest.writeBronze(df, bronze, tsCol = "ts", writeTasks = Some(2))
+    }
+    def partFiles: Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(bronze)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    val before = spark.read.parquet(bronze)
+      .select($"event_id", $"payload").as[(Long, String)].collect().toSet
+    val nBefore = partFiles.size
+    assert(nBefore >= 10) // 2 hour-partitions × 5 runs
+
+    val report = Ingest.compactBronze(spark, bronze, minFiles = 4)
+    assert(report.partitions === 2)
+    assert(report.filesBefore === nBefore)
+    assert(report.filesAfter < nBefore)
+    assert(partFiles.size === report.filesAfter)
+    // rows bit-identical through the rewrite, partition pruning intact
+    val after = spark.read.parquet(bronze)
+      .select($"event_id", $"payload").as[(Long, String)].collect().toSet
+    assert(after === before)
+    assert(spark.read.parquet(bronze).filter($"hour" === 1).count() === before.size / 2)
+
+    // steady state: nothing left over the threshold — second pass no-ops
+    assert(Ingest.compactBronze(spark, bronze, minFiles = 4) ===
+      Ingest.CompactionReport(0, 0, 0))
+  }
 }
