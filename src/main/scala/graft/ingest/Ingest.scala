@@ -125,11 +125,16 @@ object Ingest {
     * oversized partition), and each leaf's files are then swapped in
     * place. Steady-state partitions below the threshold are never churned.
     *
-    * Durability note: the per-leaf swap (delete olds, move news) is atomic
-    * per rename on a real filesystem but not transactional across leaves —
-    * a reader racing the swap can see a partition mid-rewrite. That is the
-    * append-only-parquet trade-off; a table format (Delta/Iceberg) makes
-    * the swap a metadata commit and is the production choice when readers
+    * Durability: news move in FIRST, olds are deleted after — a crash
+    * mid-swap leaves a duplicate window, never a loss window, and
+    * [[readBronzeDeduped]] already tolerates duplicates by design
+    * (at-least-once + dedup-on-read). A leaf that gained files between the
+    * planning snapshot and the swap (a concurrent append) is skipped
+    * entirely — compacting it would double the newly-appended rows.
+    * Staging lives in a sibling of `bronzeDir` (same filesystem: moves are
+    * renames, not copies) and is removed in a finally. The swap is still
+    * not transactional ACROSS leaves — a table format (Delta/Iceberg)
+    * makes it a metadata commit and is the production choice when readers
     * are concurrent. Rows are preserved bit-for-bit (spec-checked).
     */
   def compactBronze(spark: SparkSession, bronzeDir: String, minFiles: Int = 4,
@@ -154,35 +159,56 @@ object Ingest {
     if (leaves.isEmpty) return CompactionReport(0, 0, 0)
     val partCols = root.relativize(leaves.head._1).toString.split("/")
       .filter(_.contains("=")).map(_.split("=")(0)).toSeq
-    val staging = Files.createTempDirectory("graft_compact").toString
-    spark.read.option("basePath", bronzeDir)
-      .parquet(leaves.map(_._1.toString): _*)
-      .repartition(leaves.size, partCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", ApiLimitCalculator.recordsPerFile(avgRowBytes))
-      .partitionBy(partCols: _*)
-      .parquet(staging)
-    var after = 0
-    leaves.foreach { case (leaf, olds) =>
-      val stagedLeaf = Paths.get(staging).resolve(root.relativize(leaf))
-      require(Files.isDirectory(stagedLeaf),
-        s"compaction staging missed partition ${root.relativize(leaf)}")
-      val news = partsOf(stagedLeaf)
-      // swap: drop the olds (and their local-FS checksum shadows), move the
-      // news in under their own names — no name collision possible
-      olds.foreach { f =>
-        Files.delete(f)
-        val crc = f.getParent.resolve("." + f.getFileName.toString + ".crc")
-        Files.deleteIfExists(crc)
+    // sibling staging: same filesystem as the data, so the swap's moves are
+    // metadata renames (a /tmp staging would copy every byte cross-device)
+    val staging = Files.createTempDirectory(root.getParent, ".graft_compact_")
+    try {
+      spark.read.option("basePath", bronzeDir)
+        .parquet(leaves.map(_._1.toString): _*)
+        // range partitioning gives the one-leaf-per-task shape; a plain
+        // hash repartition would birthday-collide distinct leaves into
+        // shared tasks and leave others empty
+        .repartitionByRange(leaves.size, partCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", ApiLimitCalculator.recordsPerFile(avgRowBytes))
+        .partitionBy(partCols: _*)
+        .parquet(staging.toString)
+      var done = 0; var before = 0; var after = 0
+      leaves.foreach { case (leaf, olds) =>
+        val stagedLeaf = staging.resolve(root.relativize(leaf))
+        require(Files.isDirectory(stagedLeaf),
+          s"compaction staging missed partition ${root.relativize(leaf)}")
+        if (partsOf(leaf).toSet != olds.toSet) {
+          // concurrent append since planning: the staged rewrite may not
+          // cover (or may double) the new file's rows — leave this leaf for
+          // the next compaction pass
+          System.err.println(s"[compact] skipping ${root.relativize(leaf)}: " +
+            "files changed since planning (concurrent append)")
+        } else {
+          val news = partsOf(stagedLeaf)
+          // news FIRST (unique job-UUID names — no collision with olds),
+          // olds after: a crash between the two loops duplicates, never
+          // loses; local-FS checksum shadows travel/die with their files
+          news.foreach { f =>
+            Files.move(f, leaf.resolve(f.getFileName))
+            val crc = f.getParent.resolve("." + f.getFileName.toString + ".crc")
+            if (Files.exists(crc)) Files.move(crc, leaf.resolve(crc.getFileName))
+          }
+          olds.foreach { f =>
+            Files.delete(f)
+            val crc = f.getParent.resolve("." + f.getFileName.toString + ".crc")
+            Files.deleteIfExists(crc)
+          }
+          done += 1; before += olds.size; after += news.size
+        }
       }
-      news.foreach { f =>
-        Files.move(f, leaf.resolve(f.getFileName))
-        val crc = f.getParent.resolve("." + f.getFileName.toString + ".crc")
-        if (Files.exists(crc)) Files.move(crc, leaf.resolve(crc.getFileName))
-      }
-      after += news.size
+      CompactionReport(done, before, after)
+    } finally {
+      val w = Files.walk(staging)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
-    CompactionReport(leaves.size, leaves.map(_._2.size).sum, after)
   }
 
   /** Streaming form of the Q30 slice: watch the landing directory as a

@@ -50,10 +50,7 @@ object Similarity {
     * the identical filter, so every q24 output is bit-equal on all
     * corpora — short docs included. */
   private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(shinglesSpark))
+    shingledFrame(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("sh"))
 
   // --- Q24a: exact n-gram Jaccard pairs via inverted shingle index ---------

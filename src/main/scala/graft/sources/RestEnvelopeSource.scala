@@ -287,7 +287,16 @@ class RestPartitionReader(url: String, limit: Int, usesIndexedOn: Boolean,
           // earlier than it. The only sound continuation is the server's
           // own meta.next — exactly how the reference progresses this table
           // (CommCareAPIHandler.py:231 follows meta.next; :193-199 omits
-          // order_by for action_times).
+          // order_by for action_times). A FULL page with no continuation is
+          // ambiguous — possibly-more-rows with no sound way to fetch them —
+          // and silent truncation is the one outcome this reader never
+          // allows (same philosophy as the stuck-keyset guard below).
+          if (metaNext.isEmpty && objs.size >= limit)
+            throw new IllegalStateException(
+              s"unordered pagination cannot continue: a full page of ${objs.size} " +
+                "rows arrived with no meta.next continuation and no order_by to " +
+                "drive a keyset restart; the server must provide envelope " +
+                "continuations for this table shape")
           metaNext
         } else if (usesIndexedOn) {
           // R2 keyset: restart at the LAST row's indexed_on with >= —

@@ -138,10 +138,13 @@ object StreamingJobs {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))(
         Encoders.product[(String, Long, Int)])
     bands
-      .groupByKey(_._1)(Encoders.STRING)
+      // state key = (band_id, band_key), matching the batch lane's pairing
+      // key exactly — band_key alone would conflate same-key-different-band
+      // coincidences the batch lane never pairs
+      .groupByKey(r => (r._3, r._1))(Encoders.product[(Int, String)])
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: String, rows: Iterator[(String, Long, Int)],
+        (_: (Int, String), rows: Iterator[(String, Long, Int)],
          state: GroupState[BandState]) => {
           val sorted = rows.toSeq.sortBy(_._2)
           var first = state.getOption.map(_.firstDoc)

@@ -296,4 +296,21 @@ class RestRound3Spec extends SparkSpec {
       assert(uris.toArray(Array.empty[String]).count(_.contains("offset=")) === 2)
     }
   }
+
+  test("action_times: a FULL page with no meta.next fails loudly (silent " +
+    "truncation is never allowed on the unordered path)") {
+    // recordingServe sends n rows with meta.next=null; limit == n makes the
+    // page full — possibly-more-rows with no sound continuation
+    recordingServe(n = 4) { (url, _) =>
+      val reader = spark.read.format("graft-rest")
+        .option("url", url).option("limit", "4")
+      RestEnvelopeSource.tableOptions("action_times").foreach {
+        case (k, v) => reader.option(k, v)
+      }
+      val e = intercept[Exception] { reader.load().count() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).mkString("\n").contains("unordered pagination cannot continue"))
+    }
+  }
 }
