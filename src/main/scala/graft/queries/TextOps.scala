@@ -152,6 +152,54 @@ object TextOps {
       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // --- Q23c': quality FILTER VERDICT — the C4/Gopher-style decision lane ---
+  // Scoring (q23_quality) answers "how good"; this answers "in or out and
+  // WHY": rule chain too_short → repetitive → low_ttr → low_stopword, the
+  // first failed rule named so corpus triage can histogram drop reasons.
+  // All metrics share their single definitions (qualityScored, the
+  // repetition n-gram builder) — thresholds are the only new code. Entirely
+  // row-local: scan-speed at 100 TB, and the reason histogram downstream is
+  // one tiny hash agg.
+  def q23FilterVerdict(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
+      .withColumn("g3", expr(ngramExpr(3)))
+      .withColumn("dup3", expr(
+        "1.0 - CAST(size(array_distinct(g3)) AS DOUBLE) / CAST(nullif(size(g3), 0) AS DOUBLE)"))
+      .withColumn("reason",
+        when(col("n_toks") < 25, "too_short")
+          .when(col("dup3") > 0.10, "repetitive")
+          .when(col("ttr") < 0.33, "low_ttr")
+          .when(col("stop_ratio") < 0.01, "low_stopword"))
+      .withColumn("keep", col("reason").isNull)
+      .select(col("doc_id"), col("n_toks"), col("ttr"), col("stop_ratio"),
+        col("dup3"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+
+  val q23FilterVerdictSql: String =
+    s"""SELECT doc_id, n_toks, ttr, stop_ratio, dup3,
+       |  (CASE WHEN n_toks < 25 THEN 'too_short'
+       |        WHEN dup3 > 0.10 THEN 'repetitive'
+       |        WHEN ttr < 0.33 THEN 'low_ttr'
+       |        WHEN stop_ratio < 0.01 THEN 'low_stopword' END) IS NULL AS keep,
+       |  CASE WHEN n_toks < 25 THEN 'too_short'
+       |       WHEN dup3 > 0.10 THEN 'repetitive'
+       |       WHEN ttr < 0.33 THEN 'low_ttr'
+       |       WHEN stop_ratio < 0.01 THEN 'low_stopword' END AS reason
+       |FROM (
+       |  SELECT doc_id, n_toks,
+       |    CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stop_ratio,
+       |    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+       |      / CAST(nullif(len(g3), 0) AS DOUBLE) AS dup3
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(toks) AS BIGINT) AS n_toks,
+       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       |      CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop,
+       |      ${ngramDuck(3)} AS g3
+       |    FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
   // --- Q23d: token counting (whitespace + BPE-ish regex lanes) -------------
   def q23TokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -303,6 +351,7 @@ object TextOps {
     "q23_top_terms"       -> (q23TopTerms _),
     "q23_lang_id"         -> (q23LangId _),
     "q23_quality"         -> (q23Quality _),
+    "q23_filter_verdict"  -> (q23FilterVerdict _),
     "q23_token_count"     -> (q23TokenCount _),
     "q23_fingerprint"     -> (q23Fingerprint _),
     "q23_repetition"      -> (q23Repetition _),
@@ -314,6 +363,7 @@ object TextOps {
     "q23_top_terms"       -> q23TopTermsSql,
     "q23_lang_id"         -> q23LangIdSql,
     "q23_quality"         -> q23QualitySql,
+    "q23_filter_verdict"  -> q23FilterVerdictSql,
     "q23_token_count"     -> q23TokenCountSql,
     "q23_fingerprint"     -> q23FingerprintSql,
     "q23_repetition"      -> q23RepetitionSql,

@@ -58,7 +58,7 @@ class ShortInputSpec extends SparkSpec {
       "q23_fingerprint", "q23_chunks", "q23_tfidf", "q33_hash_sample",
       "q33_split_assign", "q33_balanced_cap", "q33_mixture",
       "q32_media_meta", "q32_frame_sample", "q32_embed_stub", "q32_resize_plan",
-      "q33_resample", "q35_pack", "q26_quality_survivors")
+      "q33_resample", "q35_pack", "q26_quality_survivors", "q23_filter_verdict")
     lanes.foreach { name =>
       withClue(s"$name on short docs: ") {
         assert(SparkEntry.queries(name)(spark, dir).count() >= 0L)
