@@ -116,19 +116,25 @@ object TextOps {
       .withColumn("quality",
         lit(0.4) * col("len_score") + lit(0.3) * col("ttr") + lit(0.3) * col("stop_ratio"))
 
-  /** DuckDB twin of [[qualityScored]] restricted to (doc_id, quality) — a
-    * CTE body both oracle SQLs embed. */
-  private[queries] val qualityScoredDuck: String =
-    """SELECT doc_id,
-      |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
-      |    + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE))
-      |    + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS quality
-      |FROM (
-      |  SELECT doc_id,
+  /** DuckDB twin of the token metrics every quality lane consumes — the
+    * ONE definition of tokenization + the stopword list on the oracle side
+    * (qualityScoredDuck, q23QualitySql, q23FilterVerdictSql all embed
+    * this); `toks` is retained for lanes that derive more (n-grams). */
+  private[queries] val textMetricsDuck: String =
+    """SELECT doc_id, toks,
       |    CAST(len(toks) AS BIGINT) AS n_toks,
       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
       |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop
-      |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))""".stripMargin
+      |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[qualityScored]] restricted to (doc_id, quality) — a
+    * CTE body both oracle SQLs embed. */
+  private[queries] val qualityScoredDuck: String =
+    s"""SELECT doc_id,
+      |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE))
+      |    + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS quality
+      |FROM ($textMetricsDuck)""".stripMargin
 
   def q23Quality(spark: SparkSession, dir: String): DataFrame =
     qualityScored(spark, dir)
@@ -137,19 +143,14 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val q23QualitySql: String =
-    """SELECT doc_id, n_toks, n_uniq, n_stop,
+    s"""SELECT doc_id, n_toks, n_uniq, n_stop,
       |  CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
       |  CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stop_ratio,
       |  least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) AS len_score,
       |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
       |    + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE))
       |    + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS quality
-      |FROM (
-      |  SELECT doc_id,
-      |    CAST(len(toks) AS BIGINT) AS n_toks,
-      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-      |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop
-      |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+      |FROM ($textMetricsDuck)
       |ORDER BY doc_id""".stripMargin
 
   // --- Q23c': quality FILTER VERDICT — the C4/Gopher-style decision lane ---
@@ -177,27 +178,20 @@ object TextOps {
 
   val q23FilterVerdictSql: String =
     s"""SELECT doc_id, n_toks, ttr, stop_ratio, dup3,
-       |  (CASE WHEN n_toks < 25 THEN 'too_short'
-       |        WHEN dup3 > 0.10 THEN 'repetitive'
-       |        WHEN ttr < 0.33 THEN 'low_ttr'
-       |        WHEN stop_ratio < 0.01 THEN 'low_stopword' END) IS NULL AS keep,
-       |  CASE WHEN n_toks < 25 THEN 'too_short'
-       |       WHEN dup3 > 0.10 THEN 'repetitive'
-       |       WHEN ttr < 0.33 THEN 'low_ttr'
-       |       WHEN stop_ratio < 0.01 THEN 'low_stopword' END AS reason
+       |  reason IS NULL AS keep, reason
        |FROM (
-       |  SELECT doc_id, n_toks,
-       |    CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
-       |    CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stop_ratio,
-       |    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
-       |      / CAST(nullif(len(g3), 0) AS DOUBLE) AS dup3
+       |  SELECT doc_id, n_toks, ttr, stop_ratio, dup3,
+       |    CASE WHEN n_toks < 25 THEN 'too_short'
+       |         WHEN dup3 > 0.10 THEN 'repetitive'
+       |         WHEN ttr < 0.33 THEN 'low_ttr'
+       |         WHEN stop_ratio < 0.01 THEN 'low_stopword' END AS reason
        |  FROM (
-       |    SELECT doc_id,
-       |      CAST(len(toks) AS BIGINT) AS n_toks,
-       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-       |      CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop,
-       |      ${ngramDuck(3)} AS g3
-       |    FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)))
+       |    SELECT doc_id, n_toks,
+       |      CAST(n_uniq AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+       |      CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stop_ratio,
+       |      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+       |        / CAST(nullif(len(g3), 0) AS DOUBLE) AS dup3
+       |    FROM (SELECT *, ${ngramDuck(3)} AS g3 FROM ($textMetricsDuck))))
        |ORDER BY doc_id""".stripMargin
 
   // --- Q23d: token counting (whitespace + BPE-ish regex lanes) -------------

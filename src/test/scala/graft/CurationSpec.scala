@@ -85,27 +85,37 @@ class CurationSpec extends SparkSpec {
   test("filter verdict: each rule fires on its crafted doc, priority order holds") {
     val d = Files.createTempDirectory("graft_fverdict").toString
     val stopless = (0 until 40).map(i => s"uniq$i").mkString(" ") // no stopwords
+    // pure low_ttr: 18 (low, high) pairs over 3 stopword-lows x 6 highs —
+    // 36 tokens, 9 distinct (ttr 0.25 < 0.33), every trigram window carries
+    // a unique (low, high) pair so dup3 = 0, stop_ratio 0.5
+    val lowTtr = (0 until 3).flatMap(a => (0 until 6).flatMap(b =>
+      Seq(Seq("the", "a", "of")(a), s"h$b"))).mkString(" ")
     val docs = Seq(
       (0L, "the a of and tiny", "en", "s", 1L),                    // too_short (n=5)
-      // 40 tokens, trigram 'x x x' repeated heavily -> repetitive
+      // 39 tokens (>= 25), trigram 'x x x' repeated heavily -> repetitive
       (1L, ("x " * 30).trim + " the a of and " + (0 until 5).map(i => s"u$i").mkString(" "), "en", "s", 1L),
-      // 40 tokens of 8 distinct words incl stopwords -> low_ttr (but dup3 also
-      // high -> repetitive wins by priority; assert that priority)
+      // 40 tokens of 8 distinct words incl stopwords: repetitive AND low_ttr
+      // both true -> the chain must pick repetitive (priority order)
       (2L, (0 until 40).map(i => Seq("the","a","of","and","w1","w2","w3","w4")(i % 8)).mkString(" "), "en", "s", 1L),
       (3L, stopless, "en", "s", 1L),                               // low_stopword
       // healthy: 40 distinct-ish tokens with stopwords sprinkled
-      (4L, (0 until 40).map(i => if (i % 6 == 0) "the" else s"tok$i").mkString(" "), "en", "s", 1L))
+      (4L, (0 until 40).map(i => if (i % 6 == 0) "the" else s"tok$i").mkString(" "), "en", "s", 1L),
+      (5L, lowTtr, "en", "s", 1L))                                 // low_ttr alone
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     val out = graft.queries.TextOps.q23FilterVerdict(spark, d)
-      .select($"doc_id", $"keep", $"reason")
-      .as[(Long, Boolean, Option[String])].collect().map(r => r._1 -> r).toMap
+      .select($"doc_id", $"keep", $"reason", $"ttr", $"dup3")
+      .as[(Long, Boolean, Option[String], Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
     assert(out(0L)._3 === Some("too_short"))
     assert(out(1L)._3 === Some("repetitive"))
-    assert(out(2L)._3.exists(Set("repetitive", "low_ttr"))) // both true: chain picks repetitive first
-    assert(out(2L)._3 === Some("repetitive"))
+    assert(out(2L)._3 === Some("repetitive")) // priority over its low ttr
     assert(out(3L)._3 === Some("low_stopword"))
-    assert(out(4L) === ((4L, true, None)))
+    assert(out(4L)._2 === true)
+    assert(out(4L)._3 === None)
+    // fixture preconditions stay loud: doc 5 fails ONLY the ttr rule
+    assert(out(5L)._4 < 0.33 && out(5L)._5.exists(_ <= 0.10))
+    assert(out(5L)._3 === Some("low_ttr"))
   }
 
   test("scd2: intervals chain per user and exactly one current row each") {
