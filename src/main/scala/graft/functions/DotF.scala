@@ -88,6 +88,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotf", exprs => DotF(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash12", exprs => MinHashSig(exprs.head), "built-in")
     MinHashSketch.register(spark)
   }
 }
@@ -111,6 +113,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DotF].getName, "dotf"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotF(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash12"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash12"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),

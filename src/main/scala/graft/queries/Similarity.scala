@@ -166,7 +166,9 @@ object Similarity {
   private val hashB: Seq[Long] = graft.functions.MinHashFamily.B
 
   /** Spark SQL: array of K universal min-hashes over the doc's shingles. */
-  private val sigSpark: String = {
+  // private[graft]: the MinHashSigSpec parity test proves minhash12 ≡ this
+  // reference formulation bit-for-bit
+  private[graft] val sigSpark: String = {
     val mins = (0 until K).map { i =>
       s"array_min(transform(hs, h -> (${hashA(i)}L * h + ${hashB(i)}L) % ${P}L))"
     }
@@ -197,15 +199,20 @@ object Similarity {
     * concatenated min-hashes. ONE definition of the banding arithmetic —
     * batch lanes, their DuckDB oracles, and the streaming detector must
     * produce identical keys. Unsorted — callers add output ordering. */
-  private[graft] def bandKeysOf(d: DataFrame): DataFrame =
+  private[graft] def bandKeysOf(d: DataFrame): DataFrame = {
+    // minhash12: ONE codegen'd pass over the base hashes; the sigSpark
+    // SQL formulation (12 interpreted array_min(transform) walks) is kept
+    // as the spec-checked reference formulation
+    graft.functions.GraftFunctions.register(d.sparkSession)
     d.withColumn("hs", expr(hsSpark))
-      .withColumn("sig", expr(sigSpark))
+      .withColumn("sig", expr("minhash12(hs)"))
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${BANDS - 1}), b -> struct(
            |  CAST(b AS INT) AS band_id,
            |  md5(concat_ws(',', element_at(sig, 3*b+1), element_at(sig, 3*b+2),
            |                     element_at(sig, 3*b+3))) AS band_key))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
 
   /** Per-doc band keys of the documents table. */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
@@ -241,7 +248,7 @@ object Similarity {
     // min over docs of per-doc minima = global minima).
     docsWithShingles(spark, dir)
       .withColumn("hs", expr(hsSpark))
-      .withColumn("sig", expr(sigSpark))
+      .withColumn("sig", expr("minhash12(hs)"))
       .groupBy(col("lang"))
       .agg(expr("minhash_sketch_merge(sig)").as("sketch"))
       // Serialized (not ARRAY): the driver's oracle pandas sort cannot hash

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+import graft.functions.GraftFunctions
+
+/** The codegen'd minhash12 Expression must be bit-identical to the SQL
+  * reference formulation (12 × array_min(transform(...))) — the band keys,
+  * the sketch aggregates, and the DuckDB oracle all assume ONE hash
+  * family. Runs both the codegen and interpreted paths. */
+class MinHashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ref = graft.queries.Similarity.sigSpark
+
+  test("minhash12 equals the 12-array_min reference formulation (incl. codegen)") {
+    GraftFunctions.register(spark)
+    // ragged arrays incl. single-element, duplicates, values near p
+    val rows = Seq(
+      Seq(17L), Seq(0L, 999999999L, 1000000006L), Seq(423L, 423L, 423L),
+      (1L to 200L).map(i => (i * 1234567L) % 1000000007L).toSeq)
+    val df = rows.toDF("hs")
+    val out = df.select(expr("minhash12(hs)").as("fast"), expr(ref).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (fast, slow) => assert(fast === slow) }
+    // and through the interpreted path (eval without codegen)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val out2 = df.select(expr("minhash12(hs)").as("fast"), expr(ref).as("slow"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      out2.foreach { case (fast, slow) => assert(fast === slow) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("empty input yields the identity signature; null propagates") {
+    GraftFunctions.register(spark)
+    val m = Seq(Seq.empty[Long]).toDF("hs")
+      .select(expr("minhash12(hs)")).as[Seq[Long]].head()
+    assert(m === Seq.fill(12)(Long.MaxValue))
+    val n = Seq(Tuple1(null: Seq[Long])).toDF("hs")
+      .select(expr("minhash12(hs)").isNull).as[Boolean].head()
+    assert(n)
+  }
+
+  test("minhash12 rejects non-long arrays") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq(Seq("x")).toDF("hs").select(expr("minhash12(hs)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("minhash12") ||
+      e.getMessage.contains("array<bigint>"))
+  }
+}
