@@ -327,7 +327,9 @@ object Similarity {
     * then ONE HashAggregate pass with 60 whole-stage-codegen'd ±1 vote sums
     * (higher-order lambdas are interpreted in Spark — a nested
     * aggregate-over-tokens-per-bit formulation is ~50× slower). */
-  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
+  // private[graft]: SimHash60Spec proves the codegen Expression against
+  // this aggregation formulation bit-for-bit
+  private[graft] def simhashesAgg(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("th", expr(h60("t")))
@@ -337,6 +339,17 @@ object Similarity {
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         expr((0 to 59).map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")).as("simhash"))
+  }
+
+  /** Row-local SimHash via the codegen'd simhash60 Expression: one pass
+    * over the token-hash array, no explode, no 60-column aggregation, no
+    * shuffle — bit-identical to [[simhashesAgg]] (duplicate tokens vote
+    * per occurrence in both). */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("th", expr(s"transform(split(text, ' '), t -> ${h60("t")})"))
+      .select(col("doc_id"), expr("simhash60(th)").as("simhash"))
   }
 
   def q24SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
