@@ -40,12 +40,17 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     val m = Array.fill(K)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var k = 0
-      while (k < K) {
-        val v = (A(k) * h + B(k)) % P
-        if (v < m(k)) m(k) = v
-        k += 1
+      // null elements are SKIPPED — exactly array_min's null semantics in
+      // the reference formulation (transform propagates the null,
+      // array_min ignores it)
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < K) {
+          val v = (A(k) * h + B(k)) % P
+          if (v < m(k)) m(k) = v
+          k += 1
+        }
       }
       i += 1
     }
@@ -69,8 +74,10 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
          |$decls
          |long $v;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final long $h = $arr.getLong($i);
-         |  $updates
+         |  if (!$arr.isNullAt($i)) {
+         |    final long $h = $arr.getLong($i);
+         |    $updates
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  new long[]{${ms.mkString(", ")}});

@@ -39,11 +39,15 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](Bits)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < Bits) {
-        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-        b += 1
+      // null elements are SKIPPED (cannot occur from split of non-null
+      // text; defined behavior for arbitrary SQL callers)
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < Bits) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
       }
       i += 1
     }
@@ -68,9 +72,11 @@ case class SimHash60(child: Expression) extends UnaryExpression {
          |final int $n = $arr.numElements();
          |final int[] $votes = new int[$Bits];
          |for (int $i = 0; $i < $n; $i++) {
-         |  final long $h = $arr.getLong($i);
-         |  for (int $b = 0; $b < $Bits; $b++) {
-         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  if (!$arr.isNullAt($i)) {
+         |    final long $h = $arr.getLong($i);
+         |    for (int $b = 0; $b < $Bits; $b++) {
+         |      $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
          |  }
          |}
          |long $s = 0L;

@@ -237,7 +237,9 @@ object Similarity {
   // the columnar signature path by construction (shared MinHashFamily),
   // and the oracle recomputes them as k plain min() aggregates.
   def q24LangSketch(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MinHashSketch.register(spark)
+    // the FULL surface (minhash12 + the sketch aggregates) — registering
+    // only the aggregates left minhash12 unresolved on fresh sessions
+    graft.functions.GraftFunctions.register(spark)
     // via docsWithShingles: its ≥3-token filter is the shared short-doc
     // crash guard (and matches the oracle CTE's WHERE).
     // Two-level aggregation: the per-doc K-vector (`sig`) is computed in
@@ -348,6 +350,10 @@ object Similarity {
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
+      // null-text docs are DROPPED — the aggregation formulation's exact
+      // behavior (explode of a null token array emits no rows), so the two
+      // formulations stay row-identical on any corpus
+      .filter(col("text").isNotNull)
       .withColumn("th", expr(s"transform(split(text, ' '), t -> ${h60("t")})"))
       .select(col("doc_id"), expr("simhash60(th)").as("simhash"))
   }

@@ -19,7 +19,10 @@ class MinHashSigSpec extends SparkSpec {
     val rows = Seq(
       Seq(17L), Seq(0L, 999999999L, 1000000006L), Seq(423L, 423L, 423L),
       (1L to 200L).map(i => (i * 1234567L) % 1000000007L).toSeq)
-    val df = rows.toDF("hs")
+    // repartition: a bare Project over LocalRelation is constant-folded by
+    // ConvertToLocalRelation (driver-side interpreted projection) — the
+    // Exchange forces a real executor stage so doGenCode actually runs
+    val df = rows.toDF("hs").repartition(2)
     val out = df.select(expr("minhash12(hs)").as("fast"), expr(ref).as("slow"))
       .as[(Seq[Long], Seq[Long])].collect()
     out.foreach { case (fast, slow) => assert(fast === slow) }
@@ -44,6 +47,16 @@ class MinHashSigSpec extends SparkSpec {
     val n = Seq(Tuple1(null: Seq[Long])).toDF("hs")
       .select(expr("minhash12(hs)").isNull).as[Boolean].head()
     assert(n)
+  }
+
+  test("null elements are skipped — array_min's null semantics") {
+    GraftFunctions.register(spark)
+    val (withNull, without) =
+      Seq((Seq[java.lang.Long](5L, null), Seq[java.lang.Long](5L)))
+        .toDF("a", "b").repartition(1)
+        .select(expr("minhash12(a)").as("x"), expr("minhash12(b)").as("y"))
+        .as[(Seq[Long], Seq[Long])].head()
+    assert(withNull === without)
   }
 
   test("minhash12 rejects non-long arrays") {

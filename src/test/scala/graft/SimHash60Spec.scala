@@ -11,13 +11,15 @@ class SimHash60Spec extends SparkSpec {
   import spark.implicits._
 
   test("simhash60 equals the aggregation formulation on the sf0.001 corpus") {
-    val viaExpr = graft.SparkEntry.queries // force object init
     val agg = graft.queries.Similarity.simhashesAgg(spark, sf001)
       .as[(Long, Long)].collect().toMap
     GraftFunctions.register(spark)
+    // the parquet scan is a real executor stage, so this exercises the
+    // doGenCode path (unlike a LocalRelation, which constant-folds);
+    // TextOps.h60 is the ONE hash definition — no inline copy
     val fast = graft.core.Tables.documents(spark, sf001)
       .withColumn("th", expr(
-        "transform(split(text, ' '), t -> CAST(conv(substr(md5(t),1,15),16,10) AS BIGINT))"))
+        s"transform(split(text, ' '), t -> ${graft.queries.TextOps.h60("t")})"))
       .select($"doc_id", expr("simhash60(th)").as("s"))
       .as[(Long, Long)].collect().toMap
     assert(fast.size === agg.size)
@@ -28,14 +30,31 @@ class SimHash60Spec extends SparkSpec {
     GraftFunctions.register(spark)
     val rows = Seq(Seq(1L, 2L, 3L), Seq((1L << 59) | 1L), Seq.empty[Long])
     def run(): Seq[Long] =
-      rows.toDF("th").select(expr("simhash60(th)")).as[Long].collect().toSeq
+      // repartition: force an executor stage (see MinHashSigSpec note)
+      rows.toDF("th").repartition(2)
+        .select($"th", expr("simhash60(th)").as("s"))
+        .orderBy($"th").select($"s").as[Long].collect().toSeq
     val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try assert(run() === viaCodegen)
-    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-    assert(viaCodegen(2) === 0L)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // ordered by th: empty array sorts FIRST (shortest/least) -> index 0
+    assert(viaCodegen.head === 0L)
     val n = Seq(Tuple1(null: Seq[Long])).toDF("th")
       .select(expr("simhash60(th)").isNull).as[Boolean].head()
     assert(n)
+  }
+
+  test("null elements are skipped, not voted as zero") {
+    GraftFunctions.register(spark)
+    val withNull = Seq((Seq[java.lang.Long](5L, null), Seq[java.lang.Long](5L)))
+      .toDF("a", "b").repartition(1)
+      .select(expr("simhash60(a)").as("x"), expr("simhash60(b)").as("y"))
+      .as[(Long, Long)].head()
+    assert(withNull._1 === withNull._2)
   }
 }
