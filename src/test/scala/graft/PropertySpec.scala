@@ -26,6 +26,55 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhash60 / minhash12: expressions equal their reference formulations on random inputs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val sigRef = graft.queries.Similarity.sigSpark
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, graft.functions.MinHashFamily.P - 1))) {
+      (hs: List[Long]) =>
+        // one row, forced through an executor stage (LocalRelation folds)
+        val df = Seq(hs).toDF("hs").repartition(1)
+        val (fast, slow) = df.select(expr("minhash12(hs)").as("f"), expr(sigRef).as("s"))
+          .as[(Seq[Long], Seq[Long])].head()
+        val mh = fast == slow
+        // simhash60 vs a Scala-side majority-vote oracle
+        val sh = df.select(expr("simhash60(hs)")).as[Long].head()
+        val votes = Array.fill(60)(0)
+        hs.foreach(h => (0 until 60).foreach(b =>
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)))
+        val want = (0 until 60).foldLeft(0L)((s, b) =>
+          if (votes(b) > 0) s | (1L << b) else s)
+        mh && sh == want
+    }, n = 20)
+  }
+
+  test("pack arithmetic: offsets in [0, cap), pack_id consistent with the prefix sum") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    check(Prop.forAll(Gen.listOfN(25, Gen.choose(1, 120))) { (sizes: List[Int]) =>
+      val d = java.nio.file.Files.createTempDirectory("graft_packprop").toString
+      sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"t$j").mkString(" "), "en", "s0", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+      val rows = graft.queries.Sampling.q35Pack(spark, d)
+        .select($"doc_id", $"n_toks", $"pack_id", $"pack_offset", $"spans_boundary")
+        .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      val cap = 512L
+      var cum = 0L
+      rows.forall { case (_, n, packId, off, spans) =>
+        val start = cum; cum += n
+        packId == start / cap &&
+          off == start % cap &&
+          off >= 0 && off < cap &&
+          spans == ((cum - 1) / cap > packId)
+      }
+    }, n = 15)
+  }
+
   test("dedup idempotence: dropDuplicates over overlapping extracts is a fixpoint") {
     val spark = SparkSpec.session
     import spark.implicits._
