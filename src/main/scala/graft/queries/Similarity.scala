@@ -274,8 +274,11 @@ object Similarity {
   def q24LshPairs(spark: SparkSession, dir: String): DataFrame = {
     // Bucket-local pair expansion (same pattern as SimHash/Jaccard): the
     // signature pipeline runs ONCE — a self-join would recompute the
-    // md5+minhash pass per branch.
-    val cand = minhashBands(spark, dir)
+    // md5+minhash pass per branch. localCheckpoint: the shingle projection
+    // feeds THREE consumers (the band pipeline + both sides of the verify
+    // join); without it each recomputes the split+shingle pass.
+    val d = docsWithShingles(spark, dir).localCheckpoint()
+    val cand = bandKeysOf(d)
       .groupBy(col("band_id"), col("band_key"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -285,7 +288,6 @@ object Similarity {
           |    least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val d = docsWithShingles(spark, dir)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
