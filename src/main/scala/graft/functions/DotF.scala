@@ -92,6 +92,8 @@ object GraftFunctions {
       "minhash12", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_expand", exprs => PairExpand(exprs(0), exprs(1)), "built-in")
     MinHashSketch.register(spark)
   }
 }
@@ -125,6 +127,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("pair_expand"),
+      new ExpressionInfo(classOf[PairExpand].getName, "pair_expand"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PairExpand(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),

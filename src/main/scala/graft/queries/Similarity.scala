@@ -102,17 +102,14 @@ object Similarity {
     // J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair whose size
     // ratio is below the threshold can never reach jaccard ≥ 0.3 — drop it
     // before it costs a row through the shuffle + count agg.
+    // pair_expand (functions.PairExpand): the i<j expansion + size-ratio
+    // prune as one compiled loop — replaces a 4-level interpreted
+    // flatten/transform/filter/slice lambda nest on the Σ freq² hot path;
+    // identical pairs, identical prune arithmetic (PairExpandSpec)
+    graft.functions.GraftFunctions.register(spark)
     val inPlacePairs = postings
       .filter(size(col("ds")) <= hotCap)
-      .select(col("lang"), explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(
-          |    filter(slice(ds, i + 2, size(ds)),
-          |           y -> CAST(least(x.n, y.n) AS DOUBLE) >= 0.3D * greatest(x.n, y.n)),
-          |    y -> struct(
-          |      least(x.doc_id, y.doc_id) AS doc_a,
-          |      greatest(x.doc_id, y.doc_id) AS doc_b,
-          |      x.n + y.n AS n_sum))))""".stripMargin)).as("p"))
+      .select(col("lang"), explode(expr("pair_expand(ds, 0.3D)")).as("p"))
       .select(col("lang"), col("p.doc_a"), col("p.doc_b"), col("p.n_sum"))
     // VIRAL shingles (posting list > hotCap): pair generation through
     // core.SkewJoin's salted self-join — the hot key's f²/2 pairs spread

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** pair_expand must generate exactly the pairs of the SQL
+  * flatten/transform/filter/slice nest it replaced — same prune
+  * arithmetic, same canonical id ordering, same multiset. */
+class PairExpandSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sqlForm =
+    """flatten(transform(ds, (x, i) ->
+      |  transform(
+      |    filter(slice(ds, i + 2, size(ds)),
+      |           y -> CAST(least(x.n, y.n) AS DOUBLE) >= 0.3D * greatest(x.n, y.n)),
+      |    y -> struct(
+      |      least(x.doc_id, y.doc_id) AS doc_a,
+      |      greatest(x.doc_id, y.doc_id) AS doc_b,
+      |      x.n + y.n AS n_sum))))""".stripMargin
+
+  test("pair_expand equals the SQL expansion on ragged random posting lists") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    // lists of 0..12 postings; sizes spread so the prune fires both ways;
+    // unsorted ids so canonicalization is exercised
+    val rows = (0 until 30).map { _ =>
+      val k = rng.nextInt(13)
+      (0 until k).map(_ => (rng.nextLong().abs % 1000, 1 + rng.nextInt(200))).toSeq
+    }
+    val df = rows.toDF("raw").repartition(2)
+      .withColumn("ds", expr("transform(raw, r -> struct(r._1 AS doc_id, r._2 AS n))"))
+    val out = df.select(
+        expr("pair_expand(ds, 0.3D)").as("fast"), expr(sqlForm).as("slow"))
+      .as[(Seq[(Long, Long, Int)], Seq[(Long, Long, Int)])].collect()
+    out.foreach { case (fast, slow) => assert(fast === slow) }
+  }
+
+  test("threshold 0 keeps every pair; threshold 1 keeps only equal sizes") {
+    GraftFunctions.register(spark)
+    val df = Seq(Seq((1L, 10), (2L, 5), (3L, 10))).toDF("raw")
+      .withColumn("ds", expr("transform(raw, r -> struct(r._1 AS doc_id, r._2 AS n))"))
+    val all = df.select(expr("pair_expand(ds, 0.0D)").as("p"))
+      .as[Seq[(Long, Long, Int)]].head()
+    assert(all.size === 3)
+    val strict = df.select(expr("pair_expand(ds, 1.0D)").as("p"))
+      .as[Seq[(Long, Long, Int)]].head()
+    assert(strict === Seq((1L, 3L, 20)))
+  }
+}
