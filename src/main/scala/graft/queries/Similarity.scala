@@ -76,6 +76,52 @@ object Similarity {
     * buckets. Exactness is unchanged — only WHERE pairs are generated moves. */
   private val HotPostingCap = 256
 
+  /** Same cap for the banded-bucket lanes (q24_lsh_pairs, q24_simhash_pairs):
+    * a band bucket is a posting list over (band_id, band_key) and has the
+    * identical viral-key failure mode. */
+  private val HotBucketCap = 256
+
+  /** Two-pass hot-bucket routing shared by the posting/bucket pair lanes
+    * (q24_jaccard, q24_lsh, q24_simhash). Pass 1 counts rows per bucket
+    * key — a map-side-combining HashAggregate, so a viral key reaches its
+    * reducer as a handful of partial counts, never as rows. Pass 2 splits on
+    * the cap: cold keys keep the collect_list fast path — after the anti
+    * join no aggregation buffer can ever hold more than `cap` payloads — and
+    * hot keys feed RAW rows straight into [[graft.core.SkewJoin]]'s salted
+    * self-join, so a viral posting list (f = 10⁷ boilerplate docs at 100 TB)
+    * is never materialized as one array in any single task.
+    *
+    * The hot-key set is broadcast. Bound argument: every hot key by
+    * definition yields ≥ cap²/2 ≈ 33 k candidate pairs downstream, so a
+    * hot-key set too large to broadcast (≳10⁶ keys ≈ tens of MB) implies
+    * ≥ 10¹⁰ pairs — the pair OUTPUT, not the key broadcast, is always the
+    * binding constraint, and raising the cap shrinks the set quadratically
+    * in output terms. The set is localCheckpointed so its count pass runs
+    * once for its three consumers (anti probe + both salted-join sides).
+    *
+    * `rows` must carry `keyCols` plus a struct payload `e` whose FIRST field
+    * is `doc_id`. Returns (cold, hotPairs): cold = keyCols :+ `ds`
+    * (2..cap payloads per key); hotPairs = keyCols :+ (`x`, `y`) raw payload
+    * pairs, each unordered pair exactly once via x.doc_id < y.doc_id. */
+  private def splitHotBuckets(rows: DataFrame, keyCols: Seq[String],
+                              cap: Int): (DataFrame, DataFrame) = {
+    val keys = keyCols.map(col)
+    val hotKeys = rows.groupBy(keys: _*).agg(count(lit(1)).as("f"))
+      .filter(col("f") > cap).select(keys: _*).localCheckpoint()
+    val cold = rows.join(broadcast(hotKeys), keyCols, "left_anti")
+      .groupBy(keys: _*).agg(collect_list(col("e")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val hotRows = rows.join(broadcast(hotKeys), keyCols, "left_semi")
+      .select(concat_ws("\u0001", keys.map(_.cast("string")): _*).as("k") +:
+        (keys :+ col("e")): _*)
+    val hotPairs = graft.core.SkewJoin.saltedInnerJoin(
+        hotRows.select(col("k") +: (keys :+ col("e").as("x")): _*),
+        hotRows.select(col("k"), col("e").as("y")),
+        "k", buckets = 32, saltBy = Seq("x"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+    (cold, hotPairs)
+  }
+
   def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     q24JaccardPairsCapped(spark, dir, HotPostingCap)
 
@@ -83,21 +129,21 @@ object Similarity {
     * [[HotPostingCap]]. */
   private[graft] def q24JaccardPairsCapped(spark: SparkSession, dir: String,
                                            hotCap: Int): DataFrame = {
-    val d = docsWithShingles(spark, dir)
-    // Posting lists via ONE pass: group each shingle's (doc, size) postings
-    // and expand i<j pairs in-place (carrying sizes avoids joining the doc
-    // table back — two fewer scans of the corpus than a self-join, which
-    // would recompute the shingle projection per branch). localCheckpoint
-    // (eager) materializes the aggregation ONCE for the two consumers below;
-    // without it each branch would re-run the corpus scan + shuffle. The
-    // checkpoint blocks are released by the ContextCleaner with the frame.
-    val postings = d
+    graft.functions.GraftFunctions.register(spark)
+    // The shingle projection (split + 3-gram transform) is the expensive
+    // shared input: localCheckpoint materializes it ONCE; the cheap explode
+    // below replays per consumer (count pass + anti/semi probes) without
+    // re-running the projection. Checkpoint blocks are released by the
+    // ContextCleaner with the frame.
+    val d = docsWithShingles(spark, dir).localCheckpoint()
+    // Raw postings stream: one row per (shingle, doc). NEVER collected into
+    // per-shingle arrays before the hot/cold split — splitHotBuckets counts
+    // first, so a viral shingle's f rows go straight to the salted join and
+    // no aggregation buffer ever holds more than hotCap entries.
+    def exploded: DataFrame = d
       .select(col("lang"), explode(col("sh")).as("s"),
         struct(col("doc_id"), size(col("sh")).as("n")).as("e"))
-      .groupBy(col("lang"), col("s"))
-      .agg(collect_list(col("e")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .localCheckpoint()
+    val (cold, hotRaw) = splitHotBuckets(exploded, Seq("lang", "s"), hotCap)
     // Size-ratio prune inside the expansion (exactness-preserving):
     // J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair whose size
     // ratio is below the threshold can never reach jaccard ≥ 0.3 — drop it
@@ -106,26 +152,13 @@ object Similarity {
     // prune as one compiled loop — replaces a 4-level interpreted
     // flatten/transform/filter/slice lambda nest on the Σ freq² hot path;
     // identical pairs, identical prune arithmetic (PairExpandSpec)
-    graft.functions.GraftFunctions.register(spark)
-    val inPlacePairs = postings
-      .filter(size(col("ds")) <= hotCap)
+    val inPlacePairs = cold
       .select(col("lang"), explode(expr("pair_expand(ds, 0.3D)")).as("p"))
       .select(col("lang"), col("p.doc_a"), col("p.doc_b"), col("p.n_sum"))
-    // VIRAL shingles (posting list > hotCap): pair generation through
-    // core.SkewJoin's salted self-join — the hot key's f²/2 pairs spread
-    // over `buckets` shuffle partitions instead of one task. Same pairs,
-    // same prune, different placement; row-for-row exact vs the in-place
-    // branch, so the union below is the identical multiset either way.
-    val hotPostings = postings
-      .filter(size(col("ds")) > hotCap)
-      .select(
-        concat_ws("\u0001", col("lang"), col("s")).as("k"),
-        col("lang"), explode(col("ds")).as("e"))
-    val hotPairs = graft.core.SkewJoin.saltedInnerJoin(
-        hotPostings.select(col("k"), col("lang"), col("e").as("x")),
-        hotPostings.select(col("k"), col("e").as("y")),
-        "k", buckets = 32, saltBy = Seq("x"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+    // VIRAL shingles: same pairs, same prune, different placement — the hot
+    // key's f²/2 pairs spread over salt buckets instead of one task, so the
+    // union below is the identical multiset either way.
+    val hotPairs = hotRaw
       .filter(expr("CAST(least(x.n, y.n) AS DOUBLE) >= 0.3D * greatest(x.n, y.n)"))
       .select(col("lang"), col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b"), (col("x.n") + col("y.n")).as("n_sum"))
@@ -268,23 +301,35 @@ object Similarity {
   // The 100 TB dedup path: equi-join on (band_id, band_key) generates
   // candidates (shuffle on a hash key — linear, skew-safe), exact Jaccard
   // verifies only those. No O(n²) anywhere.
-  def q24LshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Bucket-local pair expansion (same pattern as SimHash/Jaccard): the
-    // signature pipeline runs ONCE — a self-join would recompute the
-    // md5+minhash pass per branch. localCheckpoint: the shingle projection
-    // feeds THREE consumers (the band pipeline + both sides of the verify
-    // join); without it each recomputes the split+shingle pass.
+  def q24LshPairs(spark: SparkSession, dir: String): DataFrame =
+    q24LshPairsCapped(spark, dir, HotBucketCap)
+
+  /** `hotCap` exposed for adversarial-fixture specs (see SkewBucketSpec);
+    * production entry uses [[HotBucketCap]]. */
+  private[graft] def q24LshPairsCapped(spark: SparkSession, dir: String,
+                                       hotCap: Int): DataFrame = {
+    // localCheckpoints: the shingle projection feeds THREE consumers (the
+    // band pipeline + both sides of the verify join), and the band frame
+    // (4 small rows per doc) feeds the splitHotBuckets count pass + probes —
+    // each materialized once, so the md5+minhash pass never re-runs.
     val d = docsWithShingles(spark, dir).localCheckpoint()
-    val cand = bandKeysOf(d)
-      .groupBy(col("band_id"), col("band_key"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+    val bands = bandKeysOf(d)
+      .select(col("band_id"), col("band_key"), struct(col("doc_id")).as("e"))
+      .localCheckpoint()
+    // Bucket-local pair expansion for cold buckets; viral band buckets (the
+    // all-identical-boilerplate shape at 100 TB) route raw rows through the
+    // salted join — never collected into one array (see splitHotBuckets).
+    val (cold, hotRaw) = splitHotBuckets(bands, Seq("band_id", "band_key"), hotCap)
+    val coldPairs = cold
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y -> struct(
-          |    least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin)).as("p"))
+          |    least(x.doc_id, y.doc_id) AS doc_a,
+          |    greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val hotPairs = hotRaw
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = coldPairs.unionByName(hotPairs).distinct()
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -357,17 +402,27 @@ object Similarity {
       .select(col("doc_id"), expr("simhash60(th)").as("simhash"))
   }
 
-  def q24SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def q24SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    q24SimhashPairsCapped(spark, dir, HotBucketCap)
+
+  /** `hotCap` exposed for adversarial-fixture specs (see SkewBucketSpec);
+    * production entry uses [[HotBucketCap]]. */
+  private[graft] def q24SimhashPairsCapped(spark: SparkSession, dir: String,
+                                           hotCap: Int): DataFrame = {
+    // The sketch pipeline runs once (localCheckpoint: 5 small rows per doc
+    // feed the splitHotBuckets count pass + probes). least/greatest +
+    // distinct canonicalize pair order regardless of branch and list order.
     val bands = simhashes(spark, dir)
       .withColumn("band_id", explode(expr("sequence(0, 4)")))
       .withColumn("bk", expr("shiftright(simhash, 12 * band_id) & 4095"))
-    // Bucket-local pair expansion via collect_list: the sketch pipeline runs
-    // once (a self-join would recompute it per branch). least/greatest +
-    // distinct canonicalize pair order regardless of list order.
-    val pairs = bands
-      .groupBy(col("band_id"), col("bk"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .select(col("band_id"), col("bk"),
+        struct(col("doc_id"), col("simhash")).as("e"))
+      .localCheckpoint()
+    // Cold buckets expand in place; a viral band bucket (every doc sharing
+    // one 12-bit band at 100 TB) routes raw rows through the salted join —
+    // never collected into one array (see splitHotBuckets).
+    val (cold, hotRaw) = splitHotBuckets(bands, Seq("band_id", "bk"), hotCap)
+    val coldPairs = cold
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y -> struct(
@@ -375,8 +430,10 @@ object Similarity {
           |    greatest(x.doc_id, y.doc_id) AS doc_b,
           |    CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
-      .distinct()
-    pairs
+    val hotPairs = hotRaw.select(
+      col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
+    coldPairs.unionByName(hotPairs).distinct()
       .filter(col("hamming") <= 4)
       .orderBy(col("doc_a"), col("doc_b"))
   }
