@@ -9,16 +9,20 @@ import TextOps.{h60, h60d}
   * opaque `binary` payloads + typed metadata, with decode / feature-extract /
   * frame-sample as engine operators.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB:
-  * a deterministic md5-derived fake (documented per-column below) standing in
-  * for a real `mapPartitions`-batched codec call. Everything around it —
-  * the binary column, the metadata struct schema, the per-frame explode,
-  * partition-preserving shapes — is the real plumbing a 100 TB media
-  * pipeline needs, and is exercised end-to-end against the oracle.
+  * Image decode is REAL: q32_decode / q32_pixel_embed run PNG bytes through
+  * `javax.imageio` (encode and decode — both actual codec passes, zero new
+  * dependencies) inside the 64-row `mapPartitions` batch slot. Because PNG
+  * is lossless and the fixture pixels are md5-derived, the decoded
+  * dimensions and pixel sums are reproducible by the SQL oracle without any
+  * codec — the real-codec path is hash-checked end-to-end. Audio/video
+  * codecs are not in the JDK, so those lanes (q32_media_meta dims,
+  * q32_frame_sample fingerprints) keep the documented deterministic stubs in
+  * the same batch slot; a real codec replaces one function without changing
+  * the query shape.
   *
   * Scale: all narrow per-row transforms (no shuffle at all except final
-  * test-only ORDER BY); a real decoder slots into the same column positions
-  * via `mapPartitions` batching without changing the query shape.
+  * test-only ORDER BY); codec/model init amortizes per 64-row batch exactly
+  * like `mapInPandas`' Arrow batches.
   */
 object Multimodal {
   // --- Q32a: binary payload + decoded metadata struct ----------------------
@@ -112,33 +116,183 @@ object Multimodal {
 
   /** The external-codec integration shape: `mapPartitions` over typed rows,
     * decoding in BATCHES of 64 (the Arrow-batch shape a real decoder or a
-    * Python `mapInPandas` worker would receive). The decode itself is the
-    * same deterministic md5 stub as q32_media_meta — a real codec replaces
-    * `decodeOne` only; partitioning, batching, schema stay as-is. Narrow
-    * (no shuffle), so it scales with executors. */
+    * Python `mapInPandas` worker would receive). The decode is REAL —
+    * `javax.imageio` reads the PNG payload and reports the container format
+    * and raster dimensions; undecodable payloads are dropped (quarantine
+    * semantics, spec-covered). Narrow (no shuffle), so it scales with
+    * executors. */
   final case class MediaIn(doc_id: Long, content: Array[Byte])
   final case class MediaOut(doc_id: Long, n_bytes: Long, format: String,
                             width: Long, height: Long)
 
-  private def decodeOne(m: MediaIn): MediaOut = {
-    val h = graft.functions.Hash60(m.doc_id.toString)
-    val fmt = (m.doc_id % 3) match {
-      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
-    }
-    MediaOut(m.doc_id, m.content.length.toLong, fmt, 64L + h % 577L, 64L + h % 449L)
+  /** Container format as the codec registry names it ("png"), read from the
+    * payload header — not trusted metadata. */
+  private[graft] def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers.hasNext) Some(readers.next().getFormatName.toLowerCase) else None
+    } finally in.close()
   }
+
+  private def decodeOne(m: MediaIn): Option[MediaOut] =
+    for {
+      fmt <- sniffFormat(m.content)
+      (w, h, _) <- decodePng(m.content)
+    } yield MediaOut(m.doc_id, m.content.length.toLong, fmt, w, h)
 
   def decodeBatched(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "CAST(text AS BINARY) AS content")
+    imagesFrame(spark, dir)
+      .selectExpr("doc_id", "png AS content")
       .as[MediaIn]
       .mapPartitions { it =>
         // batch boundary: a real decoder amortizes codec/model init per
         // batch, exactly like mapInPandas' Arrow batches
-        it.grouped(64).flatMap { batch => batch.map(decodeOne) }
+        it.grouped(64).flatMap { batch => batch.flatMap(decodeOne) }
       }
       .toDF()
+  }
+
+  // --- Q32e: REAL image decode via javax.imageio (oracle-checked) ----------
+  // The decode operator with an actual codec in the loop. Fixture images are
+  // synthesized per doc (dims 4+doc_id%13 × 4+doc_id%11, pixel (x,y) RGB
+  // packed from Hash60("doc:x:y")) and ENCODED to PNG with ImageIO.write;
+  // the query then DECODES those bytes with ImageIO.read and reports what
+  // the decoder saw: dimensions and the channel sum over the raster. PNG is
+  // lossless, so the decoder's outputs equal the generator's arithmetic —
+  // which the DuckDB oracle replays codec-free. Any decode infidelity
+  // (color-model drift, truncation, header misread) breaks the hash gate.
+  final case class ImgIn(doc_id: Long, png: Array[Byte])
+  final case class ImgOut(doc_id: Long, width: Long, height: Long, pix_sum: Long)
+
+  private[graft] def fixtureDims(docId: Long): (Int, Int) =
+    (4 + (docId % 13).toInt, 4 + (docId % 11).toInt)
+
+  /** One md5 per pixel; r/g/b are the low three bytes — the oracle repeats
+    * this arithmetic on the shared Hash60 primitive. */
+  private[graft] def pixelRgb(docId: Long, x: Int, y: Int): Int = {
+    val h = graft.functions.Hash60(s"$docId:$x:$y")
+    val (r, g, b) = ((h % 256L).toInt, ((h / 256L) % 256L).toInt, ((h / 65536L) % 256L).toInt)
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Real ImageIO PNG encode of the fixture raster. */
+  private[graft] def encodePng(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelRgb(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real ImageIO decode: dims + sum of r+g+b over the raster; None when the
+    * payload is not a decodable image (the quarantine path — a 100 TB corpus
+    * always carries corrupt blobs, and a throwing decoder would kill the
+    * stage). */
+  private[graft] def decodePng(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            x += 1
+          }
+          y += 1
+        }
+        (img.getWidth.toLong, img.getHeight.toLong, sum)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** documents → real PNG payloads (the binary media column). Batched like
+    * every codec slot; narrow. */
+  private[graft] def imagesFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.map(id => ImgIn(id, encodePng(id)))))
+      .toDF()
+  }
+
+  /** Encode → decode round trip, both through the real codec. Corrupt
+    * payloads would be dropped by the flatMap (quarantine semantics,
+    * spec-covered); on the fixture corpus every image decodes. */
+  def q32Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imagesFrame(spark, dir)
+      .as[ImgIn]
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap(m =>
+        decodePng(m.png).map { case (w, h, s) => ImgOut(m.doc_id, w, h, s) })))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q32DecodeSql: String = {
+    val hh = h60d("doc_id::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR")
+    s"""WITH dims AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 4 + (doc_id % 11) AS h
+       |              FROM documents),
+       |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+       |pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px)
+       |SELECT doc_id, CAST(min(w) AS BIGINT) AS width, CAST(min(h) AS BIGINT) AS height,
+       |       CAST(sum(($hh) % 256 + (($hh) // 256) % 256 + (($hh) // 65536) % 256) AS BIGINT) AS pix_sum
+       |FROM pxy GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // --- Q32f: decode → embed, chained end-to-end (oracle-checked) -----------
+  // The full multimodal shape: real codec decode feeds the embedding stub's
+  // INPUT (the decoded pixel statistics), so the lane is
+  // decode → batch → embed rather than two disconnected stubs. The embed
+  // vector is md5-derived from (doc_id, pix_sum) — deterministic, so the
+  // oracle replays it from the same arithmetic; a real encoder replaces
+  // `pixelEmbedOne` only.
+  final case class PixEmbOut(doc_id: Long, pix_sum: Long, emb_norm: Double, emb_c1: Double)
+
+  private def pixelEmbedOne(id: Long, pixSum: Long): PixEmbOut = {
+    val v = (1 to 8).map(j =>
+      (graft.functions.Hash60(s"$id:$pixSum:$j") % 2001L - 1000L) / 1000.0)
+    val ss = v.foldLeft(0.0)((s, x) => s + x * x)
+    PixEmbOut(id, pixSum, math.sqrt(ss), v.head)
+  }
+
+  def q32PixelEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imagesFrame(spark, dir)
+      .as[ImgIn]
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap(m =>
+        decodePng(m.png).map { case (_, _, s) => (m.doc_id, s) })))
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, s) => pixelEmbedOne(id, s) }))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q32PixelEmbedSql: String = {
+    val hh = h60d("doc_id::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR")
+    val comp = (j: String) =>
+      s"(${h60d(s"doc_id::VARCHAR || ':' || pix_sum::VARCHAR || ':' || $j")} % 2001 - 1000) / 1000.0"
+    s"""WITH dims AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 4 + (doc_id % 11) AS h
+       |              FROM documents),
+       |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+       |pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+       |ps AS (SELECT doc_id,
+       |         CAST(sum(($hh) % 256 + (($hh) // 256) % 256 + (($hh) // 65536) % 256) AS BIGINT) AS pix_sum
+       |       FROM pxy GROUP BY doc_id)
+       |SELECT doc_id, pix_sum,
+       |  sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(list_transform(generate_series(1, 8), j -> ${comp("j::VARCHAR")}),
+       |                   x -> x * x)), (s, x) -> s + x)) AS emb_norm,
+       |  ${comp("'1'")} AS emb_c1
+       |FROM ps ORDER BY doc_id""".stripMargin
   }
 
   // --- Q32c: batched embedding-INFERENCE stub (oracle-checked) -------------
@@ -183,6 +337,8 @@ object Multimodal {
     "q32_frame_sample" -> (q32FrameSample _),
     "q32_embed_stub"   -> (q32EmbedStub _),
     "q32_resize_plan"  -> (q32ResizePlan _),
+    "q32_decode"       -> (q32Decode _),
+    "q32_pixel_embed"  -> (q32PixelEmbed _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +346,7 @@ object Multimodal {
     "q32_frame_sample" -> q32FrameSampleSql,
     "q32_embed_stub"   -> q32EmbedStubSql,
     "q32_resize_plan"  -> q32ResizePlanSql,
+    "q32_decode"       -> q32DecodeSql,
+    "q32_pixel_embed"  -> q32PixelEmbedSql,
   )
 }
