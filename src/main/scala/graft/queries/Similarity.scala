@@ -878,7 +878,148 @@ object Similarity {
        |FROM documents d JOIN q USING (doc_id) LEFT JOIN beaten USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- Q33g: FUZZY train/test decontamination ------------------------------
+  // q33_decontam (Sampling) is exact 5-gram collision; paraphrased leakage
+  // slips through it. This lane flags test-split docs with a ≥ 0.8-Jaccard
+  // near-duplicate in the train split: candidates from the SAME MinHash
+  // banding as every other lane (bandKeysOf — one definition, no copy),
+  // restricted to test×train across the q33 hash-split buckets, then
+  // exact-verified on the shingle sets. Lives here, not in Sampling, so the
+  // banding/shingle arithmetic and its DuckDB fragments stay single-sourced.
+  //
+  // Scale: the candidate join is (band_id, band_key) equi — linear,
+  // skew-partitionable; the train side never self-joins; the verify join
+  // touches only candidates. Shingle-less docs (< 3 tokens) cannot carry a
+  // near-dup signal and are excluded by the shared ≥ 3-token guard — the
+  // exact lane (q33_decontam) still covers them.
+  def q33DecontamFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    // bucket is a pure function of doc_id (the q33 split definition), so the
+    // band frame derives it directly — no join back to the doc table.
+    val bucketExpr = s"${h60("CAST(doc_id AS STRING)")} % 100"
+    val d = shingledFrame(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint() // feeds the band pipeline + both verify sides
+    val bands = bandKeysOf(d).withColumn("bucket", expr(bucketExpr))
+    val trainB = bands.filter(col("bucket") < 80)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("train_id"))
+    val testB = bands.filter(col("bucket") >= 90)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("test_id"))
+    val cand = testB.join(trainB, Seq("band_id", "band_key"))
+      .select(col("test_id"), col("train_id")).distinct()
+    val verified = cand
+      .join(d.select(col("doc_id").as("test_id"), col("sh").as("sh_t")), "test_id")
+      .join(d.select(col("doc_id").as("train_id"), col("sh").as("sh_r")), "train_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_t"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_t"), col("sh_r"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_near_train"), max(col("jaccard")).as("max_jaccard"))
+    d.withColumn("bucket", expr(bucketExpr)).filter(col("bucket") >= 90)
+      .select(col("doc_id"))
+      .join(verified.withColumnRenamed("test_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_train"), lit(0L)).as("n_near_train"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_near_train"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q33DecontamFuzzySql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key,
+       |           ${h60d("doc_id::VARCHAR")} % 100 AS bucket FROM bands),
+       |cand AS (SELECT DISTINCT te.doc_id AS test_id, tr.doc_id AS train_id
+       |         FROM keys te JOIN keys tr
+       |           ON te.band_id = tr.band_id AND te.band_key = tr.band_key
+       |         WHERE te.bucket >= 90 AND tr.bucket < 80),
+       |ver AS (SELECT test_id, CAST(count(*) AS BIGINT) AS n_near_train,
+       |               max(jac) AS max_jaccard
+       |        FROM (SELECT cand.test_id,
+       |                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+       |              FROM cand JOIN d a ON a.doc_id = cand.test_id
+       |                        JOIN d b ON b.doc_id = cand.train_id)
+       |        WHERE jac >= 0.8 GROUP BY test_id)
+       |SELECT d.doc_id, coalesce(v.n_near_train, CAST(0 AS BIGINT)) AS n_near_train,
+       |       coalesce(v.max_jaccard, 0.0) AS max_jaccard,
+       |       coalesce(v.n_near_train, CAST(0 AS BIGINT)) > 0 AS contaminated
+       |FROM d LEFT JOIN ver v ON d.doc_id = v.test_id
+       |WHERE ${h60d("d.doc_id::VARCHAR")} % 100 >= 90 ORDER BY d.doc_id""".stripMargin
+
+  // --- Q26f: substring-span exact dedup (memorization-risk audit) ----------
+  // Doc pairs sharing ANY exact SpanK-token span — the duplicated-span lane
+  // training pipelines run before release: an exact long span surviving
+  // dedup is a memorization risk even when whole-doc similarity is low.
+  // Same inverted-postings shape as q24_jaccard at k=50: span-hash postings
+  // + equi-join, so the work is Σ freq(span)² with the identical two-pass
+  // hot-key routing (a boilerplate span shared by 10⁷ docs salts out, never
+  // collects). One md5 per span start (50-token window re-hashed whole; a
+  // rolling hash would save the 50× re-read but md5 keeps the oracle
+  // bit-exact and the window hash is still scan-local).
+  private val SpanK = 50
+
+  def q26SpanDup(spark: SparkSession, dir: String): DataFrame =
+    q26SpanDupCapped(spark, dir, HotPostingCap)
+
+  /** `hotCap` exposed for adversarial-fixture specs; production entry uses
+    * [[HotPostingCap]]. */
+  private[graft] def q26SpanDupCapped(spark: SparkSession, dir: String,
+                                      hotCap: Int): DataFrame = {
+    // ≥ SpanK-token filter: sub-SpanK docs cannot share a SpanK-token span.
+    // The greatest(…, 1) clamp INSIDE the expression is the crash guard, and
+    // the filter alone is NOT enough: InferFiltersFromGenerate synthesizes a
+    // `size(sps) > 0` predicate for the explode, and conjunct order in the
+    // combined Filter is not guaranteed — the span expression can evaluate
+    // BEFORE the length filter on a short row, where an unclamped
+    // sequence(1, n−49) descends through 0 and slice(toks, 0, …) throws.
+    // Clamped, a short row yields one nonsense (never-shared, filtered-out)
+    // span value instead of a crash; slice past the end is safe.
+    val spans = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= SpanK)
+      .withColumn("sps", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(toks) - ${SpanK - 1}, 1)), " +
+          s"i -> ${h60(s"concat_ws(' ', slice(toks, i, $SpanK))")}))"))
+      .select(explode(col("sps")).as("sp"), struct(col("doc_id")).as("e"))
+    val (cold, hotRaw) = splitHotBuckets(spans, Seq("sp"), hotCap)
+    val coldPairs = cold
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+          |    least(x.doc_id, y.doc_id) AS doc_a,
+          |    greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val hotPairs = hotRaw
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // per-doc spans are array_distinct'ed, so each shared span hash yields
+    // exactly one row per pair → the count IS the distinct shared-span count
+    coldPairs.unionByName(hotPairs)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q26SpanDupSql: String = {
+    val spanHash = h60d(s"array_to_string(toks[i:i+${SpanK - 1}], ' ')")
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, list_distinct(list_transform(
+       |        generate_series(1, len(toks) - ${SpanK - 1}), i -> $spanHash)) AS sps
+       |      FROM t WHERE len(toks) >= $SpanK),
+       |e AS (SELECT doc_id, unnest(sps) AS sp FROM d)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_spans
+       |FROM e a JOIN e b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_decontam_fuzzy" -> (q33DecontamFuzzy _),
+    "q26_span_dup"      -> (q26SpanDup _),
     "q26_dedup_survivors" -> (q26DedupSurvivors _),
     "q26_semantic_dedup"  -> (q26SemanticDedup _),
     "q26_quality_survivors" -> (q26QualitySurvivors _),
@@ -896,6 +1037,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q33_decontam_fuzzy" -> q33DecontamFuzzySql,
+    "q26_span_dup"      -> q26SpanDupSql,
     "q26_dedup_survivors" -> q26DedupSurvivorsSql,
     "q26_semantic_dedup"  -> q26SemanticDedupSql,
     "q26_quality_survivors" -> q26QualitySurvivorsSql,

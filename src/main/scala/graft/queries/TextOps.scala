@@ -340,7 +340,72 @@ object TextOps {
       |      FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
       |ORDER BY doc_id, chunk_no""".stripMargin
 
+  // --- Q23j: PII redaction (email / phone / numeric-id) --------------------
+  // Row-local regexp_replace chain emitting the redacted text plus per-rule
+  // match counts — the pass every production curation pipeline runs before
+  // training, and table stakes in the reference's health-data domain. The
+  // synthetic corpus carries no digits at all, so the lane deterministically
+  // INJECTS hash-derived PII (email from doc_id, 10-digit phone and 8-digit
+  // id from md5 digits) into the text and then redacts it: both engines
+  // replay the injection, both run the chain, counts are provably nonzero,
+  // and the whole round trip is hash-checked.
+  //
+  // Cross-engine regex notes (Java vs RE2): ASCII classes, bounded
+  // repetition and alternation-free patterns only — identical semantics;
+  // counts via regexp_extract_all (explicit group 0 — Spark defaults to
+  // group 1); DuckDB regexp_replace needs the 'g' flag (it replaces only
+  // the FIRST match by default; Spark replaces all).
+  // Rule order matters and is identical on both sides: email first (its
+  // local part may contain digits), then phone, then bare ids — replacement
+  // tokens carry no digits, so later rules never re-match earlier output.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IdRe    = "[0-9]{6,}"
+
+  def q23Redact(spark: SparkSession, dir: String): DataFrame = {
+    val ph = s"lpad(CAST(${h60("CONCAT(CAST(doc_id AS STRING), ':ph')")} % 10000000000 AS STRING), 10, '0')"
+    val idd = s"lpad(CAST(${h60("CONCAT(CAST(doc_id AS STRING), ':id')")} % 100000000 AS STRING), 8, '0')"
+    Tables.documents(spark, dir)
+      .withColumn("raw", expr(
+        s"""concat(coalesce(text, ''), ' contact user', CAST(doc_id AS STRING),
+           |'@example.org or +1-', substr($ph, 1, 3), '-', substr($ph, 4, 3),
+           |'-', substr($ph, 7, 4), ' ref ', $idd)""".stripMargin.replace("\n", " ")))
+      .select(
+        col("doc_id"),
+        // typed API, not expr(): SQL string literals re-process backslash
+        // escapes, which would silently corrupt \. in the pattern
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IdRe, "[ID]").as("redacted"))
+      .withColumn("clean", size(regexp_extract_all(col("redacted"), lit("[0-9]"), lit(0))) === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q23RedactSql: String = {
+    val ph = s"lpad((${h60d("doc_id::VARCHAR || ':ph'")} % 10000000000)::VARCHAR, 10, '0')"
+    val idd = s"lpad((${h60d("doc_id::VARCHAR || ':id'")} % 100000000)::VARCHAR, 8, '0')"
+    s"""WITH r AS (SELECT doc_id,
+       |  coalesce(text, '') || ' contact user' || doc_id::VARCHAR || '@example.org or +1-' ||
+       |  substr($ph, 1, 3) || '-' || substr($ph, 4, 3) || '-' || substr($ph, 7, 4) ||
+       |  ' ref ' || $idd AS raw
+       |  FROM documents),
+       |red AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'), '$IdRe', '[ID]', 'g') AS redacted
+       |  FROM r)
+       |SELECT doc_id, n_emails, n_phones, redacted,
+       |       len(regexp_extract_all(redacted, '[0-9]')) = 0 AS clean
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_redact"      -> (q23Redact _),
     "q23_chunks"          -> (q23Chunks _),
     "q23_top_terms"       -> (q23TopTerms _),
     "q23_lang_id"         -> (q23LangId _),
@@ -353,6 +418,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q23_redact"          -> q23RedactSql,
     "q23_chunks"          -> q23ChunksSql,
     "q23_top_terms"       -> q23TopTermsSql,
     "q23_lang_id"         -> q23LangIdSql,

@@ -49,6 +49,18 @@ class ShortInputSpec extends SparkSpec {
     assert(graft.queries.Similarity.q24LangSketch(spark, dir).count() == 1)
   }
 
+  test("redaction: injected PII is removed even from empty/short docs") {
+    val rows = TextOps.q23Redact(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L, "one injected email")   // n_emails
+      assert(r.getLong(2) === 1L, "one injected phone")   // n_phones
+      val red = r.getString(3)
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]") && red.contains("[ID]"))
+      assert(r.getBoolean(4), s"digits remain after redaction: $red") // clean
+    }
+  }
+
   test("every remaining text/similarity lane survives the short-doc corpus") {
     // catch-all: any future guard regression in a documents-derived lane
     // should fail here, not in a graded run
@@ -58,7 +70,8 @@ class ShortInputSpec extends SparkSpec {
       "q23_fingerprint", "q23_chunks", "q23_tfidf", "q33_hash_sample",
       "q33_split_assign", "q33_balanced_cap", "q33_mixture",
       "q32_media_meta", "q32_frame_sample", "q32_embed_stub", "q32_resize_plan",
-      "q33_resample", "q35_pack", "q26_quality_survivors", "q23_filter_verdict")
+      "q33_resample", "q35_pack", "q26_quality_survivors", "q23_filter_verdict",
+      "q26_span_dup", "q33_decontam_fuzzy", "q32_decode", "q32_pixel_embed")
     lanes.foreach { name =>
       withClue(s"$name on short docs: ") {
         assert(SparkEntry.queries(name)(spark, dir).count() >= 0L)
