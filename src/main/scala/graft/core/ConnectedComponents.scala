@@ -74,8 +74,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // One hook + double pointer jump: lower every endpoint's label to its
     // neighbourhood minimum, then follow the label graph ~4 hops
-    // (jump(jump)) so label distance shrinks ~4× per application.
-    def hookJump(cur: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+    // (jump(jump)) so label distance shrinks ~4× per application. `hooked`
+    // counts labels the HOOK stage lowered — the convergence signal (below).
+    def hookJump(cur: RDD[(Long, Long)],
+                 hooked: org.apache.spark.util.LongAccumulator): RDD[(Long, Long)] = {
       // neighbour minimum: co-partitioned join (no edge shuffle), then a
       // map-side-combining reduceByKey on the destination vertex
       val nbrMin = undirected.join(cur)
@@ -83,7 +85,10 @@ object ConnectedComponents {
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       // self ∧ neighbour min (every endpoint has ≥ 1 neighbour)
       val cand = cur.join(nbrMin)
-        .mapValues { case (self, nbr) => math.min(self, nbr) }
+        .mapValues { case (self, nbr) =>
+          if (nbr < self) hooked.add(1L)
+          math.min(self, nbr)
+        }
       // pointer jump: label(v) ← min(c, label(c)); c is always an
       // endpoint id, so the self-join is total
       val jump1 = cand.map { case (v, c) => (c, v) }.join(cand)
@@ -96,7 +101,20 @@ object ConnectedComponents {
         .partitionBy(part)
     }
 
-    var changed = 1L
+    // Convergence detection WITHOUT a verdict batch: if a batch's SECOND
+    // hook stage lowered nothing, the labels entering it were already
+    // converged — hook-stable labels are constant across every edge
+    // (else the lower endpoint's neighbour would lower the other), a
+    // component's constant must be its min id (labels never rise above the
+    // self-label of the min vertex, never fall below the component min),
+    // and converged labels are fixed points of the jump stages too. The
+    // accumulator rides the batch's one materialization job, so a converged
+    // graph pays zero extra jobs — round 3 paid a full double hook+jump
+    // batch just to observe changed == 0, ~25% of CC wall time. (Task
+    // retries can only INFLATE the count: a spurious extra batch at worst,
+    // never a premature exit.) This also retires the per-batch
+    // (new, old) self-join that existed only to count changes.
+    var secondHook = 1L
     var iters = 0
     // the one materialized RDD of the previous round (freed once the next
     // round has materialized); the FINAL round's cache must stay — the
@@ -106,27 +124,28 @@ object ConnectedComponents {
     var inFlight: RDD[_] = null
     var succeeded = false
     try {
-      while (changed > 0 && iters < maxIters) {
+      while (secondHook > 0 && iters < maxIters) {
         // TWO hook+jump rounds per materialization: on the pair graphs this
         // runs over, per-round data is tiny and the count JOB is the cost —
-        // batching halves the driver round-trips for one extra (cheap)
-        // in-job round after convergence. Lineage stays bounded: every
-        // batch materializes `paired`.
-        val step = hookJump(hookJump(labels))
-        // one materialization per batch: carry (new, old) so the changed
-        // count and the next round's labels read the same cached RDD
-        val paired = step.join(labels).persist(StorageLevel.MEMORY_AND_DISK)
-        inFlight = paired
-        changed = paired.filter { case (_, (n, o)) => n < o }.count()
-        labels = paired.mapValues { case (n, _) => n } // partitioning preserved
-        prevCache.unpersist(blocking = false) // next round reads `paired` now
-        prevCache = paired
+        // batching halves the driver round-trips. Lineage stays bounded:
+        // every batch materializes its output.
+        val acc1 = spark.sparkContext.longAccumulator("cc_hook1")
+        val acc2 = spark.sparkContext.longAccumulator("cc_hook2")
+        val step = hookJump(hookJump(labels, acc1), acc2)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        inFlight = step
+        step.count() // one materialization job; accumulators final after it
+        secondHook = acc2.value
+        labels = step
+        prevCache.unpersist(blocking = false) // next round reads `step` now
+        prevCache = step
         inFlight = null
         iters += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[cc] superstep batch $iters: $changed changed")
+          System.err.println(
+            s"[cc] superstep batch $iters: hook1=${acc1.value} hook2=${acc2.value}")
       }
-      succeeded = changed == 0
+      succeeded = secondHook == 0
     } finally {
       oriented.unpersist(blocking = false)
       undirected.unpersist(blocking = false)
@@ -138,7 +157,7 @@ object ConnectedComponents {
           inFlight.unpersist(blocking = false)
       }
     }
-    if (changed > 0)
+    if (secondHook > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters supersteps")
     // Materialize the final labels OUT of the superstep cache (eager
