@@ -38,7 +38,7 @@ object Bench {
     // at sf0.1 the fixture has ~139 rows/hour, so hourly dirs would measure
     // per-file overhead, not throughput (see Ingest.writeBronze).
     val ingestOut = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
-    val (nRows, ingestRps) = try {
+    val (nRows, ingestRps, ingestRepsRps) = try {
       val ev = graft.core.Tables.events(spark, sfDir)
       val n = ev.count()
       val width = graft.core.ApiLimitCalculator.writeWidth(n, cpus.toInt)
@@ -63,10 +63,12 @@ object Bench {
         } catch { case _: Throwable => () }
         dt
       }.sorted
-      (n, n / reps(2))
+      // headline = median; the per-rep numbers ride along in the JSON so a
+      // round-over-round trend judgment can see the spread, not guess it
+      (n, n / reps(2), reps.map(n / _))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest slice failed: ${e.getMessage}")
-      (0L, -1.0)
+      (0L, -1.0, Seq.empty[Double])
     }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
@@ -85,8 +87,18 @@ object Bench {
     // Measured twice: pass 1 (cold — stream-engine class-load + codegen
     // first-touch) and pass 2 (warm — fresh checkpoint, same files, warmed
     // JVM). Warm is the steady-state number a long-lived query would see.
+    // State-partition width scaled to the input like writeBronze's
+    // writeWidth: 32 state stores for ~39 k window rows spent more time in
+    // per-partition load/commit than in the aggregation (measured: 51 k
+    // rows/s warm at 32 partitions vs 79 k at 4–8; phase table in PLANS.md
+    // §Round-4). ~25 k input rows per state partition, floor 4, cap cpus —
+    // a 100 TB stream saturates the cap, a bench-sized one stops paying
+    // fixed per-store costs. Fresh checkpoints per pass, so the width is
+    // free to differ between runs.
+    val streamWidth = math.max(4L, math.min(cpus.toLong, nRows / 25_000L)).toString
     def streamPass(): Double = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
       // raw file schema (ts = nanos long under nanosAsLong), converted
       // in-stream exactly as Tables.events does for batch
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -112,13 +124,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream slice failed: ${e.getMessage}")
       (-1.0, -1.0)
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
+      s""""ingest_reps_rows_per_sec":${ingestRepsRps.mkString("[", ",", "]")},""" +
       s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1

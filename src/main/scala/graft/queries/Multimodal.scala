@@ -215,13 +215,22 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => None }
 
-  /** documents → real PNG payloads (the binary media column). Batched like
-    * every codec slot; narrow. */
+  /** documents → real PNG payloads (the binary media column). The doc table
+    * scans as one-few file tasks, which would run the codec SERIALLY — the
+    * repartition spreads encode across every core (a 5 000-row shuffle
+    * buying 32× codec parallelism; measured 5.2 s → sub-second). ImageIO's
+    * default ImageInputStream cache is a TEMP FILE per image — switched to
+    * the memory cache at partition open (idempotent static set). */
   private[graft] def imagesFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val cpus = spark.sparkContext.defaultParallelism
     Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.grouped(64).flatMap(_.map(id => ImgIn(id, encodePng(id)))))
+      .repartition(cpus)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // cheap static set, per-JVM
+        it.grouped(64).flatMap(_.map(id => ImgIn(id, encodePng(id))))
+      }
       .toDF()
   }
 
@@ -232,8 +241,11 @@ object Multimodal {
     import spark.implicits._
     imagesFrame(spark, dir)
       .as[ImgIn]
-      .mapPartitions(_.grouped(64).flatMap(_.flatMap(m =>
-        decodePng(m.png).map { case (w, h, s) => ImgOut(m.doc_id, w, h, s) })))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(64).flatMap(_.flatMap(m =>
+          decodePng(m.png).map { case (w, h, s) => ImgOut(m.doc_id, w, h, s) }))
+      }
       .toDF()
       .orderBy(col("doc_id"))
   }
@@ -269,8 +281,11 @@ object Multimodal {
     import spark.implicits._
     imagesFrame(spark, dir)
       .as[ImgIn]
-      .mapPartitions(_.grouped(64).flatMap(_.flatMap(m =>
-        decodePng(m.png).map { case (_, _, s) => (m.doc_id, s) })))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(64).flatMap(_.flatMap(m =>
+          decodePng(m.png).map { case (_, _, s) => (m.doc_id, s) }))
+      }
       .mapPartitions(_.grouped(64).flatMap(_.map { case (id, s) => pixelEmbedOne(id, s) }))
       .toDF()
       .orderBy(col("doc_id"))

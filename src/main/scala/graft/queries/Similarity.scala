@@ -980,6 +980,9 @@ object Similarity {
     // sequence(1, n−49) descends through 0 and slice(toks, 0, …) throws.
     // Clamped, a short row yields one nonsense (never-shared, filtered-out)
     // span value instead of a crash; slice past the end is safe.
+    // localCheckpoint: the span projection is md5-heavy (one hash per
+    // 50-token window) and feeds the splitHotBuckets count pass + probes —
+    // materialized once, ~n_tokens small rows per doc
     val spans = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanK)
@@ -987,6 +990,7 @@ object Similarity {
         s"array_distinct(transform(sequence(1, greatest(size(toks) - ${SpanK - 1}, 1)), " +
           s"i -> ${h60(s"concat_ws(' ', slice(toks, i, $SpanK))")}))"))
       .select(explode(col("sps")).as("sp"), struct(col("doc_id")).as("e"))
+      .localCheckpoint()
     val (cold, hotRaw) = splitHotBuckets(spans, Seq("sp"), hotCap)
     val coldPairs = cold
       .select(explode(expr(

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Streaming-pass profiler: drives the Bench stream slice standalone and
+  * dumps per-micro-batch progress (durationMs phases, state store metrics)
+  * so the batch-vs-stream throughput gap is attributable, not guessed.
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.StreamTime [reps]
+  */
+object StreamTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = if (args.nonEmpty) args(0).toInt else 2
+    val spark = graft.GraftSession.build()
+    spark.sparkContext.setLogLevel("WARN")
+    val nRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    sys.env.get("GRAFT_STREAM_PARTS").foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p))
+    (0 until reps).foreach { rep =>
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_streamtime").toString
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingJobs.tumblingCounts(src)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streamtime] rep$rep wall=$wall%.2fs rows/s=${nRows / wall}%.0f")
+      q.recentProgress.foreach { p =>
+        println(s"[streamtime] rep$rep batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} state=${p.stateOperators.toSeq.map(s =>
+            Map("commitTimeMs" -> s.commitTimeMs, "rowsUpdated" -> s.numRowsUpdated,
+                "rowsTotal" -> s.numRowsTotal))}")
+      }
+    }
+    spark.stop()
+  }
+}
