@@ -234,6 +234,103 @@ object TextOps {
        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- Q23k: corpus word-frequency quality score (CCNet-style proxy) -------
+  // Per-doc mean corpus probability of its tokens: (Σ_tok tf·n_tok) /
+  // (n_toks · N). High = head-heavy/boilerplate-ish text, low = rare-token-
+  // heavy — the word-frequency half of CCNet's LM quality filter, kept in
+  // integer arithmetic (BIGINT sums, ONE final IEEE division) because ln()
+  // differs in the last ulp across libm implementations (see q23_tfidf).
+  // Scale: tf pre-agg map-side-combines away within-doc repeats BEFORE the
+  // vocab join, so the probe side is (doc, distinct-tok) not raw tokens;
+  // the join key is Zipf-skewed but the build side is one row per token —
+  // exactly the AQE-skew-splittable shape. N rides as a broadcast one-row
+  // frame (no driver-side count). At extreme corpus sizes (N² > 2⁶³) the
+  // sum_freq column switches to DOUBLE — bit-exactness is a test-gate
+  // property, not a production invariant.
+  def q23WordFreq(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
+    val total = vocab.agg(sum(col("n")).as("n_total"))
+    tf.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("n")).as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_toks"), col("sum_freq"),
+        (col("sum_freq").cast("double") /
+          (col("n_toks") * col("n_total")).cast("double")).as("mean_prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q23WordFreqSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1,2),
+      |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM vocab),
+      |d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+      |             CAST(sum(tf.tf * vocab.n) AS BIGINT) AS sum_freq
+      |      FROM tf JOIN vocab USING (tok) GROUP BY 1)
+      |SELECT doc_id, n_toks, sum_freq,
+      |       CAST(sum_freq AS DOUBLE) / CAST(n_toks * n_total AS DOUBLE) AS mean_prob
+      |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
+  // --- Q26e: C4-style duplicated-span REMOVAL with doc rebuild -------------
+  // q26_span_dup FLAGS pairs sharing a span; this lane REMOVES: every
+  // 20-token chunk that occurs more than once corpus-wide keeps only its
+  // global first occurrence (min (doc_id, pos)), and each doc is rebuilt
+  // from its surviving chunks — the C4 paper's three-sentence-span rule
+  // re-expressed over token windows. First-occurrence via a map-side-
+  // combining min(struct) agg, NOT a window over the (viral-key-skewed)
+  // chunk hash; the keeper join is probe-side skew with a 1-row build side
+  // per key — AQE-skew-splittable. Rebuild arrays are bounded by doc
+  // length. The chunk projection feeds three consumers (keeper agg, probe,
+  // totals) — checkpointed once.
+  def q26ParaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("s", explode(expr("sequence(1, size(toks), 20)")))
+      .select(col("doc_id"),
+        expr("CAST((s - 1) DIV 20 AS BIGINT)").as("pos"),
+        expr("concat_ws(' ', slice(toks, s, 20))").as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .localCheckpoint()
+    val keeper = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
+    val rebuilt = chunks.join(keeper, "h")
+      .filter(col("doc_id") === col("kdoc") && col("pos") === col("kpos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk))")
+          .as("cleaned"))
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26ParaDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, s, least(s + 19, len(toks))), ' ') AS chunk
+      |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 20)) AS s FROM t)),
+      |ch AS (SELECT *, md5(chunk) AS h FROM c),
+      |k AS (SELECT doc_id, pos, chunk,
+      |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM ch),
+      |kept AS (SELECT doc_id, pos, chunk FROM k WHERE rn = 1),
+      |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |        string_agg(chunk, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY 1),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1)
+      |SELECT tot.doc_id, coalesce(r.cleaned, '') AS cleaned, tot.n_chunks,
+      |       tot.n_chunks - coalesce(r.n_kept, 0) AS n_removed
+      |FROM tot LEFT JOIN r ON tot.doc_id = r.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   // --- Q26: exact-normalized near-dup clusters (hash-group dedup) ----------
   // md5 over whitespace-collapsed lowercase text; cluster size via window.
   // Scale: one hash-shuffle on the 128-bit key — the canonical first pass of
@@ -406,6 +503,8 @@ object TextOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_redact"      -> (q23Redact _),
+    "q23_wordfreq"        -> (q23WordFreq _),
+    "q26_para_dedup"      -> (q26ParaDedup _),
     "q23_chunks"          -> (q23Chunks _),
     "q23_top_terms"       -> (q23TopTerms _),
     "q23_lang_id"         -> (q23LangId _),
@@ -419,6 +518,8 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q23_redact"          -> q23RedactSql,
+    "q23_wordfreq"        -> q23WordFreqSql,
+    "q26_para_dedup"      -> q26ParaDedupSql,
     "q23_chunks"          -> q23ChunksSql,
     "q23_top_terms"       -> q23TopTermsSql,
     "q23_lang_id"         -> q23LangIdSql,
