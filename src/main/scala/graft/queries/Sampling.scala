@@ -112,6 +112,61 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  // --- Q33d': decontamination via Bloom-filter broadcast prefilter ---------
+  // Same ANSWER as q33_decontam, different physical route — the one that
+  // survives 100 TB: the train side collapses to a single ~1 MB Bloom
+  // bitset (`bloom_agg`, Catalyst's own runtime-filter aggregate, a
+  // tree-reduce to ONE row), shipped to every task as a scalar subquery.
+  // Test-side shingles are then prefiltered MAP-SIDE (`bloom_contains` is a
+  // row-local probe with no false negatives), so only candidate (doc, s)
+  // rows — true hits plus a bounded false-positive trickle — ever reach a
+  // shuffle. Exactness is restored by verifying candidates against the
+  // actual train shingles: the candidate shingle set (tiny) broadcasts,
+  // the raw train explode streams map-side through that hash join, and
+  // only matched survivors aggregate. Net: neither full shingle stream is
+  // ever shuffled — the two aggregations downstream see candidate-sized
+  // inputs. Bloom FPs cannot affect the output (they fail the exact
+  // verify), so the result is bit-identical to q33_decontam and shares its
+  // oracle SQL. Sizing: 1 M estimated items / 8 M bits (≈1 MB, ~3% FP at
+  // capacity) — under Spark's runtime-filter conf caps; at real scale the
+  // bitset grows with the train vocabulary (size for n_distinct shingles,
+  // still MBs for billions of items at moderate FP).
+  def q33DecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(sh5Spark))
+      .withColumn("bucket", expr(s"${h60("CAST(doc_id AS STRING)")} % 100"))
+    val trainSh = docs.filter(col("bucket") < 80)
+      .select(explode(col("sh")).as("s"))
+    trainSh.createOrReplaceTempView("graft_bloom_train_sh")
+    docs.filter(col("bucket") >= 90)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .createOrReplaceTempView("graft_bloom_test_sh")
+
+    // Map-side candidate generation: scalar-subquery bloom + row-local probe.
+    val cand = spark.sql(
+      """SELECT doc_id, s FROM graft_bloom_test_sh
+        |WHERE bloom_contains(
+        |  (SELECT bloom_agg(xxhash64(s), 1000000L, 8000000L) FROM graft_bloom_train_sh),
+        |  xxhash64(s))""".stripMargin)
+
+    // Exact verify: candidate shingles broadcast; train stream never shuffles.
+    val candSh = cand.select(col("s")).distinct()
+    val trainMatched = trainSh.join(broadcast(candSh), Seq("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_train_docs"))
+    val hits = cand.join(trainMatched, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"), sum(col("n_train_docs")).as("hits"))
+    docs.filter(col("bucket") >= 90).select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        coalesce(col("hits"), lit(0L)).as("train_hits"),
+        (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val q33DecontamSql: String =
     s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
        |                  ${h60d("doc_id::VARCHAR")} % 100 AS bucket FROM documents),
@@ -301,6 +356,7 @@ object Sampling {
     "q33_split_assign" -> (q33SplitAssign _),
     "q33_balanced_cap" -> (q33BalancedCap _),
     "q33_decontam"     -> (q33Decontam _),
+    "q33_decontam_bloom" -> (q33DecontamBloom _),
     "q33_mixture"      -> (q33Mixture _),
     "q33_resample"     -> (q33Resample _),
     "q35_pack"         -> (q35Pack _),
@@ -312,6 +368,7 @@ object Sampling {
     "q33_split_assign" -> q33SplitAssignSql,
     "q33_balanced_cap" -> q33BalancedCapSql,
     "q33_decontam"     -> q33DecontamSql,
+    "q33_decontam_bloom" -> q33DecontamSql, // same answer, bloom route
     "q33_mixture"      -> q33MixtureSql,
     "q33_resample"     -> q33ResampleSql,
     "q35_pack"         -> q35PackSql,

@@ -141,4 +141,39 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(4)) === 2) // one open row per user
     assert(u7.last.isNullAt(3) && u7.last.getBoolean(4))
   }
+
+  test("decontam bloom route: bit-identical to the exact lane, FPs verified away") {
+    // Real corpus (sf0.001): the bloom-prefilter plan must return the exact
+    // lane's answer row-for-row — bloom false positives may only add
+    // candidates, never rows, because the exact verify drops them.
+    val dir = "/root/testdata/sf0.001"
+    val exact = Sampling.q33Decontam(spark, dir).collect().toSeq
+    val bloom = Sampling.q33DecontamBloom(spark, dir).collect().toSeq
+    assert(bloom === exact)
+    // the comparison is only meaningful if contamination actually exists
+    assert(exact.count(_.getBoolean(4)) > 0)
+  }
+
+  test("decontam bloom route: synthetic contamination caught, clean docs untouched") {
+    val d = Files.createTempDirectory("graft_bloomdc").toString
+    // hash buckets are data-dependent; generate enough docs that train
+    // (bucket<80) and test (bucket>=90) are both non-empty, with one
+    // shared 5-gram planted across every doc of one tag
+    val planted = "alpha bravo charlie delta echo"
+    val docs = (0 until 80).map { i =>
+      val body =
+        if (i % 2 == 0) s"$planted ${docText(10, s"u$i")}" // plantable
+        else docText(15, s"v$i")                           // unique tokens
+      (i.toLong, body, "en", "s0", body.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val exact = Sampling.q33Decontam(spark, d).collect().toSeq
+    val bloom = Sampling.q33DecontamBloom(spark, d).collect().toSeq
+    assert(bloom === exact)
+    // every even test doc shares the planted span with even train docs
+    val contaminatedIds = bloom.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val evenTestIds = bloom.map(_.getLong(0)).filter(_ % 2 == 0).toSet
+    assert(contaminatedIds === evenTestIds)
+  }
 }
