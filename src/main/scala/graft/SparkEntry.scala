@@ -17,10 +17,12 @@ object SparkEntry {
     Relational.q11(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Relational2.defs ++ TextOps.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Windowed.defs ++ Sampling.defs ++ Analytics.defs
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++ TextOps.defs ++
+      Similarity.defs ++ Multimodal.defs ++ Windowed.defs ++ Sampling.defs ++
+      Analytics.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++ TextOps.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Windowed.oracle ++ Sampling.oracle ++ Analytics.oracle
+    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ TextOps.oracle ++
+      Similarity.oracle ++ Multimodal.oracle ++ Windowed.oracle ++ Sampling.oracle ++
+      Analytics.oracle
 }

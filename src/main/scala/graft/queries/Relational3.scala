@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Third-tier relational surface, round 4: full-outer join, unpivot/melt,
+  * column profiling, and the JSONL interchange path — the remaining
+  * warehouse/pipeline staples SURVEY §2B's first two tiers didn't cover.
+  * Same determinism rules as `Relational` (total-order output sorts,
+  * engine-portable formulas).
+  */
+object Relational3 {
+
+  // --- Q7b: FULL OUTER join — daily order activity vs daily shipments ------
+  // The reconciliation shape: two independently aggregated daily series
+  // joined so days present in EITHER survive. Both sides pre-aggregate to
+  // one row per day BEFORE the join (the legal shuffle: key cardinality =
+  // days, not rows), so the full-outer join is tiny regardless of fact
+  // size; `USING`-style key coalescing keeps one `d` column on both
+  // engines. Edge days (shipments trail orders by up to ~4 months) exist
+  // on one side only — the lane's reason to be full-outer.
+  def q07OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("order_cnt"))
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("ship_cnt"))
+    ord.join(ship, Seq("d"), "full")
+      .select(col("d").cast("string").as("d"), // ISO string: date-type repr parity
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("ship_cnt"), lit(0L)).as("ship_cnt"),
+        (col("order_cnt").isNotNull && col("ship_cnt").isNotNull).as("both_sides"))
+      .orderBy(col("d"))
+  }
+
+  val q07OuterJoinSql: String =
+    """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS order_cnt
+      |           FROM orders GROUP BY 1),
+      |     s AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS ship_cnt
+      |           FROM lineitem GROUP BY 1)
+      |SELECT CAST(coalesce(o.d, s.d) AS VARCHAR) AS d,
+      |       coalesce(o.order_cnt, CAST(0 AS BIGINT)) AS order_cnt,
+      |       coalesce(s.ship_cnt, CAST(0 AS BIGINT)) AS ship_cnt,
+      |       o.d IS NOT NULL AND s.d IS NOT NULL AS both_sides
+      |FROM o FULL OUTER JOIN s ON o.d = s.d ORDER BY d""".stripMargin
+
+  // --- Q14d: unpivot / melt — wide measures to long form -------------------
+  // The inverse of q14_pivot: lineitem's four numeric measures melt to
+  // (key, measure, val) rows via the native `Dataset.unpivot` operator
+  // (Expand under the hood — row-local ×4 fan-out, no shuffle; the only
+  // exchange is the presentation sort). The melt shape is what feeds
+  // per-measure statistics without 4 separate scans.
+  def q14Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 100 === 0) // keep output bench-sized
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")): Array[Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")): Array[Column],
+        "measure", "val")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — val joins
+      // the sort key to make the output totally ordered
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
+
+  val q14UnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, val
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+      |      FROM lineitem WHERE l_orderkey % 100 = 0)
+      |UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin
+
+  // --- Q37: column profiling — the ANALYZE/data-audit operator -------------
+  // Per-column null count, exact distinct count, min and max (as strings)
+  // over `orders`, in ONE scan: a single aggregation computes all 6×4
+  // statistics, then a `stack` flips the 1×24 row to 6 tidy rows
+  // (driver-side pivot of a one-row frame — no data movement). The multiple
+  // COUNT(DISTINCT)s plan through Catalyst's Expand (row ×7 fan-out before
+  // partial aggregation) — the standard exact shape; a 100 TB profile
+  // would swap in approx_count_distinct (HLL, q13 lane) to drop the Expand
+  // and keep one no-fanout pass. Timestamp/double→string casts are
+  // engine-portable (UTC session, shortest-round-trip doubles below the
+  // 1e7 exponent threshold).
+  def q37Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, vmin, vmax)"))
+      .orderBy(col("col_name"))
+  }
+
+  val q37ProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS vmin, CAST(max($c) AS VARCHAR) AS vmax
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // --- Q38: JSONL interchange — the training-data exchange format ----------
+  // Dumps `documents` to JSON-lines (the universal corpus interchange
+  // format), reads it back through Spark's JSON source with an EXPLICIT
+  // schema (schema inference at 100 TB means a full extra pass — never
+  // infer in production), and aggregates the round-tripped rows. The
+  // oracle aggregates the original parquet: equality proves the JSON
+  // codec path (unicode, quotes, embedded newlines) is lossless for the
+  // whole corpus. Sink and source both scale: JSONL is line-splittable,
+  // so the read parallelizes per-file-split exactly like parquet, just
+  // without parquet's pushdown/pruning/encoding — interchange format, not
+  // storage format.
+  def q38Jsonl(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val out = s"$tmp/documents_jsonl"
+    Tables.documents(spark, dir).write.mode("overwrite").json(out)
+    val schema = Tables.documents(spark, dir).schema
+    spark.read.schema(schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text")).cast("long")).as("total_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  val q38JsonlSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_outer_join" -> (q07OuterJoin _),
+    "q14_unpivot"    -> (q14Unpivot _),
+    "q37_profile"    -> (q37Profile _),
+    "q38_jsonl"      -> (q38Jsonl _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q07_outer_join" -> q07OuterJoinSql,
+    "q14_unpivot"    -> q14UnpivotSql,
+    "q37_profile"    -> q37ProfileSql,
+    "q38_jsonl"      -> q38JsonlSql,
+  )
+}

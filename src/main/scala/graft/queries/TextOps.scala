@@ -501,7 +501,28 @@ object TextOps {
        |FROM red ORDER BY doc_id""".stripMargin
   }
 
+  // --- Q23m: compressibility quality signal (deflate ratio) ----------------
+  // `raw_bytes / deflate_bytes` at scan speed: boilerplate/machine text
+  // compresses hard (high ratio), natural prose sits near ~1.5–3×. The
+  // signal rides the codegen'd `deflate_len` Expression (thread-local
+  // Deflater, see its scaladoc) — a pure row-local projection, zero
+  // shuffles except the presentation sort. Rows-only check (q13
+  // precedent): DuckDB has no deflate, so no cross-engine oracle exists;
+  // DeflateLenSpec pins the semantics (repetitive ≫ prose ratio,
+  // interpreted/codegen parity, determinism).
+  def q23Compress(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"), // UTF-8 bytes, matches what deflate saw
+        expr("deflate_len(text)").cast("long").as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        col("n_bytes").cast("double") / col("deflate_bytes").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_compress"    -> (q23Compress _),
     "q23_redact"      -> (q23Redact _),
     "q23_wordfreq"        -> (q23WordFreq _),
     "q26_para_dedup"      -> (q26ParaDedup _),
