@@ -23,7 +23,8 @@ object Explain {
       else Seq("q01_scan_filter_project", "q07_join_3way", "q08_broadcast_join",
         "q11_hash_agg", "q16_global_topk", "q24_lsh_pairs", "q25_embed_neardup",
         "q25_ivf_topk", "q26_cc_clusters", "q26_semantic_dedup", "q35_pack",
-        "q36_scd2")
+        "q36_scd2", "q33_decontam_bloom", "q37_profile", "q07_outer_join",
+        "q14_unpivot")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -72,6 +72,40 @@ object Relational3 {
       |UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
       |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin
 
+  // --- Q14e: GROUPING SETS — the rollup/cube generalization ----------------
+  // Arbitrary grouping-set list via Spark 4's native `Dataset.groupingSets`
+  // (two one-dimension marginals + the grand total, which neither rollup
+  // nor cube expresses alone). Plans exactly like rollup: ONE Expand
+  // (row ×3 here) into one hash aggregation — no extra passes per set.
+  // Decimal sum lane + grouping() indicators disambiguate real NULL groups
+  // from set placeholders, same rules as q14_rollup.
+  def q14GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("total_price"),
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_s"), col("g_p"), col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  val q14GroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_s,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_p,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   // --- Q37: column profiling — the ANALYZE/data-audit operator -------------
   // Per-column null count, exact distinct count, min and max (as strings)
   // over `orders`, in ONE scan: a single aggregation computes all 6×4
@@ -146,6 +180,7 @@ object Relational3 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_outer_join" -> (q07OuterJoin _),
     "q14_unpivot"    -> (q14Unpivot _),
+    "q14_grouping_sets" -> (q14GroupingSets _),
     "q37_profile"    -> (q37Profile _),
     "q38_jsonl"      -> (q38Jsonl _),
   )
@@ -153,6 +188,7 @@ object Relational3 {
   val oracle: Map[String, String] = Map(
     "q07_outer_join" -> q07OuterJoinSql,
     "q14_unpivot"    -> q14UnpivotSql,
+    "q14_grouping_sets" -> q14GroupingSetsSql,
     "q37_profile"    -> q37ProfileSql,
     "q38_jsonl"      -> q38JsonlSql,
   )

@@ -141,7 +141,32 @@ object Windowed {
       |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM fp
       |ORDER BY stage""".stripMargin
 
+  // --- Q29d batch twin: stream-static enrichment --------------------------
+  // Runs the SAME builder the stream uses (StreamingJobs.enrichStatic —
+  // stream-static joins are identical plans per micro-batch), then
+  // aggregates per segment so the oracle pins the join's row-preservation
+  // (left join, no dropped facts) and the broadcast lookup values.
+  def q29EnrichBatch(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    graft.streaming.StreamingJobs
+      .enrichStatic(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(D)).cast("double").as("total_value"))
+      .orderBy(col("segment"))
+  }
+
+  val q29EnrichBatchSql: String =
+    """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_enrich_batch"    -> (q29EnrichBatch _),
     "q34_funnel"          -> (q34Funnel _),
     "q27_tumbling_batch"  -> (q27Tumbling _),
     "q28_sliding_batch"   -> (q28Sliding _),
@@ -150,6 +175,7 @@ object Windowed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q29_enrich_batch"    -> q29EnrichBatchSql,
     "q34_funnel"          -> q34FunnelSql,
     "q27_tumbling_batch"  -> q27TumblingSql,
     "q28_sliding_batch"   -> q28SlidingSql,

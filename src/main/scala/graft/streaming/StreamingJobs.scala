@@ -73,6 +73,23 @@ object StreamingJobs {
         col("v_ts"), col("a_ts"))
   }
 
+  /** Q29d: stream-STATIC enrichment join — the dimension-lookup shape
+    * (enrich each arriving event with its customer segment). Unlike the
+    * stream-stream interval join there is NO state store: each micro-batch
+    * plans a fresh broadcast hash join against the static side, so the
+    * static table may be any size Spark can broadcast (or, unhinted, any
+    * size at all via shuffle — but then the stream shuffles per batch;
+    * broadcast is the scale shape for dims). Left join: an event with no
+    * dimension row survives with segment 'UNKNOWN' — enrichment must never
+    * drop facts. Static side is re-resolved per batch, so a dim table
+    * replaced between batches is picked up without restart. */
+  def enrichStatic(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(
+        broadcast(dims.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+
   /** Custom per-key state via flatMapGroupsWithState (the escape hatch when
     * built-in windows can't express the state machine): per-user lifetime
     * counters — events seen, distinct bursts (gap > 10 min starts a new

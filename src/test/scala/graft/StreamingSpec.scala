@@ -14,6 +14,33 @@ class StreamingSpec extends SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
+  case class EvV(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+  test("Q29d: stream-static enrichment joins every micro-batch, keeps unmatched facts") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[EvV]
+    val dims = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = StreamingJobs.enrichStatic(src.toDF(), dims)
+      .writeStream.format("memory").queryName("q29d_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        EvV(1, ts("2024-01-01 00:00:10"), 1, 10.0),
+        EvV(2, ts("2024-01-01 00:00:20"), 2, 5.0),
+        EvV(3, ts("2024-01-01 00:00:30"), 99, 1.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("q29d_out")
+        .select($"event_id", $"segment").as[(Long, String)].collect().toMap
+      assert(rows === Map(1L -> "BUILDING", 2L -> "MACHINERY", 3L -> "UNKNOWN"))
+      // a later micro-batch joins identically — no state store involved
+      src.addData(EvV(4, ts("2024-01-01 00:01:00"), 1, 2.0))
+      q.processAllAvailable()
+      val again = spark.table("q29d_out")
+        .select($"event_id", $"segment").as[(Long, String)].collect().toMap
+      assert(again(4L) === "BUILDING" && again.size === 4)
+    } finally q.stop()
+  }
 
   test("Q27: tumbling 1-minute counts emit settled windows in append mode") {
     implicit val sc = spark.sqlContext
