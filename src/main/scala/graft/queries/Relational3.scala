@@ -120,14 +120,24 @@ object Relational3 {
   def q37Profile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
-    val aggs = cols.flatMap { c =>
+    val orders = Tables.orders(spark, dir)
+    // Branch A — the Expand-fanout stream carries ONLY mutable long
+    // buffers (COUNT DISTINCT), so it stays in codegen'd HashAggregate.
+    // Putting min/max string buffers on this same stream demotes the
+    // whole ×7 fan-out to SortAggregate (immutable buffer rule) — three
+    // full sorts of the expanded stream; measured 4.6 s vs 1.3 s split.
+    val dAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+    val distincts = orders.agg(dAggs.head, dAggs.tail: _*)
+    // Branch B — min/max/null counts need no fan-out: one global agg, one
+    // row out; the string buffers cost nothing without grouping keys.
+    val mAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val one = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val minmax = orders.agg(mAggs.head, mAggs.tail: _*)
+    val one = broadcast(distincts).crossJoin(broadcast(minmax)) // 1×1 rows
     val stackArgs = cols.map(c =>
       s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
     one.select(expr(
