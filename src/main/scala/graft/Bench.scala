@@ -79,7 +79,16 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Inter-query hygiene, OUTSIDE the timed region: lanes that
+      // localCheckpoint leave orphaned RDD blocks whose release waits on
+      // GC + ContextCleaner — across 100+ queries that debris inflates
+      // later queries' numbers (round-3 "bench-loop contamination":
+      // in-loop 2-3x the isolated warm QTime). Each query's number should
+      // measure the query, not its predecessors' garbage.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
 
     // Streaming throughput: events parquet driven through the Q27 tumbling
