@@ -112,6 +112,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokenize_pos", exprs => TokenizePos(exprs.head), "built-in")
     MinHashSketch.register(spark)
   }
 }
@@ -181,5 +183,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DeflateLen(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("tokenize_pos"),
+      new ExpressionInfo(classOf[TokenizePos].getName, "tokenize_pos"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenizePos(exprs.head)))
   }
 }

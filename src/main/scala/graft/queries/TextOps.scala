@@ -521,7 +521,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // --- Q23n: tokenize WITH positions — the custom-Generator lane -----------
+  // One row per token carrying (pos, start_char, tok) from the
+  // `tokenize_pos` Generator (`functions.TokenizePos` — the offsets fall
+  // out of the forward scan tokenization already does; recovering them
+  // from posexplode output would need a prefix-sum window = an extra
+  // shuffle, which is exactly what the oracle SQL has to do). Row-local
+  // Generate, no shuffle but the presentation sort. The substr-law
+  // (`substr(text, start_char+1, len(tok)) = tok`) is spec-pinned in
+  // TokenizePosSpec; the oracle pins cross-engine offset agreement.
+  def q23TokensPos(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        expr("tokenize_pos(text)").as(Seq("pos", "start_char", "tok")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q23TokensPosSql: String =
+    """SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+      |  CAST(coalesce(sum(len(toks[i]) + 1) OVER (
+      |    PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start_char,
+      |  toks[i] AS tok
+      |FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id % 10 = 0),
+      |     LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      |ORDER BY doc_id, pos""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_tokens_pos"  -> (q23TokensPos _),
     "q23_compress"    -> (q23Compress _),
     "q23_redact"      -> (q23Redact _),
     "q23_wordfreq"        -> (q23WordFreq _),
@@ -538,6 +567,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q23_tokens_pos"      -> q23TokensPosSql,
     "q23_redact"          -> q23RedactSql,
     "q23_wordfreq"        -> q23WordFreqSql,
     "q26_para_dedup"      -> q26ParaDedupSql,
