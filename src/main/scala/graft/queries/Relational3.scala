@@ -157,6 +157,58 @@ object Relational3 {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // --- Q36b: snapshot DIFF — the CDC/reconciliation operator ---------------
+  // Given two snapshots of a keyed table, emit every key that changed and
+  // how: insert (new only), delete (old only), update (both, payload
+  // differs); unchanged keys drop. The audit every incremental pipeline
+  // runs to validate a merge. Shape: ONE full-outer join on the key —
+  // both sides shuffle-partition on o_orderkey, unchanged rows are
+  // filtered AFTER the join (null-safe <=> so a NULL payload difference
+  // counts as a change, not a silent equal). Snapshots derived
+  // deterministically from `orders` (modulo families) so both engines
+  // build identical inputs.
+  def q36Diff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val old = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
+        col("o_orderstatus").as("old_status"))
+    val neu = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("new_price"),
+        col("o_orderstatus").as("new_status"))
+    old.join(neu, Seq("o_orderkey"), "full")
+      .withColumn("verdict",
+        when(col("old_price").isNull, "insert")
+          .when(col("new_price").isNull, "delete")
+          .when(col("old_price") <=> col("new_price") &&
+            col("old_status") <=> col("new_status"), "unchanged")
+          .otherwise("update"))
+      .filter(col("verdict") =!= "unchanged")
+      .select(col("o_orderkey"), col("verdict"),
+        col("old_price"), col("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q36DiffSql: String =
+    """WITH old AS (SELECT o_orderkey, o_totalprice AS old_price, o_orderstatus AS old_status
+      |             FROM orders WHERE o_orderkey % 7 <> 0),
+      |     neu AS (SELECT o_orderkey,
+      |                    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                         ELSE o_totalprice END AS new_price,
+      |                    o_orderstatus AS new_status
+      |             FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+      |       CASE WHEN old_price IS NULL THEN 'insert'
+      |            WHEN new_price IS NULL THEN 'delete'
+      |            ELSE 'update' END AS verdict,
+      |       old_price, new_price
+      |FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey
+      |WHERE old_price IS NULL OR new_price IS NULL
+      |   OR NOT (old_price IS NOT DISTINCT FROM new_price
+      |           AND old_status IS NOT DISTINCT FROM new_status)
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- Q38: JSONL interchange — the training-data exchange format ----------
   // Dumps `documents` to JSON-lines (the universal corpus interchange
   // format), reads it back through Spark's JSON source with an EXPLICIT
@@ -193,6 +245,7 @@ object Relational3 {
     "q14_grouping_sets" -> (q14GroupingSets _),
     "q37_profile"    -> (q37Profile _),
     "q38_jsonl"      -> (q38Jsonl _),
+    "q36_diff"       -> (q36Diff _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -201,5 +254,6 @@ object Relational3 {
     "q14_grouping_sets" -> q14GroupingSetsSql,
     "q37_profile"    -> q37ProfileSql,
     "q38_jsonl"      -> q38JsonlSql,
+    "q36_diff"       -> q36DiffSql,
   )
 }

@@ -50,6 +50,40 @@ class PropertySpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("tokenize_pos: substr/reconstruction laws hold on random space-ridden strings") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // strings biased toward spaces (runs of separators are the edge case)
+    val genText = Gen.listOf(Gen.frequency(
+      3 -> Gen.const(' '), 5 -> Gen.alphaNumChar, 1 -> Gen.const('π')))
+      .map(_.mkString)
+    check(Prop.forAll(genText) { (s: String) =>
+      val df = Seq(s).toDF("text").repartition(1)
+        .select(col("text"), expr("tokenize_pos(text)").as(Seq("pos", "start_char", "tok")))
+      val substrOk = df.filter(
+        expr("substr(text, start_char + 1, length(tok)) != tok")).count() == 0L
+      val rebuilt = df.orderBy(col("pos")).select(col("tok")).as[String].collect().toSeq
+      substrOk && rebuilt == s.split(" ", -1).toSeq
+    }, n = 30)
+  }
+
+  test("deflate_len: positive, deterministic, and never larger than raw + overhead") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    check(Prop.forAll(Gen.asciiPrintableStr) { (s: String) =>
+      val n = Seq(s).toDF("t").repartition(1)
+        .select(expr("deflate_len(t)")).as[Int].head()
+      val again = graft.functions.DeflateLen.compressedLength(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // raw deflate worst case: ~5 bytes per 16 KiB block + payload
+      n > 0 && n == again && n <= s.getBytes("UTF-8").length + 11
+    }, n = 30)
+  }
+
   test("pack arithmetic: offsets in [0, cap), pack_id consistent with the prefix sum") {
     val spark = SparkSpec.session
     import spark.implicits._
