@@ -25,6 +25,16 @@ class GraftSessionSpec extends SparkSpec {
       """SELECT lang, minhash_sketch(CAST(conv(substr(md5(text),1,15),16,10) AS BIGINT) % 1000000007L) AS s
         |FROM documents GROUP BY lang""".stripMargin)
     assert(sk.count() > 0)
+    // round-4 custom surface: generator, deflate, bloom pair — all pure SQL
+    assert(spark.sql("SELECT tok FROM (SELECT tokenize_pos('a b') AS (p, s, tok))")
+      .as[String].collect().toSeq === Seq("a", "b"))
+    assert(spark.sql("SELECT deflate_len('aaaaaaaa')").as[Int].head() > 0)
+    val hits = spark.sql(
+      """SELECT count(*) FROM documents
+        |WHERE bloom_contains(
+        |  (SELECT bloom_agg(xxhash64(lang), 100L, 800L) FROM documents),
+        |  xxhash64(lang))""".stripMargin).as[Long].head()
+    assert(hits > 0)
   }
 
   test("a full query is expressible in raw SQL and matches the DataFrame lane") {
