@@ -86,8 +86,10 @@ object Bench {
       // later queries' numbers (round-3 "bench-loop contamination":
       // in-loop 2-3x the isolated warm QTime). Each query's number should
       // measure the query, not its predecessors' garbage.
-      spark.catalog.clearCache()
-      System.gc()
+      // guarded: hygiene must never kill the loop — the report (with its
+      // per-query failures) must still be emitted on a broken session
+      try { spark.catalog.clearCache(); System.gc() }
+      catch { case _: Throwable => () }
       name -> dt
     }
 

@@ -61,6 +61,10 @@ object Relational3 {
         Array(col("l_orderkey"), col("l_linenumber")): Array[Column],
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")): Array[Column],
         "measure", "val")
+      // NULL parity: DuckDB's UNPIVOT excludes NULL values by default while
+      // Spark's unpivot keeps them — pin the shared semantics explicitly
+      // (moot on this non-null fixture, load-bearing on nullable columns)
+      .filter(col("val").isNotNull)
       // (l_orderkey, l_linenumber) is NOT unique in the fixture — val joins
       // the sort key to make the output totally ordered
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
@@ -108,13 +112,15 @@ object Relational3 {
 
   // --- Q37: column profiling — the ANALYZE/data-audit operator -------------
   // Per-column null count, exact distinct count, min and max (as strings)
-  // over `orders`, in ONE scan: a single aggregation computes all 6×4
-  // statistics, then a `stack` flips the 1×24 row to 6 tidy rows
-  // (driver-side pivot of a one-row frame — no data movement). The multiple
-  // COUNT(DISTINCT)s plan through Catalyst's Expand (row ×7 fan-out before
-  // partial aggregation) — the standard exact shape; a 100 TB profile
-  // would swap in approx_count_distinct (HLL, q13 lane) to drop the Expand
-  // and keep one no-fanout pass. Timestamp/double→string casts are
+  // over `orders`, in TWO deliberate branches (do NOT merge them back into
+  // one aggregation — that was the first cut, and it demotes everything to
+  // SortAggregate, see below): the COUNT(DISTINCT) branch fans out through
+  // Catalyst's Expand (×6) into codegen'd HashAggregate; min/max/nulls ride
+  // a separate no-Expand global agg; the two one-row frames broadcast-cross
+  // and a `stack` flips the 1×24 row to 6 tidy rows (driver-side pivot of
+  // a one-row frame — no data movement). A 100 TB profile swaps in
+  // approx_count_distinct (HLL, q13 lane) to drop the Expand and the
+  // distinct shuffle entirely. Timestamp/double→string casts are
   // engine-portable (UTC session, shortest-round-trip doubles below the
   // 1e7 exponent threshold).
   def q37Profile(spark: SparkSession, dir: String): DataFrame = {
@@ -221,8 +227,11 @@ object Relational3 {
   // without parquet's pushdown/pruning/encoding — interchange format, not
   // storage format.
   def q38Jsonl(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-    val out = s"$tmp/documents_jsonl"
+    // Stable per-source path + overwrite: the lane returns a LAZY frame, so
+    // the dump can't be deleted here (consumers read it later) — a fresh
+    // temp dir per call would strand one corpus copy per invocation across
+    // bench/verify/spec runs. One reused slot per sf dir bounds that.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}"
     Tables.documents(spark, dir).write.mode("overwrite").json(out)
     val schema = Tables.documents(spark, dir).schema
     spark.read.schema(schema).json(out)

@@ -151,11 +151,16 @@ object Sampling {
         |  (SELECT bloom_agg(xxhash64(s), 1000000L, 8000000L) FROM graft_bloom_train_sh),
         |  xxhash64(s))""".stripMargin)
 
-    // Exact verify: candidate shingles broadcast; train stream never shuffles.
-    val candSh = cand.select(col("s")).distinct()
+    // Exact verify: candidate shingles broadcast; train stream never
+    // shuffles. cand feeds two subtrees (candSh and the hits join) with no
+    // shared exchange, so without materialization the test-side explode +
+    // bloom probe would execute twice — localCheckpoint evaluates the small
+    // candidate set once (same pattern as the jaccard postings reuse).
+    val candM = cand.localCheckpoint()
+    val candSh = candM.select(col("s")).distinct()
     val trainMatched = trainSh.join(broadcast(candSh), Seq("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n_train_docs"))
-    val hits = cand.join(trainMatched, Seq("s"))
+    val hits = candM.join(trainMatched, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared"), sum(col("n_train_docs")).as("hits"))
     docs.filter(col("bucket") >= 90).select(col("doc_id"), col("lang"))
