@@ -79,7 +79,7 @@ object Sampling {
   // the pipeline would ship.
   // IF guard: Spark sequence(1, 0) descends ([1,0]) → element_at(toks, 0)
   // throws on any doc with < 5 tokens; DuckDB generate_series(1,0) is empty.
-  private val sh5Spark: String =
+  private[graft] val sh5Spark: String =
     "IF(size(toks) >= 5, array_distinct(transform(sequence(1, size(toks) - 4), " +
       "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), " +
       "element_at(toks, i+2), element_at(toks, i+3), element_at(toks, i+4)))), " +
@@ -133,37 +133,48 @@ object Sampling {
   // still MBs for billions of items at moderate FP).
   def q33DecontamBloom(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    // Doc-level shingle frame, materialized ONCE (localCheckpoint). The
+    // barrier is load-bearing twice over: (a) four consumers (bloom build,
+    // test probe ×2 branches, train verify) read the md5-heavy shingle
+    // arrays without recomputing them; (b) it defeats a measured plan
+    // pathology — predicate pushdown pushes the inferred `size(sh) > 0`
+    // Generate filter THROUGH the sh-defining projection, substituting the
+    // whole shingle expression into a non-codegen Filter where `toks` also
+    // inlines (every element_at re-splits the text): the un-barriered
+    // explode measured 8–12 s vs 0.22 s checkpointed at sf0.1 (same
+    // pathology class as q26_span_dup's hardening, same fix as its span
+    // projection checkpoint; ~50 short strings per doc, corpus-bounded).
+    val docsSh = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(sh5Spark))
       .withColumn("bucket", expr(s"${h60("CAST(doc_id AS STRING)")} % 100"))
-    val trainSh = docs.filter(col("bucket") < 80)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
+      .localCheckpoint()
+    val trainSh = docsSh.filter(col("bucket") < 80)
       .select(explode(col("sh")).as("s"))
     trainSh.createOrReplaceTempView("graft_bloom_train_sh")
-    docs.filter(col("bucket") >= 90)
+    docsSh.filter(col("bucket") >= 90)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .createOrReplaceTempView("graft_bloom_test_sh")
 
-    // Map-side candidate generation: scalar-subquery bloom + row-local probe.
+    // Map-side candidate generation: scalar-subquery bloom + row-local
+    // probe. cand appears twice in the final plan (candSh + hits join) but
+    // both subtrees read the materialized arrays and share the ONE bloom
+    // subquery (ReusedSubquery), so the probe pass is cheap by design.
     val cand = spark.sql(
       """SELECT doc_id, s FROM graft_bloom_test_sh
         |WHERE bloom_contains(
         |  (SELECT bloom_agg(xxhash64(s), 1000000L, 8000000L) FROM graft_bloom_train_sh),
         |  xxhash64(s))""".stripMargin)
 
-    // Exact verify: candidate shingles broadcast; train stream never
-    // shuffles. cand feeds two subtrees (candSh and the hits join) with no
-    // shared exchange, so without materialization the test-side explode +
-    // bloom probe would execute twice — localCheckpoint evaluates the small
-    // candidate set once (same pattern as the jaccard postings reuse).
-    val candM = cand.localCheckpoint()
-    val candSh = candM.select(col("s")).distinct()
+    // Exact verify: candidate shingles broadcast; train stream never shuffles.
+    val candSh = cand.select(col("s")).distinct()
     val trainMatched = trainSh.join(broadcast(candSh), Seq("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n_train_docs"))
-    val hits = candM.join(trainMatched, Seq("s"))
+    val hits = cand.join(trainMatched, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared"), sum(col("n_train_docs")).as("hits"))
-    docs.filter(col("bucket") >= 90).select(col("doc_id"), col("lang"))
+    docsSh.filter(col("bucket") >= 90).select(col("doc_id"), col("lang"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("shared"), lit(0L)).as("n_shared"),
