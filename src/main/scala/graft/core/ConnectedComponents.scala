@@ -145,6 +145,18 @@ object ConnectedComponents {
           System.err.println(
             s"[cc] superstep batch $iters: hook1=${acc1.value} hook2=${acc2.value}")
       }
+      if (secondHook > 0) {
+        // Accumulator counts can be INFLATED by task retries (speculation,
+        // executor loss): a graph converging in exactly maxIters batches
+        // could read secondHook > 0 spuriously. Before discarding correct
+        // labels at the cap, re-check convergence EXACTLY — a count() is
+        // retry-safe. Converged labels are fixed points of hook AND jump,
+        // so one co-partitioned join against the would-be next round
+        // decides it; the cost only ever pays at the cap boundary.
+        val accV = spark.sparkContext.longAccumulator("cc_verify")
+        secondHook = hookJump(labels, accV).join(labels)
+          .filter { case (_, (a, b)) => a != b }.count()
+      }
       succeeded = secondHook == 0
     } finally {
       oriented.unpersist(blocking = false)

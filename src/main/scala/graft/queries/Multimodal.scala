@@ -128,12 +128,24 @@ object Multimodal {
   /** Container format as the codec registry names it ("png"), read from the
     * payload header — not trusted metadata. */
   private[graft] def sniffFormat(bytes: Array[Byte]): Option[String] = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    // setUseCache here and in decodePng, not just in the encode closure:
+    // these entry points must not depend on running pipelined after
+    // imagesFrame's encoder in the same task (the default ImageInputStream
+    // cache is a TEMP FILE per image — the measured 5.2 s → 0.56 s fix)
+    javax.imageio.ImageIO.setUseCache(false)
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (readers.hasNext) Some(readers.next().getFormatName.toLowerCase) else None
-    } finally in.close()
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (readers.hasNext) Some(readers.next().getFormatName.toLowerCase) else None
+      } finally in.close()
+    } catch {
+      // quarantine, not crash: JDK readers throw RuntimeExceptions
+      // (AIOOBE/NegativeArraySize/IllegalArgument) on malformed headers,
+      // not only IOException
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   private def decodeOne(m: MediaIn): Option[MediaOut] =
@@ -199,6 +211,7 @@ object Multimodal {
     * stage). */
   private[graft] def decodePng(bytes: Array[Byte]): Option[(Long, Long, Long)] =
     try {
+      javax.imageio.ImageIO.setUseCache(false) // see sniffFormat note
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
         var sum = 0L
         var y = 0
@@ -213,7 +226,13 @@ object Multimodal {
         }
         (img.getWidth.toLong, img.getHeight.toLong, sum)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // JDK image readers throw RuntimeExceptions on malformed payloads
+      // (corrupt IHDR/palette → AIOOBE, NegativeArraySizeException, IAE),
+      // not only IOException — the quarantine must catch them all or one
+      // corrupt blob fails the task 4× and kills the job
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** documents → real PNG payloads (the binary media column). The doc table
     * scans as one-few file tasks, which would run the codec SERIALLY — the

@@ -108,11 +108,21 @@ object Similarity {
     val keys = keyCols.map(col)
     val hotKeys = rows.groupBy(keys: _*).agg(count(lit(1)).as("f"))
       .filter(col("f") > cap).select(keys: _*).localCheckpoint()
-    val cold = rows.join(broadcast(hotKeys), keyCols, "left_anti")
+    // NULL-safe routing: groupBy counts a NULL-keyed group like any other,
+    // but USING-style anti/semi joins match null-UNSAFELY — a viral
+    // NULL-keyed bucket would count as hot yet slip through the anti join
+    // back onto the unbounded collect_list path the cap exists to prevent.
+    // Explicit <=> conditions keep NULL groups routable. (concat_ws below
+    // skips nulls, so the cast also coalesces to a sentinel that keeps a
+    // NULL key distinct from an empty string in the salted-join bucket id.)
+    val hk = hotKeys.select(keyCols.map(c => col(c).as(s"__hk_$c")): _*)
+    val nsCond = keyCols.map(c => col(c) <=> col(s"__hk_$c")).reduce(_ && _)
+    val cold = rows.join(broadcast(hk), nsCond, "left_anti")
       .groupBy(keys: _*).agg(collect_list(col("e")).as("ds"))
       .filter(size(col("ds")) > 1)
-    val hotRows = rows.join(broadcast(hotKeys), keyCols, "left_semi")
-      .select(concat_ws("\u0001", keys.map(_.cast("string")): _*).as("k") +:
+    val hotRows = rows.join(broadcast(hk), nsCond, "left_semi")
+      .select(concat_ws("\u0001",
+          keys.map(k => coalesce(k.cast("string"), lit("\u0001NULL"))): _*).as("k") +:
         (keys :+ col("e")): _*)
     val hotPairs = graft.core.SkewJoin.saltedInnerJoin(
         hotRows.select(col("k") +: (keys :+ col("e").as("x")): _*),
@@ -899,7 +909,12 @@ object Similarity {
     val d = shingledFrame(Tables.documents(spark, dir))
       .select(col("doc_id"), col("sh"))
       .localCheckpoint() // feeds the band pipeline + both verify sides
+    // bands ALSO checkpoints: it feeds both sides of the candidate join
+    // (trainB/testB) with no shared exchange between them, so without the
+    // barrier the md5+minhash12 band pass over every shingle runs twice —
+    // the same once-only discipline as the capped pair lanes' band frames.
     val bands = bandKeysOf(d).withColumn("bucket", expr(bucketExpr))
+      .localCheckpoint()
     val trainB = bands.filter(col("bucket") < 80)
       .select(col("band_id"), col("band_key"), col("doc_id").as("train_id"))
     val testB = bands.filter(col("bucket") >= 90)

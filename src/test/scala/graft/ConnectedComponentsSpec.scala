@@ -47,12 +47,27 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("insufficient superstep budget fails loudly, never silently partial") {
     import spark.implicits._
-    val vs = (0L until 9L).toDF("v")
-    val es = (0L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    // 200-vertex path: needs ~log(diameter) batches, far more than 1
+    val vs = (0L until 200L).toDF("v")
+    val es = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
       ConnectedComponents.labels(vs, es, maxIters = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("converged-at-the-cap graph is rescued by the exact recheck, not failed") {
+    import spark.implicits._
+    // A 9-path converges WITHIN one batch's back half: the second hook
+    // accumulator reads > 0 (it still lowered labels mid-batch) but the
+    // trailing jumps finish the job. The accumulator alone would throw at
+    // maxIters = 1; the exact retry-safe recheck must recognize the labels
+    // as converged and return them.
+    val vs = (0L until 9L).toDF("v")
+    val es = (0L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = ConnectedComponents.labels(vs, es, maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L))
   }
 
   /** Reference union-find, the simplest possible correct implementation. */

@@ -42,6 +42,30 @@ class SkewJaccardSpec extends SparkSpec {
     assert(skewRouted.head._4 === 1.0)
   }
 
+  test("NULL-keyed viral bucket still routes through the salted path") {
+    // lang is part of the posting key (lang, s); a NULL lang group counts
+    // as hot like any other but USING-style anti/semi joins would match it
+    // null-unsafely — the null-safe <=> routing must keep the two paths
+    // bit-identical AND actually divert the viral posting.
+    val d = Files.createTempDirectory("graft_viral_null").toString
+    val viral = "shared boilerplate header"
+    val docs =
+      (0 until 6).map(i =>
+        (i.toLong, s"$viral unique$i filler$i tail$i", null: String, "src0", 40L)) ++
+      Seq(
+        (6L, s"$viral alpha beta gamma delta epsilon", null: String, "src1", 45L),
+        (7L, s"$viral alpha beta gamma delta epsilon", null: String, "src1", 45L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    def collectPairs(hotCap: Int) =
+      Similarity.q24JaccardPairsCapped(spark, d, hotCap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val inPlace = collectPairs(hotCap = 1000)
+    val routed  = collectPairs(hotCap = 2)
+    assert(inPlace === routed)
+    assert(routed.map(p => (p._1, p._2)) === Seq((6L, 7L)))
+  }
+
   test("production cap leaves the standard corpus untouched (ShortInputSpec twin)") {
     // sanity on the real entry: same answer as an uncapped run on this corpus
     val prod = Similarity.q24JaccardPairs(spark, dir).collect().toSeq
