@@ -106,7 +106,8 @@ object Bench {
     // a 100 TB stream saturates the cap, a bench-sized one stops paying
     // fixed per-store costs. Fresh checkpoints per pass, so the width is
     // free to differ between runs.
-    val streamWidth = math.max(4L, math.min(cpus.toLong, nRows / 25_000L)).toString
+    val streamWidth =
+      graft.core.ApiLimitCalculator.streamStateWidth(nRows, cpus.toLong).toString
     def streamPass(): Double = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
       spark.conf.set("spark.sql.shuffle.partitions", streamWidth)

@@ -74,4 +74,14 @@ object ApiLimitCalculator {
     // multi-trillion-row batches, and a wrapped-negative .toInt would
     // collapse the write to width 1
     math.max(1, math.min(maxWidth.toLong, math.max(8L, rows / 10_000L)).toInt)
+
+  /** Streaming state-partition width for an input of `rows` rows: ~25 k
+    * rows per HDFS-backed state store, floored at 4, capped at the session
+    * width. 32 stores for 39 k window rows spent more in per-store
+    * load/snapshot/commit file I/O than in aggregation (PLANS.md §Round-4
+    * phase table: Σ commitTimeMs drops ~40× at width 4). ONE definition —
+    * Bench sizes its stream slice with it and StreamTime must reproduce
+    * exactly that configuration to attribute it. */
+  def streamStateWidth(rows: Long, maxWidth: Long): Long =
+    math.max(4L, math.min(maxWidth, rows / 25_000L))
 }

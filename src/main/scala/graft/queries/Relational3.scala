@@ -232,9 +232,9 @@ object Relational3 {
     // temp dir per call would strand one corpus copy per invocation across
     // bench/verify/spec runs. One reused slot per sf dir bounds that.
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}"
-    Tables.documents(spark, dir).write.mode("overwrite").json(out)
-    val schema = Tables.documents(spark, dir).schema
-    spark.read.schema(schema).json(out)
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").json(out)
+    spark.read.schema(docs.schema).json(out)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),

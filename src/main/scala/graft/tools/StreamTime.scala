@@ -14,11 +14,11 @@ object StreamTime {
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
     val nRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-    // Default to the SAME input-scaled state width Bench uses — this tool
-    // exists to attribute Bench's stream number, so it must reproduce
-    // Bench's configuration unless explicitly overridden.
-    val cpus = spark.sparkContext.defaultParallelism.toLong
-    val benchWidth = math.max(4L, math.min(cpus, nRows / 25_000L)).toString
+    // Default to the SAME input-scaled state width Bench uses (one shared
+    // definition) — this tool exists to attribute Bench's stream number,
+    // so it must reproduce Bench's configuration unless overridden.
+    val benchWidth = graft.core.ApiLimitCalculator.streamStateWidth(
+      nRows, spark.sparkContext.defaultParallelism.toLong).toString
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("GRAFT_STREAM_PARTS", benchWidth))
     (0 until reps).foreach { rep =>

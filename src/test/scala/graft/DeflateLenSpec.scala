@@ -32,13 +32,7 @@ class DeflateLenSpec extends SparkSpec {
         .select($"t", expr("deflate_len(t)").as("n"))
         .orderBy($"t").select($"n").as[Int].collect().toSeq
     val viaCodegen = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(run() === viaCodegen)
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-    }
+    withInterpretedOnly { assert(run() === viaCodegen) }
     assert(run() === viaCodegen) // rerun: Deflater reset leaves no state behind
     // string and its utf-8 bytes deflate identically
     val s = "päällekkäisyys " * 9

@@ -27,15 +27,10 @@ class MinHashSigSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].collect()
     out.foreach { case (fast, slow) => assert(fast === slow) }
     // and through the interpreted path (eval without codegen)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
+    withInterpretedOnly {
       val out2 = df.select(expr("minhash12(hs)").as("fast"), expr(ref).as("slow"))
         .as[(Seq[Long], Seq[Long])].collect()
       out2.foreach { case (fast, slow) => assert(fast === slow) }
-    } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
 

@@ -35,13 +35,7 @@ class SimHash60Spec extends SparkSpec {
         .select($"th", expr("simhash60(th)").as("s"))
         .orderBy($"th").select($"s").as[Long].collect().toSeq
     val viaCodegen = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(run() === viaCodegen)
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-    }
+    withInterpretedOnly { assert(run() === viaCodegen) }
     // ordered by th: empty array sorts FIRST (shortest/least) -> index 0
     assert(viaCodegen.head === 0L)
     val n = Seq(Tuple1(null: Seq[Long])).toDF("th")
