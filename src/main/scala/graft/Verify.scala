@@ -41,6 +41,13 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Lanes persist() shared frames for intra-query reuse; drop them per
+      // query so 100+ cached frames don't pile up over the run (and no
+      // query reads a predecessor's cache via canonical-plan matching).
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

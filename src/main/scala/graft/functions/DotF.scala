@@ -82,6 +82,29 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
 
 /** Session-scoped registration of graft's custom Catalyst expressions. */
 object GraftFunctions {
+  /** Arity-validated bloom_agg builder mirroring Spark's own
+    * bloom_filter_agg forms: 1 arg (defaults), 2 (estimated items),
+    * 3 (+ num bits). A wrong-arity call gets a clear invalid-arguments
+    * error instead of an IndexOutOfBoundsException from `exprs(2)`. */
+  private[functions] def bloomAgg(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = exprs match {
+      case Seq(c)       => new BloomFilterAggregate(c)
+      case Seq(c, n)    => new BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+      case _ => throw new IllegalArgumentException(
+        s"bloom_agg expects 1 to 3 arguments (value[, estimatedItems[, numBits]]), got ${exprs.length}")
+    }
+    agg.toAggregateExpression()
+  }
+
+  private[functions] def bloomContains(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(bloom, value) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
+    case _ => throw new IllegalArgumentException(
+      s"bloom_contains expects exactly 2 arguments (bloom, value), got ${exprs.length}")
+  }
+
   /** Idempotent: createOrReplaceTempFunction overwrites in place. Registers
     * the WHOLE custom surface (dotf + both minhash sketch aggregates) so a
     * caller never sees a session with half the functions. */
@@ -94,6 +117,11 @@ object GraftFunctions {
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pair_expand", exprs => PairExpand(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_expand_ids", exprs => PairExpandIds(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_capped",
+      exprs => CollectCapped(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     // Stock Catalyst bloom expressions (the machinery behind Spark's own
     // runtime row-level filtering), surfaced as callable functions so a
     // query can build an explicit broadcast-prefilter plan: `bloom_agg`
@@ -101,15 +129,9 @@ object GraftFunctions {
     // probes it row-local (bloom side must be foldable or a scalar
     // subquery — BloomFilterMightContain.checkInputDataTypes enforces it).
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "built-in")
+      "bloom_agg", exprs => GraftFunctions.bloomAgg(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_contains",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+      "bloom_contains", exprs => GraftFunctions.bloomContains(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -153,6 +175,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PairExpand(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("pair_expand_ids"),
+      new ExpressionInfo(classOf[PairExpandIds].getName, "pair_expand_ids"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PairExpandIds(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("collect_capped"),
+      new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CollectCapped(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -168,16 +200,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+        GraftFunctions.bloomAgg(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_contains"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs(0), exprs(1))))
+        GraftFunctions.bloomContains(exprs)))
     e.injectFunction((
       FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -79,4 +79,92 @@ case class PairExpand(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PairExpand =
     copy(left = newLeft, right = newRight)
+}
+
+/** The no-prune sibling of [[PairExpand]] for the banded-bucket lanes
+  * (q24_lsh_pairs, q24_simhash_pairs), whose cold branches expand EVERY
+  * i<j pair of a bucket's posting list — there is no size-ratio prune to
+  * apply, but the interpreted `flatten(transform(transform(slice(...))))`
+  * nest costs the same four levels of lambda dispatch per candidate pair.
+  *
+  * Input shape picks the output:
+  *   - `array<struct<doc_id: bigint>>` → `array<struct<doc_a, doc_b>>`
+  *     (ids canonically ordered) — the LSH band-bucket case;
+  *   - `array<struct<doc_id: bigint, simhash: bigint>>` →
+  *     `array<struct<doc_a, doc_b, hamming: int>>` with
+  *     `hamming = bit_count(simhashᵃ XOR simhashᵇ)` — the SimHash case.
+  *     `Long.bitCount` is the exact semantics of SQL `bit_count` on
+  *     BIGINT, so values are bit-identical to the lambda formulation.
+  *
+  * CodegenFallback for the same measured reason as [[PairExpand]]: the
+  * loop body is compiled Scala and dominates the projection cost.
+  */
+case class PairExpandIds(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "pair_expand_ids"
+
+  private def payloadFields: Int = child.dataType match {
+    case ArrayType(StructType(fields), _) => fields.length
+    case _ => 0
+  }
+
+  override def dataType: DataType = {
+    val base = Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false))
+    val fields =
+      if (payloadFields == 2) base :+ StructField("hamming", IntegerType, nullable = false)
+      else base
+    ArrayType(StructType(fields), containsNull = false)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+      if fields.length == 1 && fields(0).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StructType(fields), _)
+      if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_expand_ids expects array<struct<bigint[, bigint]>>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(dsAny: Any): Any = {
+    val ds = dsAny.asInstanceOf[ArrayData]
+    val withHam = payloadFields == 2
+    val n = ds.numElements()
+    val ids = new Array[Long](n)
+    val pay = if (withHam) new Array[Long](n) else null
+    var i = 0
+    while (i < n) {
+      val row = ds.getStruct(i, payloadFields)
+      ids(i) = row.getLong(0)
+      if (withHam) pay(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new Array[InternalRow](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ids(i); val b = ids(j)
+        val lo = if (a < b) a else b
+        val hi = if (a < b) b else a
+        out(k) =
+          if (withHam)
+            new GenericInternalRow(Array[Any](lo, hi,
+              java.lang.Long.bitCount(pay(i) ^ pay(j))))
+          else new GenericInternalRow(Array[Any](lo, hi))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairExpandIds =
+    copy(child = newChild)
 }

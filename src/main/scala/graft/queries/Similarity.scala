@@ -81,46 +81,72 @@ object Similarity {
     * identical viral-key failure mode. */
   private val HotBucketCap = 256
 
-  /** Two-pass hot-bucket routing shared by the posting/bucket pair lanes
-    * (q24_jaccard, q24_lsh, q24_simhash). Pass 1 counts rows per bucket
-    * key — a map-side-combining HashAggregate, so a viral key reaches its
-    * reducer as a handful of partial counts, never as rows. Pass 2 splits on
-    * the cap: cold keys keep the collect_list fast path — after the anti
-    * join no aggregation buffer can ever hold more than `cap` payloads — and
-    * hot keys feed RAW rows straight into [[graft.core.SkewJoin]]'s salted
-    * self-join, so a viral posting list (f = 10⁷ boilerplate docs at 100 TB)
-    * is never materialized as one array in any single task.
+  /** Single-pass hot-bucket routing shared by the posting/bucket pair lanes
+    * (q24_jaccard, q24_lsh, q24_simhash, q26_span_dup), built on the
+    * [[graft.functions.CollectCapped]] aggregate: ONE shuffle computes, per
+    * bucket key, the exact row count `f` AND the collected payloads `ds`
+    * (truncated at cap+1), so no buffer — map-side partial or reducer —
+    * ever holds more than cap+1 payloads regardless of key virality.
+    * Keys with f ≤ cap expand in place off `ds` (complete by construction);
+    * keys above the cap feed RAW rows through [[graft.core.SkewJoin]]'s
+    * salted self-join, so a viral posting list (f = 10⁷ boilerplate docs at
+    * 100 TB) is never materialized as one array in any single task.
+    *
+    * Earlier rounds learned the key count in a SEPARATE count pass, which
+    * cost an extra job plus a materialization (localCheckpoint, later
+    * persist) of `rows` on every call — measured at ~2× the whole lane's
+    * useful work at bench SF (the round-4 survivors regression). Here the
+    * routing decision is data-driven inside the one aggregation: the
+    * hot-key frame is derived from the SAME shuffle (exchange reuse — no
+    * second pass), and when it materializes EMPTY at runtime, AQE's
+    * empty-relation propagation collapses the semi-join hot branch before
+    * its `rows` re-scan ever executes. The adversarial corpus pays one
+    * extra scan of `rows` for the semi probe; the common corpus pays
+    * nothing but the aggregation itself.
     *
     * The hot-key set is broadcast. Bound argument: every hot key by
     * definition yields ≥ cap²/2 ≈ 33 k candidate pairs downstream, so a
     * hot-key set too large to broadcast (≳10⁶ keys ≈ tens of MB) implies
     * ≥ 10¹⁰ pairs — the pair OUTPUT, not the key broadcast, is always the
     * binding constraint, and raising the cap shrinks the set quadratically
-    * in output terms. The set is localCheckpointed so its count pass runs
-    * once for its three consumers (anti probe + both salted-join sides).
+    * in output terms.
     *
     * `rows` must carry `keyCols` plus a struct payload `e` whose FIRST field
     * is `doc_id`. Returns (cold, hotPairs): cold = keyCols :+ `ds`
     * (2..cap payloads per key); hotPairs = keyCols :+ (`x`, `y`) raw payload
     * pairs, each unordered pair exactly once via x.doc_id < y.doc_id. */
   private def splitHotBuckets(rows: DataFrame, keyCols: Seq[String],
-                              cap: Int): (DataFrame, DataFrame) = {
+                              cap: Int, persistInput: Boolean = true): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(rows.sparkSession)
     val keys = keyCols.map(col)
-    val hotKeys = rows.groupBy(keys: _*).agg(count(lit(1)).as("f"))
-      .filter(col("f") > cap).select(keys: _*).localCheckpoint()
+    // Lazy cache: `rows` feeds the aggregation AND (when hot keys exist)
+    // the semi probe + both salted-join sides — without it the hot branch
+    // re-derives the whole upstream scan 2-3× (measured: simhash lane 2.4 s
+    // vs 1.2 s at sf0.1, where band buckets DO exceed the cap). persist is
+    // deliberately NOT eager: a consumer whose plan prunes the pair
+    // pipeline away (e.g. a survivors count over the left join) never
+    // populates it, and populating costs one cache write inside the first
+    // real consumer's job. At 100 TB this stores one pass of the posting
+    // stream (MEMORY_AND_DISK, spills) — the price of not re-scanning the
+    // corpus when a viral key fires the hot path. Callers whose `rows` is
+    // already a cheap derivation of a cached frame (jaccard: one explode
+    // over the cached shingle table) pass persistInput=false and let the
+    // hot branch re-derive instead of storing the exploded stream twice.
+    val src = if (persistInput) rows.persist() else rows
+    val grouped = src.groupBy(keys: _*)
+      .agg(expr(s"collect_capped(e, $cap)").as("g"))
+    val cold = grouped.filter(col("g.f") <= cap && size(col("g.ds")) > 1)
+      .select(keys :+ col("g.ds").as("ds"): _*)
     // NULL-safe routing: groupBy counts a NULL-keyed group like any other,
-    // but USING-style anti/semi joins match null-UNSAFELY — a viral
-    // NULL-keyed bucket would count as hot yet slip through the anti join
-    // back onto the unbounded collect_list path the cap exists to prevent.
-    // Explicit <=> conditions keep NULL groups routable. (concat_ws below
-    // skips nulls, so the cast also coalesces to a sentinel that keeps a
-    // NULL key distinct from an empty string in the salted-join bucket id.)
-    val hk = hotKeys.select(keyCols.map(c => col(c).as(s"__hk_$c")): _*)
+    // but USING-style semi joins match null-UNSAFELY — a viral NULL-keyed
+    // bucket would count as hot yet fail to route its raw rows. Explicit
+    // <=> conditions keep NULL groups routable. (concat_ws below skips
+    // nulls, so the cast also coalesces to a sentinel that keeps a NULL
+    // key distinct from an empty string in the salted-join bucket id.)
+    val hk = grouped.filter(col("g.f") > cap)
+      .select(keyCols.map(c => col(c).as(s"__hk_$c")): _*)
     val nsCond = keyCols.map(c => col(c) <=> col(s"__hk_$c")).reduce(_ && _)
-    val cold = rows.join(broadcast(hk), nsCond, "left_anti")
-      .groupBy(keys: _*).agg(collect_list(col("e")).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val hotRows = rows.join(broadcast(hk), nsCond, "left_semi")
+    val hotRows = src.join(broadcast(hk), nsCond, "left_semi")
       .select(concat_ws("\u0001",
           keys.map(k => coalesce(k.cast("string"), lit("\u0001NULL"))): _*).as("k") +:
         (keys :+ col("e")): _*)
@@ -132,6 +158,7 @@ object Similarity {
     (cold, hotPairs)
   }
 
+
   def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     q24JaccardPairsCapped(spark, dir, HotPostingCap)
 
@@ -140,12 +167,15 @@ object Similarity {
   private[graft] def q24JaccardPairsCapped(spark: SparkSession, dir: String,
                                            hotCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // The shingle projection (split + 3-gram transform) is the expensive
-    // shared input: localCheckpoint materializes it ONCE; the cheap explode
-    // below replays per consumer (count pass + anti/semi probes) without
-    // re-running the projection. Checkpoint blocks are released by the
-    // ContextCleaner with the frame.
-    val d = docsWithShingles(spark, dir).localCheckpoint()
+    // persist(): CacheManager substitutes the cached fragment BEFORE the
+    // optimizer runs, so this is the barrier that keeps the explode's
+    // inferred size-filter from duplicating the split+3-gram projection
+    // (the measured pushdown-duplication pathology, PLANS.md) — and the
+    // adversarial hot path's semi probe reads the cache instead of
+    // re-shingling. Chosen over localCheckpoint: the checkpoint's dedicated
+    // materialization job measured ~0.5 s of pure overhead at sf0.1
+    // (PhaseProbe); persist populates inside the first consumer's job.
+    val d = docsWithShingles(spark, dir).persist()
     // Raw postings stream: one row per (shingle, doc). NEVER collected into
     // per-shingle arrays before the hot/cold split — splitHotBuckets counts
     // first, so a viral shingle's f rows go straight to the salted join and
@@ -153,7 +183,8 @@ object Similarity {
     def exploded: DataFrame = d
       .select(col("lang"), explode(col("sh")).as("s"),
         struct(col("doc_id"), size(col("sh")).as("n")).as("e"))
-    val (cold, hotRaw) = splitHotBuckets(exploded, Seq("lang", "s"), hotCap)
+    val (cold, hotRaw) =
+      splitHotBuckets(exploded, Seq("lang", "s"), hotCap, persistInput = false)
     // Size-ratio prune inside the expansion (exactness-preserving):
     // J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair whose size
     // ratio is below the threshold can never reach jaccard ≥ 0.3 — drop it
@@ -318,24 +349,24 @@ object Similarity {
     * production entry uses [[HotBucketCap]]. */
   private[graft] def q24LshPairsCapped(spark: SparkSession, dir: String,
                                        hotCap: Int): DataFrame = {
-    // localCheckpoints: the shingle projection feeds THREE consumers (the
-    // band pipeline + both sides of the verify join), and the band frame
-    // (4 small rows per doc) feeds the splitHotBuckets count pass + probes —
-    // each materialized once, so the md5+minhash pass never re-runs.
-    val d = docsWithShingles(spark, dir).localCheckpoint()
+    // persist(): the shingle projection feeds THREE consumers (the band
+    // pipeline + both sides of the verify join) — cached once, so the
+    // split+3-gram pass never re-runs. The band frame needs no barrier:
+    // splitHotBuckets consumes it in ONE aggregation (its semi-probe twin
+    // executes only on adversarial corpora, via AQE).
+    val d = docsWithShingles(spark, dir).persist()
     val bands = bandKeysOf(d)
       .select(col("band_id"), col("band_key"), struct(col("doc_id")).as("e"))
-      .localCheckpoint()
     // Bucket-local pair expansion for cold buckets; viral band buckets (the
     // all-identical-boilerplate shape at 100 TB) route raw rows through the
     // salted join — never collected into one array (see splitHotBuckets).
     val (cold, hotRaw) = splitHotBuckets(bands, Seq("band_id", "band_key"), hotCap)
+    // pair_expand_ids (functions.PairExpandIds): the i<j bucket expansion
+    // as one compiled loop — same pairs, same least/greatest ordering as
+    // the interpreted flatten/transform/slice nest it replaces
+    // (PairExpandSpec proves multiset equality)
     val coldPairs = cold
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
-          |    least(x.doc_id, y.doc_id) AS doc_a,
-          |    greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val hotPairs = hotRaw
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -419,26 +450,26 @@ object Similarity {
     * production entry uses [[HotBucketCap]]. */
   private[graft] def q24SimhashPairsCapped(spark: SparkSession, dir: String,
                                            hotCap: Int): DataFrame = {
-    // The sketch pipeline runs once (localCheckpoint: 5 small rows per doc
-    // feed the splitHotBuckets count pass + probes). least/greatest +
-    // distinct canonicalize pair order regardless of branch and list order.
+    // No materialization barrier: splitHotBuckets consumes the band frame
+    // in ONE collect_capped aggregation (the semi-probe twin executes only
+    // on adversarial corpora, via AQE empty-relation propagation), so the
+    // sketch pipeline runs once by construction. least/greatest + distinct
+    // canonicalize pair order regardless of branch and list order.
     val bands = simhashes(spark, dir)
       .withColumn("band_id", explode(expr("sequence(0, 4)")))
       .withColumn("bk", expr("shiftright(simhash, 12 * band_id) & 4095"))
       .select(col("band_id"), col("bk"),
         struct(col("doc_id"), col("simhash")).as("e"))
-      .localCheckpoint()
     // Cold buckets expand in place; a viral band bucket (every doc sharing
     // one 12-bit band at 100 TB) routes raw rows through the salted join —
     // never collected into one array (see splitHotBuckets).
     val (cold, hotRaw) = splitHotBuckets(bands, Seq("band_id", "bk"), hotCap)
+    // pair_expand_ids on the (doc_id, simhash) payload shape: emits
+    // (doc_a, doc_b, hamming) with Long.bitCount(x ^ y) — the exact
+    // semantics of the SQL nest's CAST(bit_count(...) AS INT), as one
+    // compiled loop instead of 4 interpreted lambda levels
     val coldPairs = cold
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
-          |    least(x.doc_id, y.doc_id) AS doc_a,
-          |    greatest(x.doc_id, y.doc_id) AS doc_b,
-          |    CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))""".stripMargin)).as("p"))
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
     val hotPairs = hotRaw.select(
       col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -797,12 +828,12 @@ object Similarity {
   private val SemTau = 0.4
 
   def q26SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: ONE assignment pass (scan + broadcast argmax) feeds
-    // both sides of the pair join and the final verdict join; without it
-    // each consumer re-runs the corpus×centroid cross product.
+    // persist: ONE assignment pass (scan + broadcast argmax) feeds both
+    // sides of the pair join and the final verdict join; without it each
+    // consumer re-runs the corpus×centroid cross product.
     val assigned = ivfAssigned(spark, dir)
       .select(col("vec_id"), col("embedding"), col("cid"))
-      .localCheckpoint()
+      .persist()
     val a = assigned.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
     val evicted = a.join(b, Seq("cid"))
@@ -908,13 +939,13 @@ object Similarity {
     val bucketExpr = s"${h60("CAST(doc_id AS STRING)")} % 100"
     val d = shingledFrame(Tables.documents(spark, dir))
       .select(col("doc_id"), col("sh"))
-      .localCheckpoint() // feeds the band pipeline + both verify sides
-    // bands ALSO checkpoints: it feeds both sides of the candidate join
+      .persist() // feeds the band pipeline + both verify sides
+    // bands ALSO caches: it feeds both sides of the candidate join
     // (trainB/testB) with no shared exchange between them, so without the
     // barrier the md5+minhash12 band pass over every shingle runs twice —
     // the same once-only discipline as the capped pair lanes' band frames.
     val bands = bandKeysOf(d).withColumn("bucket", expr(bucketExpr))
-      .localCheckpoint()
+      .persist()
     val trainB = bands.filter(col("bucket") < 80)
       .select(col("band_id"), col("band_key"), col("doc_id").as("train_id"))
     val testB = bands.filter(col("bucket") >= 90)
@@ -995,9 +1026,12 @@ object Similarity {
     // sequence(1, n−49) descends through 0 and slice(toks, 0, …) throws.
     // Clamped, a short row yields one nonsense (never-shared, filtered-out)
     // span value instead of a crash; slice past the end is safe.
-    // localCheckpoint: the span projection is md5-heavy (one hash per
-    // 50-token window) and feeds the splitHotBuckets count pass + probes —
-    // materialized once, ~n_tokens small rows per doc
+    // persist: the span projection is md5-heavy (one hash per 50-token
+    // window) and feeds the splitHotBuckets count pass + the cold
+    // aggregation — cached once, ~n_tokens small rows per doc; the
+    // pre-optimizer cache substitution is ALSO the barrier against the
+    // measured pushdown-duplication pathology (PLANS.md), same as the
+    // localCheckpoint it replaces
     val spans = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanK)
@@ -1005,14 +1039,11 @@ object Similarity {
         s"array_distinct(transform(sequence(1, greatest(size(toks) - ${SpanK - 1}, 1)), " +
           s"i -> ${h60(s"concat_ws(' ', slice(toks, i, $SpanK))")}))"))
       .select(explode(col("sps")).as("sp"), struct(col("doc_id")).as("e"))
-      .localCheckpoint()
+      .persist()
     val (cold, hotRaw) = splitHotBuckets(spans, Seq("sp"), hotCap)
+    // pair_expand_ids: compiled i<j expansion (see q24LshPairsCapped)
     val coldPairs = cold
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(
-          |    least(x.doc_id, y.doc_id) AS doc_a,
-          |    greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val hotPairs = hotRaw
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

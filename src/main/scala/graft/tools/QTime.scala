@@ -15,6 +15,14 @@ object QTime {
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
         println(f"[qtime] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+        // Same inter-measurement hygiene as Bench: lanes persist() shared
+        // frames for intra-query reuse; without a blocking drop here a
+        // later rep would read the previous rep's cache (CacheManager
+        // matches the identical canonical plan) and "warm" would measure
+        // only the post-cache tail instead of the query.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
       }
     }
     spark.stop()

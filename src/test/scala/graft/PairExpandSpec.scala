@@ -47,4 +47,61 @@ class PairExpandSpec extends SparkSpec {
       .as[Seq[(Long, Long, Int)]].head()
     assert(strict === Seq((1L, 3L, 20)))
   }
+
+  // -- pair_expand_ids: the no-prune sibling on the banded-bucket lanes ----
+
+  private val idsSqlForm =
+    """flatten(transform(ds, (x, i) ->
+      |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+      |    least(x.doc_id, y.doc_id) AS doc_a,
+      |    greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin
+
+  private val hamSqlForm =
+    """flatten(transform(ds, (x, i) ->
+      |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+      |    least(x.doc_id, y.doc_id) AS doc_a,
+      |    greatest(x.doc_id, y.doc_id) AS doc_b,
+      |    CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))""".stripMargin
+
+  test("pair_expand_ids (id-only) equals the SQL expansion on ragged lists") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 30).map { _ =>
+      val k = rng.nextInt(13)
+      (0 until k).map(_ => Tuple1(rng.nextLong().abs % 1000)).toSeq
+    }
+    val df = rows.toDF("raw").repartition(2)
+      .withColumn("ds", expr("transform(raw, r -> struct(r._1 AS doc_id))"))
+    val out = df.select(
+        expr("pair_expand_ids(ds)").as("fast"), expr(idsSqlForm).as("slow"))
+      .as[(Seq[(Long, Long)], Seq[(Long, Long)])].collect()
+    out.foreach { case (fast, slow) => assert(fast === slow) }
+  }
+
+  test("pair_expand_ids (simhash payload) equals the SQL hamming expansion") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 30).map { _ =>
+      val k = rng.nextInt(13)
+      (0 until k).map(_ => (rng.nextLong().abs % 1000, rng.nextLong())).toSeq
+    }
+    val df = rows.toDF("raw").repartition(2)
+      .withColumn("ds", expr("transform(raw, r -> struct(r._1 AS doc_id, r._2 AS simhash))"))
+    val out = df.select(
+        expr("pair_expand_ids(ds)").as("fast"), expr(hamSqlForm).as("slow"))
+      .as[(Seq[(Long, Long, Int)], Seq[(Long, Long, Int)])].collect()
+    out.foreach { case (fast, slow) => assert(fast === slow) }
+  }
+
+  test("bloom_agg / bloom_contains reject wrong arity with a clear error") {
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT bloom_agg()").collect()
+    }
+    assert(e1.getMessage.contains("bloom_agg") || e1.getMessage.contains("arguments"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bloom_contains(NULL)").collect()
+    }
+    assert(e2.getMessage.contains("bloom_contains") || e2.getMessage.contains("arguments"))
+  }
 }
