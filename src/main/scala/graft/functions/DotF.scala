@@ -122,6 +122,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped",
       exprs => CollectCapped(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_hashes", exprs => SpanHashes(exprs(0), exprs(1)), "built-in")
     // Stock Catalyst bloom expressions (the machinery behind Spark's own
     // runtime row-level filtering), surfaced as callable functions so a
     // query can build an explicit broadcast-prefilter plan: `bloom_agg`
@@ -184,6 +186,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CollectCapped(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SpanHashes(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),

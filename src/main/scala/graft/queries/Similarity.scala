@@ -1003,11 +1003,13 @@ object Similarity {
   // training pipelines run before release: an exact long span surviving
   // dedup is a memorization risk even when whole-doc similarity is low.
   // Same inverted-postings shape as q24_jaccard at k=50: span-hash postings
-  // + equi-join, so the work is Σ freq(span)² with the identical two-pass
-  // hot-key routing (a boilerplate span shared by 10⁷ docs salts out, never
-  // collects). One md5 per span start (50-token window re-hashed whole; a
-  // rolling hash would save the 50× re-read but md5 keeps the oracle
-  // bit-exact and the window hash is still scan-local).
+  // + equi-join, so the work is Σ freq(span)² with the identical hot-key
+  // routing (a boilerplate span shared by 10⁷ docs salts out, never
+  // collects). Window keys come from functions.SpanHashes — one md5 per
+  // TOKEN plus an O(1) rolling update per window (round 4 md5'd the whole
+  // 50-token window per position, a 50× re-read); the DuckDB oracle
+  // replays the identical double-Horner arithmetic, so outputs stay
+  // bit-exact.
   private val SpanK = 50
 
   def q26SpanDup(spark: SparkSession, dir: String): DataFrame =
@@ -1018,26 +1020,20 @@ object Similarity {
   private[graft] def q26SpanDupCapped(spark: SparkSession, dir: String,
                                       hotCap: Int): DataFrame = {
     // ≥ SpanK-token filter: sub-SpanK docs cannot share a SpanK-token span.
-    // The greatest(…, 1) clamp INSIDE the expression is the crash guard, and
-    // the filter alone is NOT enough: InferFiltersFromGenerate synthesizes a
-    // `size(sps) > 0` predicate for the explode, and conjunct order in the
-    // combined Filter is not guaranteed — the span expression can evaluate
-    // BEFORE the length filter on a short row, where an unclamped
-    // sequence(1, n−49) descends through 0 and slice(toks, 0, …) throws.
-    // Clamped, a short row yields one nonsense (never-shared, filtered-out)
-    // span value instead of a crash; slice past the end is safe.
-    // persist: the span projection is md5-heavy (one hash per 50-token
-    // window) and feeds the splitHotBuckets count pass + the cold
-    // aggregation — cached once, ~n_tokens small rows per doc; the
+    // span_hashes itself returns an EMPTY array for shorter inputs, so the
+    // expression is safe even if the optimizer evaluates it before the
+    // length filter (the round-3 short-row crash class with inferred
+    // Generate filters cannot occur — no clamp gymnastics needed).
+    // persist: the span projection is md5-heavy (one hash per token) and
+    // feeds the splitHotBuckets aggregation + (adversarial corpora) the
+    // hot-branch probes — cached once, ~n_tokens small rows per doc; the
     // pre-optimizer cache substitution is ALSO the barrier against the
-    // measured pushdown-duplication pathology (PLANS.md), same as the
-    // localCheckpoint it replaces
+    // measured pushdown-duplication pathology (PLANS.md).
+    graft.functions.GraftFunctions.register(spark)
     val spans = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanK)
-      .withColumn("sps", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(toks) - ${SpanK - 1}, 1)), " +
-          s"i -> ${h60(s"concat_ws(' ', slice(toks, i, $SpanK))")}))"))
+      .withColumn("sps", expr(s"array_distinct(span_hashes(toks, $SpanK))"))
       .select(explode(col("sps")).as("sp"), struct(col("doc_id")).as("e"))
       .persist()
     val (cold, hotRaw) = splitHotBuckets(spans, Seq("sp"), hotCap)
@@ -1056,11 +1052,23 @@ object Similarity {
   }
 
   val q26SpanDupSql: String = {
-    val spanHash = h60d(s"array_to_string(toks[i:i+${SpanK - 1}], ' ')")
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    import graft.functions.SpanHashes.{B1, B2, P1, P2}
+    // Same key arithmetic as functions.SpanHashes, window-at-a-time:
+    // per-token 60-bit hash, two Horner folds mod (p1, p2), combined as
+    // h1·2³¹ + h2. list_reduce folds left-to-right = the Horner order.
+    val w = s"hts[i:i+${SpanK - 1}]"
+    s"""WITH t AS (SELECT doc_id,
+       |             list_transform(string_split(text,' '), tk -> ${h60d("tk")}) AS hts
+       |           FROM documents WHERE len(string_split(text,' ')) >= $SpanK),
        |d AS (SELECT doc_id, list_distinct(list_transform(
-       |        generate_series(1, len(toks) - ${SpanK - 1}), i -> $spanHash)) AS sps
-       |      FROM t WHERE len(toks) >= $SpanK),
+       |        generate_series(1, len(hts) - ${SpanK - 1}),
+       |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform($w, h -> h % $P1)), (a, h) -> (a * $B1 + h) % $P1)
+       |               * 2147483648
+       |           + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform($w, h -> h % $P2)), (a, h) -> (a * $B2 + h) % $P2)
+       |        )) AS sps
+       |      FROM t),
        |e AS (SELECT doc_id, unnest(sps) AS sp FROM d)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_spans
        |FROM e a JOIN e b ON a.sp = b.sp AND a.doc_id < b.doc_id
