@@ -14,11 +14,13 @@ import TextOps.{h60, h60d}
   * dependencies) inside the 64-row `mapPartitions` batch slot. Because PNG
   * is lossless and the fixture pixels are md5-derived, the decoded
   * dimensions and pixel sums are reproducible by the SQL oracle without any
-  * codec — the real-codec path is hash-checked end-to-end. Audio/video
-  * codecs are not in the JDK, so those lanes (q32_media_meta dims,
-  * q32_frame_sample fingerprints) keep the documented deterministic stubs in
-  * the same batch slot; a real codec replaces one function without changing
-  * the query shape.
+  * codec — the real-codec path is hash-checked end-to-end. Audio decode is
+  * REAL too: q32_audio_decode round-trips md5-derived int16 PCM through the
+  * JDK's WAV container codec (`javax.sound.sampled`), hash-checked the same
+  * way. Video codecs are not in the JDK, so the video-shaped lanes
+  * (q32_media_meta dims, q32_frame_sample fingerprints) keep the documented
+  * deterministic stubs in the same batch slot; a real codec replaces one
+  * function without changing the query shape.
   *
   * Scale: all narrow per-row transforms (no shuffle at all except final
   * test-only ORDER BY); codec/model init amortizes per 64-row batch exactly
@@ -329,6 +331,114 @@ object Multimodal {
        |FROM ps ORDER BY doc_id""".stripMargin
   }
 
+  // --- Q32g: REAL audio decode via javax.sound.sampled (oracle-checked) ----
+  // The audio twin of q32_decode: fixture clips are synthesized per doc
+  // (n = 200 + doc_id % 277 samples of md5-derived int16 PCM) and ENCODED
+  // to WAV with AudioSystem.write; the query DECODES those bytes with
+  // AudioSystem.getAudioInputStream and reports what the decoder saw —
+  // frame count, format metadata, and the integer sample sum. PCM WAV is
+  // lossless integer data, so the decoder's outputs equal the generator's
+  // arithmetic, which the DuckDB oracle replays codec-free: any decode
+  // infidelity (header misread, endianness, truncation) breaks the hash
+  // gate. This retires the "audio stays a stub" caveat with zero new
+  // dependencies; video remains the one stubbed codec (not in the JDK).
+  final case class AudioIn(doc_id: Long, wav: Array[Byte])
+  final case class AudioOut(doc_id: Long, n_samples: Long, sample_rate: Long,
+                            channels: Long, sample_sum: Long)
+
+  private[graft] def fixtureSampleCount(docId: Long): Int = 200 + (docId % 277).toInt
+
+  /** One md5 per sample; value = h60 % 65536 − 32768 ∈ int16 exactly. */
+  private[graft] def fixtureSample(docId: Long, i: Int): Short =
+    ((graft.functions.Hash60(s"$docId:a:$i") % 65536L) - 32768L).toShort
+
+  /** Real WAV container encode of the fixture PCM (16-bit mono LE @8kHz). */
+  private[graft] def encodeWav(docId: Long): Array[Byte] = {
+    val n = fixtureSampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = fixtureSample(docId, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV decode: frame count, format metadata, signed-sample sum; None
+    * for undecodable payloads (quarantine — a 100 TB corpus always carries
+    * corrupt blobs, and a throwing decoder would kill the stage). Only
+    * 16-bit PCM is summed; anything else quarantines rather than guessing
+    * a sample layout. */
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): Option[AudioOut] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = ais.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            // int16 per the container's declared endianness; sign from the
+            // high byte's Java (signed) value
+            val v: Int =
+              if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+              else (data(i + 1) << 8) | (data(i) & 0xff)
+            sum += v
+            i += 2
+          }
+          Some(AudioOut(docId, data.length / 2L, fmt.getSampleRate.toLong,
+            fmt.getChannels.toLong, sum))
+        }
+      } finally ais.close()
+    } catch {
+      // UnsupportedAudioFileException, IOException, and the JDK parsers'
+      // RuntimeExceptions on malformed headers all quarantine
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  def q32AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioFrame(spark, dir)
+      .as[AudioIn]
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap(m => decodeWav(m.doc_id, m.wav))))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** documents → real WAV payloads; same codec-parallelism repartition as
+    * imagesFrame (the container encode is the per-row cost). */
+  private[graft] def audioFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cpus = spark.sparkContext.defaultParallelism
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .repartition(cpus)
+      .mapPartitions(_.grouped(64).flatMap(_.map(id => AudioIn(id, encodeWav(id)))))
+      .toDF()
+  }
+
+  val q32AudioDecodeSql: String = {
+    val hh = h60d("doc_id::VARCHAR || ':a:' || i::VARCHAR")
+    s"""WITH n AS (SELECT doc_id, 200 + (doc_id % 277) AS n FROM documents),
+       |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM n)
+       |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
+       |       CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+       |       CAST(sum(($hh) % 65536 - 32768) AS BIGINT) AS sample_sum
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --- Q32c: batched embedding-INFERENCE stub (oracle-checked) -------------
   // The GPU-inference batching shape as a first-class checked query: typed
   // `mapPartitions`, model invoked per 64-row batch (a real encoder replaces
@@ -373,6 +483,7 @@ object Multimodal {
     "q32_resize_plan"  -> (q32ResizePlan _),
     "q32_decode"       -> (q32Decode _),
     "q32_pixel_embed"  -> (q32PixelEmbed _),
+    "q32_audio_decode" -> (q32AudioDecode _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -382,5 +493,6 @@ object Multimodal {
     "q32_resize_plan"  -> q32ResizePlanSql,
     "q32_decode"       -> q32DecodeSql,
     "q32_pixel_embed"  -> q32PixelEmbedSql,
+    "q32_audio_decode" -> q32AudioDecodeSql,
   )
 }

@@ -43,6 +43,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(whole.take(20)) === None)
   }
 
+  test("decodeWav round-trips the fixture PCM exactly (lossless contract)") {
+    val id = 42L
+    val out = Multimodal.decodeWav(id, Multimodal.encodeWav(id))
+    val n = Multimodal.fixtureSampleCount(id)
+    val expectedSum = (0 until n).map(i => Multimodal.fixtureSample(id, i).toLong).sum
+    assert(out === Some(Multimodal.AudioOut(id, n.toLong, 8000L, 1L, expectedSum)))
+  }
+
+  test("decodeWav quarantines undecodable payloads instead of throwing") {
+    assert(Multimodal.decodeWav(1L, "not audio".getBytes("UTF-8")) === None)
+    assert(Multimodal.decodeWav(1L, Array.emptyByteArray) === None)
+    // truncated real WAV: RIFF header sniffs but the data chunk is cut short
+    val whole = Multimodal.encodeWav(7L)
+    assert(Multimodal.decodeWav(7L, whole.take(16)) === None)
+    // a stereo/8-bit container would not match the summing contract: build
+    // an 8-bit mono WAV and confirm it quarantines rather than mis-sums
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt8, 4L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeWav(1L, bos.toByteArray) === None)
+  }
+
+  test("q32_audio_decode: real codec over the synthesized corpus, one row per doc") {
+    val rows = Multimodal.q32AudioDecode(spark, sf001).collect()
+    assert(rows.length === 500)
+    rows.take(10).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === Multimodal.fixtureSampleCount(id).toLong)
+      assert(r.getLong(2) === 8000L)
+      assert(r.getLong(3) === 1L)
+    }
+  }
+
   test("decode → embed chain: q32_pixel_embed consumes the DECODED pixel sum") {
     val row = Multimodal.q32PixelEmbed(spark, sf001)
       .filter($"doc_id" === 3L).head()
