@@ -96,7 +96,10 @@ object Relational3 {
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("g_s"), col("g_p"), col("n_orders"), col("total_price"))
-      .orderBy(col("status"), col("priority"))
+      // g_s/g_p in the sort: coalesce-to-'ALL' collides with a real NULL
+      // group, so (status, priority) alone is not a total order on
+      // nullable corpora — the grouping flags disambiguate (ADVICE r4)
+      .orderBy(col("status"), col("priority"), col("g_s"), col("g_p"))
   }
 
   val q14GroupingSetsSql: String =
@@ -108,7 +111,7 @@ object Relational3 {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-      |ORDER BY status, priority""".stripMargin
+      |ORDER BY status, priority, g_s, g_p""".stripMargin
 
   // --- Q37: column profiling — the ANALYZE/data-audit operator -------------
   // Per-column null count, exact distinct count, min and max (as strings)
@@ -170,23 +173,26 @@ object Relational3 {
   // runs to validate a merge. Shape: ONE full-outer join on the key —
   // both sides shuffle-partition on o_orderkey, unchanged rows are
   // filtered AFTER the join (null-safe <=> so a NULL payload difference
-  // counts as a change, not a silent equal). Snapshots derived
-  // deterministically from `orders` (modulo families) so both engines
-  // build identical inputs.
+  // counts as a change, not a silent equal). Key presence on each side is
+  // carried by an explicit lit(true) marker column per snapshot — NOT by
+  // payload nullness, so a key present in both snapshots with a genuinely
+  // NULL price classifies as update/unchanged, never as a phantom insert
+  // (ADVICE r4). Snapshots derived deterministically from `orders`
+  // (modulo families) so both engines build identical inputs.
   def q36Diff(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val old = o.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
-        col("o_orderstatus").as("old_status"))
+        col("o_orderstatus").as("old_status"), lit(true).as("in_old"))
     val neu = o.filter(col("o_orderkey") % 5 =!= 0)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
           .otherwise(col("o_totalprice")).as("new_price"),
-        col("o_orderstatus").as("new_status"))
+        col("o_orderstatus").as("new_status"), lit(true).as("in_new"))
     old.join(neu, Seq("o_orderkey"), "full")
       .withColumn("verdict",
-        when(col("old_price").isNull, "insert")
-          .when(col("new_price").isNull, "delete")
+        when(col("in_old").isNull, "insert")
+          .when(col("in_new").isNull, "delete")
           .when(col("old_price") <=> col("new_price") &&
             col("old_status") <=> col("new_status"), "unchanged")
           .otherwise("update"))
@@ -197,20 +203,21 @@ object Relational3 {
   }
 
   val q36DiffSql: String =
-    """WITH old AS (SELECT o_orderkey, o_totalprice AS old_price, o_orderstatus AS old_status
+    """WITH old AS (SELECT o_orderkey, o_totalprice AS old_price, o_orderstatus AS old_status,
+      |                    TRUE AS in_old
       |             FROM orders WHERE o_orderkey % 7 <> 0),
       |     neu AS (SELECT o_orderkey,
       |                    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
       |                         ELSE o_totalprice END AS new_price,
-      |                    o_orderstatus AS new_status
+      |                    o_orderstatus AS new_status, TRUE AS in_new
       |             FROM orders WHERE o_orderkey % 5 <> 0)
       |SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
-      |       CASE WHEN old_price IS NULL THEN 'insert'
-      |            WHEN new_price IS NULL THEN 'delete'
+      |       CASE WHEN in_old IS NULL THEN 'insert'
+      |            WHEN in_new IS NULL THEN 'delete'
       |            ELSE 'update' END AS verdict,
       |       old_price, new_price
       |FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey
-      |WHERE old_price IS NULL OR new_price IS NULL
+      |WHERE in_old IS NULL OR in_new IS NULL
       |   OR NOT (old_price IS NOT DISTINCT FROM new_price
       |           AND old_status IS NOT DISTINCT FROM new_status)
       |ORDER BY o_orderkey""".stripMargin
@@ -231,7 +238,11 @@ object Relational3 {
     // the dump can't be deleted here (consumers read it later) — a fresh
     // temp dir per call would strand one corpus copy per invocation across
     // bench/verify/spec runs. One reused slot per sf dir bounds that.
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}"
+    // Per-process component: two JVMs on the same sf dir (e.g. a bench and
+    // a verify run) must not overwrite each other's dump while a lazy
+    // reader is still scanning it (ADVICE r4)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").json(out)
     spark.read.schema(docs.schema).json(out)
