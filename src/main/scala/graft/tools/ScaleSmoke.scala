@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale smoke: self-union the sf0.1 documents/embeddings tables
+  * 8× (doc_id remapped per copy — 8 identical twins per original doc, the
+  * boilerplate-heavy shape that fires the hot-bucket routing for real) and
+  * time the similarity/dedup lanes against the widened corpus. Prints the
+  * per-lane wall times plus the hot-key counts per bucket definition, so
+  * PLANS.md can record that the salted-join branch actually executed.
+  * Testdata stays read-only: the widened tables land in /tmp.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = "/tmp/graft_scale8"
+    val spark = graft.GraftSession.build()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    (0 until 8).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    (0 until 8).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale8] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs")
+
+    // Hot-key evidence: rows per bucket key above the production caps, per
+    // lane's bucket definition (re-derived here; the lanes' own routing is
+    // spec-pinned to behave identically).
+    val d8 = spark.read.parquet(s"$out/documents.parquet")
+    val h60 = (c: String) => s"CAST(conv(substr(md5($c),1,15),16,10) AS BIGINT)"
+    val simBands = d8.filter(col("text").isNotNull)
+      .withColumn("th", expr(s"transform(split(text, ' '), t -> ${h60("t")})"))
+      .select(col("doc_id"), expr("simhash60(th)").as("simhash"))
+      .withColumn("band_id", explode(expr("sequence(0, 4)")))
+      .withColumn("bk", expr("shiftright(simhash, 12 * band_id) & 4095"))
+      .groupBy("band_id", "bk").count().filter(col("count") > 256)
+    println(s"[scale8] simhash hot buckets (>256): ${simBands.count()} " +
+      s"max=${simBands.agg(max("count")).head().getLong(0)}")
+    val shingles = d8.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"))
+      .select(col("lang"), explode(col("sh")).as("s"))
+      .groupBy("lang", "s").count().filter(col("count") > 256)
+    println(s"[scale8] jaccard hot postings (>256): ${shingles.count()}")
+    val spans = d8.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 50)
+      .select(explode(expr("array_distinct(span_hashes(toks, 50))")).as("sp"))
+      .groupBy("sp").count().filter(col("count") > 256)
+    println(s"[scale8] span hot postings (>256): ${spans.count()}")
+
+    Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
+        "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors").foreach { name =>
+      (0 until 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, out).count()
+        println(f"[scale8] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
+    }
+    spark.stop()
+  }
+}
