@@ -51,17 +51,32 @@ object Main {
           Option(tn.get("limit")).map(_.asInt()).getOrElse(1000))
       }
     }.getOrElse(Seq.empty)
+    // Secret-injection failure mode (the reference resolves its token from
+    // a secret store and FAILS when the lookup comes back empty —
+    // util.py:29-41): an `auth_token` key that is present but null/empty
+    // means the operator intended authentication and the injection broke.
+    // Failing the parse here beats silently pulling/pushing anonymously
+    // and burning the run's request budget on 401s. A config with NO
+    // auth_token key stays legitimately anonymous (test servers).
+    def tokenOf(node: com.fasterxml.jackson.databind.JsonNode, where: String): Option[String] =
+      Option(node.get("auth_token")).map { tn =>
+        val t = if (tn.isNull) "" else tn.asText()
+        require(t.nonEmpty,
+          s"auth_token is present but empty in $where — secret injection " +
+            "failed; supply a non-empty token or remove the key for anonymous access")
+        t
+      }
     val specifiers = Option(n.get("specifiers")).map { s =>
       (0 until s.size()).map(s.get).map { sn =>
         SpecifierConf(sn.get("name").asText(),
           Option(sn.get("method")).map(_.asText()).getOrElse("POST"),
-          Option(sn.get("auth_token")).map(_.asText()).filter(_.nonEmpty))
+          tokenOf(sn, s"specifier '${sn.get("name").asText()}'"))
       }
     }.getOrElse(Seq.empty)
     JobConf(str("operation_type"), str("domain"), bool("is_staging"), tables,
       str("url_base"), str("landing_dir"), str("bronze_dir"), str("state_dir"),
       str("endpoint"), bool("test_mode"), specifiers,
-      Option(n.get("auth_token")).map(_.asText()).filter(_.nonEmpty),
+      tokenOf(n, "the job config"),
       // filter(!_.isNull): an explicit JSON `null` would otherwise parse as
       // asInt() == 0 and abort every run before its first request
       Option(n.get("max_total_requests")).filter(!_.isNull).map(_.asInt()))

@@ -135,6 +135,27 @@ class CliSpec extends SparkSpec {
     assert(Main.runPull(spark, c, (_, _, _) => 3L) === Map("t1" -> 3L))
   }
 
+  test("present-but-empty auth_token fails the parse (broken secret injection)") {
+    // job-level: empty string and explicit null both mean the operator
+    // intended a token and the injection failed — never run anonymous
+    Seq("\"\"", "null").foreach { v =>
+      val e = intercept[IllegalArgumentException] {
+        Main.parseConf(s"""{"operation_type": "cc_to_s3", "auth_token": $v}""")
+      }
+      assert(e.getMessage.contains("auth_token"))
+      assert(e.getMessage.contains("secret injection"))
+    }
+    // specifier-level: same contract, names the specifier
+    val e2 = intercept[IllegalArgumentException] {
+      Main.parseConf(
+        """{"operation_type": "s3_to_cc",
+          | "specifiers": [{"name": "alpha", "auth_token": ""}]}""".stripMargin)
+    }
+    assert(e2.getMessage.contains("alpha"))
+    // absent key stays legitimately anonymous
+    assert(Main.parseConf("""{"operation_type": "cc_to_s3"}""").authToken === None)
+  }
+
   test("typo'd push specifier fails loudly instead of pushing with defaults") {
     val conf = Main.parseConf(
       """{"operation_type": "s3_to_cc", "landing_dir": "/tmp/none",
