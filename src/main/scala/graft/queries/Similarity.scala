@@ -146,6 +146,12 @@ object Similarity {
     val hk = grouped.filter(col("g.f") > cap)
       .select(keyCols.map(c => col(c).as(s"__hk_$c")): _*)
     val nsCond = keyCols.map(c => col(c) <=> col(s"__hk_$c")).reduce(_ && _)
+    // hotRows is NOT persisted although both salted-join sides reference
+    // it: a cache boundary here isolates the semi join's internal plan and
+    // breaks exchange reuse between the broadcast hk aggregation and the
+    // cold path's (measured: jaccard 2.0 -> 3.1 s with the persist). The
+    // two probe passes read `src`'s cache (or re-derive cheaply for
+    // persistInput=false callers), which is the better trade.
     val hotRows = src.join(broadcast(hk), nsCond, "left_semi")
       .select(concat_ws("\u0001",
           keys.map(k => coalesce(k.cast("string"), lit("\u0001NULL"))): _*).as("k") +:
