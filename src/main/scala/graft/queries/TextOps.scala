@@ -276,6 +276,55 @@ object TextOps {
       |       CAST(sum_freq AS DOUBLE) / CAST(n_toks * n_total AS DOUBLE) AS mean_prob
       |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  // --- Q23l: Zipf-rank quality profile (rank-based CCNet-style signal) -----
+  // q23_wordfreq's mean corpus probability is dominated by a doc's few
+  // most-frequent tokens; this lane is its outlier-robust rank twin: each
+  // vocabulary token gets its Zipf rank (1 = most frequent; total order
+  // via (n DESC, tok)), and each doc reports the tf-WEIGHTED MEDIAN rank
+  // of its tokens plus the share of tokens in the top-100 head. Rare-token
+  // gibberish → high median rank; boilerplate → head_ratio ≈ 1. All
+  // integer arithmetic until the final division/interpolation, so the
+  // oracle is bit-exact: Spark's percentile(rank, 0.5, tf) and DuckDB's
+  // occurrence-level median() interpolate at the same (N−1)/2 position
+  // over integer ranks — halves are exact in double.
+  // Scale: the tf pre-agg collapses within-doc repeats before the vocab
+  // join (same shape as q23_wordfreq — AQE-skew-splittable probe, one-row
+  // build per token); the weighted percentile runs on (doc, distinct-tok)
+  // rows, never raw occurrences. The rank window is a single global sort
+  // OF THE VOCABULARY — millions of rows at 100 TB, not corpus-sized; a
+  // deployment past that swaps in zipWithIndex over the sorted vocab.
+  def q23ZipfRank(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val ranked = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok"))))
+    tf.join(ranked, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        expr("percentile(rank, 0.5D, tf)").as("median_rank"),
+        sum(when(col("rank") <= 100, col("tf")).otherwise(0L)).as("head_toks"))
+      .select(col("doc_id"), col("n_toks"), col("median_rank"), col("head_toks"),
+        (col("head_toks").cast("double") / col("n_toks").cast("double")).as("head_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q23ZipfRankSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1,2),
+      |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+      |ranked AS (SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+      |           FROM vocab),
+      |occ AS (SELECT t.doc_id, r.rank FROM toks t JOIN ranked r USING (tok)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |               median(rank) AS median_rank,
+      |               CAST(sum(CASE WHEN rank <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS head_toks
+      |        FROM occ GROUP BY 1)
+      |SELECT doc_id, n_toks, CAST(median_rank AS DOUBLE) AS median_rank, head_toks,
+      |       CAST(head_toks AS DOUBLE) / CAST(n_toks AS DOUBLE) AS head_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // --- Q26e: C4-style duplicated-span REMOVAL with doc rebuild -------------
   // q26_span_dup FLAGS pairs sharing a span; this lane REMOVES: every
   // 20-token chunk that occurs more than once corpus-wide keeps only its
@@ -554,6 +603,7 @@ object TextOps {
     "q23_compress"    -> (q23Compress _),
     "q23_redact"      -> (q23Redact _),
     "q23_wordfreq"        -> (q23WordFreq _),
+    "q23_zipf_rank"       -> (q23ZipfRank _),
     "q26_para_dedup"      -> (q26ParaDedup _),
     "q23_chunks"          -> (q23Chunks _),
     "q23_top_terms"       -> (q23TopTerms _),
@@ -570,6 +620,7 @@ object TextOps {
     "q23_tokens_pos"      -> q23TokensPosSql,
     "q23_redact"          -> q23RedactSql,
     "q23_wordfreq"        -> q23WordFreqSql,
+    "q23_zipf_rank"       -> q23ZipfRankSql,
     "q26_para_dedup"      -> q26ParaDedupSql,
     "q23_chunks"          -> q23ChunksSql,
     "q23_top_terms"       -> q23TopTermsSql,
