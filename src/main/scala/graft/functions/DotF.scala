@@ -98,6 +98,15 @@ object GraftFunctions {
     agg.toAggregateExpression()
   }
 
+  /** 1-arg (raw 60-bit) and 2-arg (reduced mod m) forms. */
+  private[functions] def hash60Arr(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a) => Hash60Arr(a,
+      org.apache.spark.sql.catalyst.expressions.Literal(Hash60Arr.NoMod))
+    case Seq(a, m) => Hash60Arr(a, m)
+    case _ => throw new IllegalArgumentException(
+      s"hash60_arr expects 1 or 2 arguments (array[, modulus]), got ${exprs.length}")
+  }
+
   private[functions] def bloomContains(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(bloom, value) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
@@ -124,6 +133,8 @@ object GraftFunctions {
       exprs => CollectCapped(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "span_hashes", exprs => SpanHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash60_arr", exprs => GraftFunctions.hash60Arr(exprs), "built-in")
     // Stock Catalyst bloom expressions (the machinery behind Spark's own
     // runtime row-level filtering), surfaced as callable functions so a
     // query can build an explicit broadcast-prefilter plan: `bloom_agg`
@@ -191,6 +202,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SpanHashes(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hash60_arr"),
+      new ExpressionInfo(classOf[Hash60Arr].getName, "hash60_arr"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.hash60Arr(exprs)))
     e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),

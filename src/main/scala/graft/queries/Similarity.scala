@@ -252,8 +252,11 @@ object Similarity {
     mins.mkString("array(", ", ", ")")
   }
 
-  /** Spark fragment: per-shingle base hashes (one md5 each). */
-  private val hsSpark: String = s"transform(sh, s -> ${h60("s")} % ${P}L)"
+  /** Spark fragment: per-shingle base hashes (one md5 each). hash60_arr
+    * (functions.Hash60Arr) digests numerically in one compiled loop —
+    * bit-identical to the transform/conv/md5-hex formulation it replaces
+    * (Hash60ArrSpec), which the DuckDB fragment still mirrors. */
+  private val hsSpark: String = s"hash60_arr(sh, ${P}L)"
 
   private val hsDuck: String = s"list_transform(sh, s -> ${h60d("s")} % $P)"
 
@@ -445,7 +448,7 @@ object Similarity {
       // behavior (explode of a null token array emits no rows), so the two
       // formulations stay row-identical on any corpus
       .filter(col("text").isNotNull)
-      .withColumn("th", expr(s"transform(split(text, ' '), t -> ${h60("t")})"))
+      .withColumn("th", expr("hash60_arr(split(text, ' '))"))
       .select(col("doc_id"), expr("simhash60(th)").as("simhash"))
   }
 
