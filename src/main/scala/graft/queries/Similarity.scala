@@ -275,24 +275,33 @@ object Similarity {
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", expr(shinglesSpark))
 
-  /** Band keys of any frame carrying (doc_id, sh): md5 of each band's 3
-    * concatenated min-hashes. ONE definition of the banding arithmetic —
-    * batch lanes, their DuckDB oracles, and the streaming detector must
-    * produce identical keys. Unsorted — callers add output ordering. */
-  private[graft] def bandKeysOf(d: DataFrame): DataFrame = {
+  /** (doc_id, sig, …) of any frame carrying (doc_id, sh): the K-minhash
+    * signature, computed once per row — shared by the banding and the
+    * sketch-calibration lane so the signature arithmetic exists once. */
+  private[graft] def sigsOf(d: DataFrame): DataFrame = {
     // minhash12: ONE codegen'd pass over the base hashes; the sigSpark
     // SQL formulation (12 interpreted array_min(transform) walks) is kept
     // as the spec-checked reference formulation
     graft.functions.GraftFunctions.register(d.sparkSession)
     d.withColumn("hs", expr(hsSpark))
       .withColumn("sig", expr("minhash12(hs)"))
-      .withColumn("band", explode(expr(
-        s"""transform(sequence(0, ${BANDS - 1}), b -> struct(
-           |  CAST(b AS INT) AS band_id,
-           |  md5(concat_ws(',', element_at(sig, 3*b+1), element_at(sig, 3*b+2),
-           |                     element_at(sig, 3*b+3))) AS band_key))""".stripMargin)))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
+
+  /** The banding arithmetic over a `sig` column — ONE definition (batch
+    * lanes, their DuckDB oracles, the streaming detector and the
+    * calibration lane must produce identical keys). */
+  private val bandStructSpark: String =
+    s"""transform(sequence(0, ${BANDS - 1}), b -> struct(
+       |  CAST(b AS INT) AS band_id,
+       |  md5(concat_ws(',', element_at(sig, 3*b+1), element_at(sig, 3*b+2),
+       |                     element_at(sig, 3*b+3))) AS band_key))""".stripMargin
+
+  /** Band keys of any frame carrying (doc_id, sh). Unsorted — callers add
+    * output ordering. */
+  private[graft] def bandKeysOf(d: DataFrame): DataFrame =
+    sigsOf(d)
+      .withColumn("band", explode(expr(bandStructSpark)))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
   /** Per-doc band keys of the documents table. */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
@@ -411,7 +420,67 @@ object Similarity {
        |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- Q24c': sketch CALIBRATION audit — estimated vs exact Jaccard -------
+  // The parameter-validation lane a pipeline runs before trusting its LSH
+  // configuration: for every banded candidate pair, the MinHash estimate
+  // (fraction of agreeing signature components — the unbiased estimator
+  // E[agree/K] = J) next to the exact shingle Jaccard and the absolute
+  // error. Systematically large abs_err means K/BANDS are mis-sized for
+  // the corpus. Same candidate generation as q24_lsh_pairs (equi-join on
+  // band keys — linear, skew-safe); the signature frame is computed once
+  // (persist) and feeds banding + both estimate sides.
+  def q24LshEst(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithShingles(spark, dir).persist()
+    val sigs = sigsOf(d).select(col("doc_id"), col("sig"), col("sh")).persist()
+    val bands = sigs
+      .withColumn("band", explode(expr(bandStructSpark)))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val cand = bands.join(
+        bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+          .cast("double") / lit(K.toDouble))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"), col("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q24LshEstSql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs, sh FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig, sh FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM keys x JOIN keys y
+       |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+       |         / $K AS est_jaccard,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard,
+       |       abs(CAST(len(list_filter(generate_series(1, $K), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $K
+       |           - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS abs_err
+       |FROM cand JOIN sig a ON a.doc_id = cand.doc_a JOIN sig b ON b.doc_id = cand.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- Q24d: SimHash near-dup pairs (banded candidate join) ----------------
+
   // 60-bit SimHash: per-token 60-bit hash, per-bit ±1 vote, sign → bit.
   // Pair generation uses the pigeonhole property: the sketch splits into
   // 5 bands × 12 bits, and any pair with hamming ≤ 4 differs in ≤ 4 bands,
@@ -1148,6 +1217,7 @@ object Similarity {
     "q24_minhash_sig"   -> (q24MinhashSig _),
     "q24_lang_sketch"   -> (q24LangSketch _),
     "q24_lsh_pairs"     -> (q24LshPairs _),
+    "q24_lsh_est"       -> (q24LshEst _),
     "q24_simhash_pairs" -> (q24SimhashPairs _),
     "q25_cosine_topk"   -> (q25CosineTopk _),
     "q25_embed_neardup" -> (q25EmbedNearDup _),
@@ -1167,6 +1237,7 @@ object Similarity {
     "q24_minhash_sig"   -> q24MinhashSigSql,
     "q24_lang_sketch"   -> q24LangSketchSql,
     "q24_lsh_pairs"     -> q24LshPairsSql,
+    "q24_lsh_est"       -> q24LshEstSql,
     "q24_simhash_pairs" -> q24SimhashPairsSql,
     "q25_cosine_topk"   -> q25CosineTopkSql,
     "q25_embed_neardup" -> q25EmbedNearDupSql,
