@@ -384,7 +384,12 @@ object Multimodal {
     * for undecodable payloads (quarantine — a 100 TB corpus always carries
     * corrupt blobs, and a throwing decoder would kill the stage). Only
     * 16-bit PCM is summed; anything else quarantines rather than guessing
-    * a sample layout. */
+    * a sample layout. Known JDK limitation (measured, ScaleSmoke 8×):
+    * AudioSystem.getAudioInputStream's provider-registry lookup holds a
+    * global lock, so many-core single-JVM decode serializes at ~0.24 ms/
+    * payload; multi-executor deployments (fewer cores per JVM) dilute the
+    * contention, and the lock is the price of keeping the REAL registry-
+    * dispatched codec in the loop rather than a hand-rolled parser. */
   private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): Option[AudioOut] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(

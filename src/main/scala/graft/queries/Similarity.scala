@@ -426,9 +426,12 @@ object Similarity {
   // (fraction of agreeing signature components — the unbiased estimator
   // E[agree/K] = J) next to the exact shingle Jaccard and the absolute
   // error. Systematically large abs_err means K/BANDS are mis-sized for
-  // the corpus. Same candidate generation as q24_lsh_pairs (equi-join on
-  // band keys — linear, skew-safe); the signature frame is computed once
-  // (persist) and feeds banding + both estimate sides.
+  // the corpus. Candidates are the SAME pair set as q24_lsh_pairs but via
+  // a plain band-key self-join (no capped expansion — an audit lane reads
+  // every candidate anyway): shuffle on the band key, AQE skew-join splits
+  // a viral bucket's stragglers, and the pair OUTPUT volume is the
+  // intrinsic bound. The signature frame is computed once (persist) and
+  // feeds banding + both estimate sides.
   def q24LshEst(spark: SparkSession, dir: String): DataFrame = {
     val d = docsWithShingles(spark, dir).persist()
     val sigs = sigsOf(d).select(col("doc_id"), col("sig"), col("sh")).persist()

@@ -56,7 +56,8 @@ object ScaleSmoke {
     println(s"[scale8] span hot postings (>256): ${spans.count()}")
 
     Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
-        "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors").foreach { name =>
+        "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors",
+        "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode").foreach { name =>
       (0 until 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, out).count()
