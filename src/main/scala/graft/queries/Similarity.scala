@@ -827,6 +827,45 @@ object Similarity {
        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // --- Q25d': IVF recall audit — approximate vs exact top-k ----------------
+  // The ANN-quality twin of q24_lsh_est: recall@10 of the IVF probe
+  // against the exact brute-force top-10 (q25_cosine_topk), as one audited
+  // row. Recall < 1 here is the IVF tradeoff surface — cross-list
+  // neighbours that NPROBE didn't reach — and THE number you tune
+  // NPROBE/K against before trusting the approximate lane on a corpus.
+  // Cost class: both constituent lanes (broadcast probe + one corpus pass
+  // each); the overlap join is 10×10.
+  def q25IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q25CosineTopk(spark, dir).select(col("vec_id"))
+    val approx = q25IvfTopk(spark, dir).select(col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .select(col("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("k").cast("double")).as("recall"))
+  }
+
+  /** Composed from the two constituent oracles: the IVF SQL's CTE chain is
+    * hoisted to the top level (its final SELECT becomes approx_topk), and
+    * the cosine SQL's final SELECT becomes exact_topk — its one CTE
+    * (`probe`) is textually identical to the IVF chain's, so the hoisted
+    * definition serves both. */
+  val q25IvfRecallSql: String = {
+    def split(sql: String): (String, String) = {
+      val i = sql.lastIndexOf("\nSELECT")
+      (sql.substring(0, i).stripPrefix("WITH "), sql.substring(i + 1))
+    }
+    val (ivfCtes, ivfFinal) = split(q25IvfTopkSql)
+    val (_, cosFinal) = split(q25CosineTopkSql) // its `probe` CTE == IVF's
+    s"""WITH $ivfCtes,
+       |approx_topk AS ($ivfFinal),
+       |exact_topk AS ($cosFinal)
+       |SELECT CAST(count(*) AS BIGINT) AS k,
+       |       CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+       |       CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact_topk e LEFT JOIN approx_topk a ON e.vec_id = a.vec_id""".stripMargin
+  }
+
   // --- Q25e: int8 quantization audit -----------------------------------------
   // The storage path for vector search at scale: per-vector linear int8
   // quantization (256 levels between the vector's min and max) shrinks an
@@ -1226,6 +1265,7 @@ object Similarity {
     "q25_embed_neardup" -> (q25EmbedNearDup _),
     "q25_ann_bucket"    -> (q25AnnBucket _),
     "q25_ivf_topk"      -> (q25IvfTopk _),
+    "q25_ivf_recall"    -> (q25IvfRecall _),
     "q25_quantize"      -> (q25Quantize _),
   )
 
@@ -1246,6 +1286,7 @@ object Similarity {
     "q25_embed_neardup" -> q25EmbedNearDupSql,
     "q25_ann_bucket"    -> q25AnnBucketSql,
     "q25_ivf_topk"      -> q25IvfTopkSql,
+    "q25_ivf_recall"    -> q25IvfRecallSql,
     "q25_quantize"      -> q25QuantizeSql,
   )
 }
