@@ -71,7 +71,9 @@ object Bench {
       (0L, -1.0, Seq.empty[Double])
     }
 
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // LinkedHashSet: a query that fails in BOTH passes must appear once in
+    // the failed array, not twice (round-5 ADVICE).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Inter-measurement hygiene, OUTSIDE the timed regions: lanes persist()/
     // localCheckpoint shared frames whose release normally waits on GC + the
     // ASYNC ContextCleaner — across 100+ queries that debris inflated later
@@ -165,14 +167,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsCold = coldTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total = WARM passes of queries that SUCCEEDED; a failed
+    // query's near-zero dt would silently understate the total (r5 ADVICE)
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Key order is deliberate: queries_cold FIRST, the warm dict (`queries`,
+    // the driver-contract key BASELINE.md targets compare against) LAST
+    // among the dicts — a tail window of this (long) line, which is what a
+    // BENCH_r*.json reader usually sees, then shows WARM numbers. Round 5's
+    // cold-at-the-tail layout caused a false-regression scare.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_dict":"queries",""" +
       s""""queries_cold":$qsCold,""" +
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
       s""""ingest_reps_rows_per_sec":${ingestRepsRps.mkString("[", ",", "]")},""" +
       s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s""""failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
     // ("parsed": null) — a file survives any log truncation.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

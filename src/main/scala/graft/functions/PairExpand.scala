@@ -47,16 +47,23 @@ case class PairExpand(left: Expression, right: Expression)
   override protected def nullSafeEval(dsAny: Any, tAny: Any): Any = {
     val ds = dsAny.asInstanceOf[ArrayData]
     val t = tAny.asInstanceOf[Double]
-    val n = ds.numElements()
-    val ids = new Array[Long](n)
-    val sizes = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      val row = ds.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      sizes(i) = row.getInt(1)
-      i += 1
+    val m = ds.numElements()
+    val ids = new Array[Long](m)
+    val sizes = new Array[Int](m)
+    // Null elements are skipped, matching the SQL nest this replaces
+    // (its filter() lambda drops nulls before pairing).
+    var n = 0
+    var k0 = 0
+    while (k0 < m) {
+      val row = ds.getStruct(k0, 2)
+      if (row != null) {
+        ids(n) = row.getLong(0)
+        sizes(n) = row.getInt(1)
+        n += 1
+      }
+      k0 += 1
     }
+    var i = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     i = 0
     while (i < n) {
@@ -133,17 +140,32 @@ case class PairExpandIds(child: Expression)
   override protected def nullSafeEval(dsAny: Any): Any = {
     val ds = dsAny.asInstanceOf[ArrayData]
     val withHam = payloadFields == 2
-    val n = ds.numElements()
-    val ids = new Array[Long](n)
-    val pay = if (withHam) new Array[Long](n) else null
+    val m = ds.numElements()
+    val ids = new Array[Long](m)
+    val pay = if (withHam) new Array[Long](m) else null
+    // Null elements are skipped (the lambda nest this replaces filtered
+    // them out); in-repo callers feed containsNull=false postings.
+    var n = 0
     var i = 0
-    while (i < n) {
+    while (i < m) {
       val row = ds.getStruct(i, payloadFields)
-      ids(i) = row.getLong(0)
-      if (withHam) pay(i) = row.getLong(1)
+      if (row != null) {
+        ids(n) = row.getLong(0)
+        if (withHam) pay(n) = row.getLong(1)
+        n += 1
+      }
       i += 1
     }
-    val out = new Array[InternalRow](n * (n - 1) / 2)
+    // n*(n-1)/2 must fit one JVM array: past ~65k elements the Int
+    // product wraps negative. In-repo lanes are bounded by cap+1 long
+    // before this, so the guard only trips for external SQL callers —
+    // fail loudly rather than allocate a corrupted size.
+    val pairCount = n.toLong * (n - 1) / 2
+    if (pairCount > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"pair_expand_ids: $n elements would expand to $pairCount pairs, " +
+          "exceeding the max array size; cap the posting list before expanding")
+    val out = new Array[InternalRow](pairCount.toInt)
     var k = 0
     i = 0
     while (i < n) {

@@ -29,6 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * an EMPTY array (never an error), so the expression is safe wherever
   * the optimizer moves it — the round-3 short-row crash class (inferred
   * Generate filters evaluating before length guards) cannot occur.
+  * Null TOKEN elements are rejected with a typed error at eval time: they
+  * have no oracle-consistent hash (the SQL h60 form propagates NULL), and
+  * every in-repo caller feeds split() output, which is containsNull=false.
   *
   * CodegenFallback for the usual reason: the compiled Scala loop (one md5
   * per token + O(1) arithmetic per window) dominates; lambda-free.
@@ -66,7 +69,14 @@ case class SpanHashes(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      val ht = Hash60(if (t == null) Array.empty[Byte] else t.getBytes)
+      // A null token has no oracle-consistent hash: the SQL/DuckDB h60
+      // formulation propagates NULL through the fold, while any coercion
+      // here would silently diverge. In-repo callers only pass split()
+      // output (containsNull=false); fail loudly for anything else.
+      if (t == null)
+        throw new IllegalArgumentException(
+          "span_hashes: null token element — filter nulls from the array first")
+      val ht = Hash60(t.getBytes)
       h1(i) = ht % P1
       h2(i) = ht % P2
       i += 1

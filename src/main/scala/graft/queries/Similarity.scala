@@ -605,14 +605,24 @@ object Similarity {
       .limit(10)
   }
 
-  val q25CosineTopkSql: String =
-    s"""WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
-       |SELECT vec_id, label,
+  /** The `probe` CTE and final SELECT of the cosine-top-k oracle, kept as
+    * separate fragments so [[q25IvfRecallSql]] can re-compose them without
+    * lexically splitting finished SQL (round-5 ADVICE: a lastIndexOf-based
+    * split silently miscomposes if either oracle is ever reindented). */
+  private def cosineProbeCte: String =
+    "probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)"
+
+  private def cosineTopkSelect: String =
+    s"""SELECT vec_id, label,
        |       ${dotDuck("embedding", "probe_vec")}
        |         / (sqrt(${normDuck("embedding")}) * sqrt(${normDuck("probe_vec")})) AS cosine
        |FROM embeddings CROSS JOIN probe
        |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  val q25CosineTopkSql: String =
+    s"""WITH $cosineProbeCte
+       |$cosineTopkSelect""".stripMargin
 
   // --- Q25b: embedding near-dup — global top-20 most-similar pairs ---------
   // Exact baseline (O(n²) within the corpus); the scale path is
@@ -808,24 +818,34 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id")).limit(10)
   }
 
-  val q25IvfTopkSql: String = {
+  /** The IVF probe's CTE chain (probe/asgn/probed, downstream of
+    * [[ivfCentsDuck]]) and final SELECT — fragments shared verbatim by
+    * [[q25IvfTopkSql]] and [[q25IvfRecallSql]]. */
+  private def ivfTopkCtes: String = {
     val cosC = s"${dotDuck("e.embedding", "c.cvec")} / (sqrt(${normDuck("e.embedding")}) * sqrt(${normDuck("c.cvec")}))"
     val cosP = s"${dotDuck("c.cvec", "probe_vec")} / (sqrt(${normDuck("c.cvec")}) * sqrt(${normDuck("probe_vec")}))"
-    val cosQ = s"${dotDuck("a.embedding", "probe_vec")} / (sqrt(${normDuck("a.embedding")}) * sqrt(${normDuck("probe_vec")}))"
-    s"""WITH $ivfCentsDuck,
-       |probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0),
+    s"""$cosineProbeCte,
        |asgn AS (SELECT vec_id, label, embedding, cid FROM (
        |           SELECT e.vec_id, e.label, e.embedding, c.cid,
        |                  row_number() OVER (PARTITION BY e.vec_id
        |                    ORDER BY $cosC DESC, c.cid) AS rn
        |           FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
        |probed AS (SELECT cid FROM cents c CROSS JOIN probe
-       |           ORDER BY $cosP DESC, cid LIMIT $NProbe)
-       |SELECT a.vec_id, a.label, a.cid, $cosQ AS cosine
+       |           ORDER BY $cosP DESC, cid LIMIT $NProbe)""".stripMargin
+  }
+
+  private def ivfTopkSelect: String = {
+    val cosQ = s"${dotDuck("a.embedding", "probe_vec")} / (sqrt(${normDuck("a.embedding")}) * sqrt(${normDuck("probe_vec")}))"
+    s"""SELECT a.vec_id, a.label, a.cid, $cosQ AS cosine
        |FROM asgn a JOIN probed USING (cid) CROSS JOIN probe
        |WHERE a.vec_id <> 0
        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin
   }
+
+  val q25IvfTopkSql: String =
+    s"""WITH $ivfCentsDuck,
+       |$ivfTopkCtes
+       |$ivfTopkSelect""".stripMargin
 
   // --- Q25d': IVF recall audit — approximate vs exact top-k ----------------
   // The ANN-quality twin of q24_lsh_est: recall@10 of the IVF probe
@@ -845,26 +865,19 @@ object Similarity {
         (col("n_overlap").cast("double") / col("k").cast("double")).as("recall"))
   }
 
-  /** Composed from the two constituent oracles: the IVF SQL's CTE chain is
-    * hoisted to the top level (its final SELECT becomes approx_topk), and
-    * the cosine SQL's final SELECT becomes exact_topk — its one CTE
-    * (`probe`) is textually identical to the IVF chain's, so the hoisted
-    * definition serves both. */
-  val q25IvfRecallSql: String = {
-    def split(sql: String): (String, String) = {
-      val i = sql.lastIndexOf("\nSELECT")
-      (sql.substring(0, i).stripPrefix("WITH "), sql.substring(i + 1))
-    }
-    val (ivfCtes, ivfFinal) = split(q25IvfTopkSql)
-    val (_, cosFinal) = split(q25CosineTopkSql) // its `probe` CTE == IVF's
-    s"""WITH $ivfCtes,
-       |approx_topk AS ($ivfFinal),
-       |exact_topk AS ($cosFinal)
+  /** Composed from the SAME CTE/SELECT fragments the two constituent
+    * oracles are built from ([[ivfTopkCtes]]/[[ivfTopkSelect]] and
+    * [[cosineTopkSelect]] — the shared `probe` CTE appears once, inside
+    * [[ivfTopkCtes]]), so the three SQL strings cannot drift apart. */
+  val q25IvfRecallSql: String =
+    s"""WITH $ivfCentsDuck,
+       |$ivfTopkCtes,
+       |approx_topk AS ($ivfTopkSelect),
+       |exact_topk AS ($cosineTopkSelect)
        |SELECT CAST(count(*) AS BIGINT) AS k,
        |       CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
        |       CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM exact_topk e LEFT JOIN approx_topk a ON e.vec_id = a.vec_id""".stripMargin
-  }
 
   // --- Q25e: int8 quantization audit -----------------------------------------
   // The storage path for vector search at scale: per-vector linear int8

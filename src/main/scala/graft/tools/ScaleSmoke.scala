@@ -40,7 +40,7 @@ object ScaleSmoke {
       .withColumn("bk", expr("shiftright(simhash, 12 * band_id) & 4095"))
       .groupBy("band_id", "bk").count().filter(col("count") > 256)
     println(s"[scale8] simhash hot buckets (>256): ${simBands.count()} " +
-      s"max=${simBands.agg(max("count")).head().getLong(0)}")
+      s"max=${simBands.agg(coalesce(max("count"), lit(0L))).head().getLong(0)}")
     val shingles = d8.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", expr(
