@@ -71,9 +71,13 @@ object Bench {
       (0L, -1.0, Seq.empty[Double])
     }
 
-    // LinkedHashSet: a query that fails in BOTH passes must appear once in
-    // the failed array, not twice (round-5 ADVICE).
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Cold and warm failures tracked SEPARATELY (round-6 ADVICE): a query
+    // that fails only its cold pass but succeeds warm still has a valid warm
+    // (reported) measurement, so only warm-pass failures exclude a query from
+    // the headline total and the driver-contract `failed` array. Cold-only
+    // failures ride along in `failed_cold` for transparency.
+    val failedCold = scala.collection.mutable.LinkedHashSet[String]()
+    val failedWarm = scala.collection.mutable.LinkedHashSet[String]()
     // Inter-measurement hygiene, OUTSIDE the timed regions: lanes persist()/
     // localCheckpoint shared frames whose release normally waits on GC + the
     // ASYNC ContextCleaner — across 100+ queries that debris inflated later
@@ -102,19 +106,19 @@ object Bench {
       // 1.4-2x a standalone warm QTime rep purely from in-region
       // compilation; the block-debris fix alone did not close that. The
       // cold pass rides along in queries_cold for transparency.
-      def once(): Double = {
+      def once(into: scala.collection.mutable.LinkedHashSet[String]): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
-          failed += name
+          into += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
         hygiene()
         dt
       }
-      coldTimes(name) = once()
-      name -> once()
+      coldTimes(name) = once(failedCold)
+      name -> once(failedWarm)
     }
 
     // Streaming throughput: events parquet driven through the Q27 tumbling
@@ -167,10 +171,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsCold = coldTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // headline total = WARM passes of queries that SUCCEEDED; a failed
-    // query's near-zero dt would silently understate the total (r5 ADVICE)
-    val total = results.collect { case (k, v) if !failed(k) => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // headline total = WARM passes of queries whose WARM pass succeeded; a
+    // failed query's near-zero dt would silently understate the total (r5
+    // ADVICE), but a cold-only failure leaves the warm number valid (r6)
+    val total = results.collect { case (k, v) if !failedWarm(k) => v }.sum
+    val failedJson = failedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedColdJson =
+      failedCold.filterNot(failedWarm).map("\"" + _ + "\"").mkString("[", ",", "]")
     // Key order is deliberate: queries_cold FIRST, the warm dict (`queries`,
     // the driver-contract key BASELINE.md targets compare against) LAST
     // among the dicts — a tail window of this (long) line, which is what a
@@ -181,7 +188,7 @@ object Bench {
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
       s""""ingest_reps_rows_per_sec":${ingestRepsRps.mkString("[", ",", "]")},""" +
       s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
-      s""""failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s""""failed":$failedJson,"failed_cold":$failedColdJson,"queries":$qs,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
     // ("parsed": null) — a file survives any log truncation.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

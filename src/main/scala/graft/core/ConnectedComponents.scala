@@ -40,6 +40,42 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Oriented-edge count at or below which the whole pair graph is solved
+    * by union-find in ONE executor task instead of distributed supersteps.
+    * 4 M oriented edges ≈ 64 MB of (long, long) plus a ≤ 8 M-entry LongMap
+    * (~128 MB) — comfortable inside one executor; solving it locally costs
+    * one narrow job where the superstep path pays 8–10 shuffle stages PER
+    * materialized batch. On dedup workloads the pair graph is post-filter
+    * tiny relative to the corpus (sf0.1: ~2 k edges from 5 k docs), so this
+    * is the common case at every scale; a graph that outgrows the threshold
+    * takes the superstep path unchanged. */
+  val LocalSolveMaxEdges: Long = 4_000_000L
+
+  /** Single-task exact solve: union-find with full path compression and
+    * union-by-min (the smaller root always becomes parent), so every root is
+    * its component's minimum id — the same labels the superstep path and the
+    * recursive-CTE oracle produce. Runs inside one `mapPartitions` task over
+    * the cached edge blocks (no driver collect). */
+  private def unionFindPartition(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(v0: Long): Long = {
+      var r = v0
+      while (parent(r) != r) r = parent(r)
+      var v = v0
+      while (parent(v) != r) { val p = parent(v); parent(v) = r; v = p }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // keys snapshotted first: find() mutates values during the final pass
+    val ks = parent.keys.toArray
+    ks.iterator.map(v => (v, find(v)))
+  }
+
   /** `vertices`: one column `v`; `edges`: columns `src`,`dst` (one row per
     * undirected edge, either orientation). Returns (`v`, `label`) where
     * `label` = min vertex id in v's component.
@@ -47,8 +83,14 @@ object ConnectedComponents {
     * Propagation runs only over edge ENDPOINTS — on a dedup graph the
     * overwhelming majority of vertices are isolated (label = self) and
     * would otherwise ride through every superstep for nothing; they are
-    * stitched back with one left join at the end. */
-  def labels(vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    * stitched back with one left join at the end.
+    *
+    * Pair graphs at or below `localSolveMaxEdges` oriented edges are solved
+    * exactly by one single-task union-find job (see [[LocalSolveMaxEdges]]);
+    * larger graphs run the distributed superstep loop. Pass
+    * `localSolveMaxEdges = -1` to force the superstep path (specs do). */
+  def labels(vertices: DataFrame, edges: DataFrame, maxIters: Int = 50,
+             localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
 
@@ -58,8 +100,23 @@ object ConnectedComponents {
     // once, not once for the count and again for `undirected`.
     val oriented = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    // ~50 k edges (100 k oriented rows after doubling) per superstep task
     val edgeCount = oriented.count()
+
+    if (edgeCount <= localSolveMaxEdges) {
+      System.err.println(
+        s"[cc] local union-find: $edgeCount oriented edges <= $localSolveMaxEdges, supersteps=0")
+      // coalesce(1) reads the already-materialized cache blocks narrowly —
+      // the expensive upstream pairs pipeline does NOT re-run in one task.
+      // localCheckpoint materializes the solve BEFORE oriented is released;
+      // without it the lazy join would recompute against unpersisted blocks.
+      val labelDf = oriented.coalesce(1).mapPartitions(unionFindPartition)
+        .toDF("ev", "label").localCheckpoint()
+      oriented.unpersist(blocking = false)
+      return vertices.select(col("v")).join(labelDf, col("v") === col("ev"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+    }
+
+    // ~50 k edges (100 k oriented rows after doubling) per superstep task
     val width = math.max(1, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       (edgeCount / 50_000L).toInt))
@@ -172,6 +229,8 @@ object ConnectedComponents {
     if (secondHook > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters supersteps")
+    System.err.println(
+      s"[cc] superstep batches=$iters (hook+jump rounds=${iters * 2}), edges=$edgeCount")
     // Materialize the final labels OUT of the superstep cache (eager
     // localCheckpoint truncates lineage), then release the last round's
     // persisted RDD — without this, every labels() call in a session

@@ -63,9 +63,8 @@ case class PairExpand(left: Expression, right: Expression)
       }
       k0 += 1
     }
-    var i = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    i = 0
+    var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {

@@ -73,6 +73,9 @@ case class SpanHashes(left: Expression, right: Expression)
       // formulation propagates NULL through the fold, while any coercion
       // here would silently diverge. In-repo callers only pass split()
       // output (containsNull=false); fail loudly for anything else.
+      // Deliberate (r6 ADVICE adjudicated): skipping null tokens would
+      // shift window indices off the oracle's; external SQL callers with
+      // containsNull arrays must `filter(x -> x is not null)` first.
       if (t == null)
         throw new IllegalArgumentException(
           "span_hashes: null token element — filter nulls from the array first")

@@ -8,21 +8,25 @@ import graft.core.ConnectedComponents
   * genuinely disagree. */
 class ConnectedComponentsSpec extends SparkSpec {
 
-  private def labelsOf(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** localMax = -1 forces the distributed superstep path; the default runs
+    * the size-gated single-task union-find (all spec graphs are tiny). */
+  private def labelsOf(vs: Seq[Long], es: Seq[(Long, Long)],
+                       localMax: Long = ConnectedComponents.LocalSolveMaxEdges): Map[Long, Long] = {
     import spark.implicits._
     val vertices = vs.toDF("v")
     val edges = es.toDF("src", "dst")
-    ConnectedComponents.labels(vertices, edges)
+    ConnectedComponents.labels(vertices, edges, localSolveMaxEdges = localMax)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("clique + chain + isolated vertex resolve to component minima") {
+  test("clique + chain + isolated vertex resolve to component minima (both paths)") {
     // clique {1,2,3}, chain 10-11-12-13 (diameter 3), isolated 20
-    val labels = labelsOf(
-      Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 20L),
-      Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L)))
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+    val vs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 20L)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L)
+    assert(labelsOf(vs, es) == expected)               // local union-find path
+    assert(labelsOf(vs, es, localMax = -1) == expected) // superstep path
   }
 
   test("hub-and-spoke: CC evicts a vertex greedy keep-first would keep") {
@@ -41,7 +45,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val n = 12 // diameter 11: pointer jumping needs ~log2(11) supersteps
     val vs = (0L until n).toSeq
     val es = (0L until n - 1).map(i => (i, i + 1))
-    val labels = labelsOf(vs, es)
+    val labels = labelsOf(vs, es, localMax = -1) // must exercise supersteps
     assert(labels.values.toSet == Set(0L))
   }
 
@@ -51,7 +55,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val vs = (0L until 200L).toDF("v")
     val es = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
-      ConnectedComponents.labels(vs, es, maxIters = 1).collect()
+      ConnectedComponents.labels(vs, es, maxIters = 1, localSolveMaxEdges = -1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
   }
@@ -65,7 +69,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     // as converged and return them.
     val vs = (0L until 9L).toDF("v")
     val es = (0L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
-    val labels = ConnectedComponents.labels(vs, es, maxIters = 1)
+    val labels = ConnectedComponents.labels(vs, es, maxIters = 1, localSolveMaxEdges = -1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L))
   }
@@ -83,7 +87,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     vs.map(v => v -> find(v)).toMap
   }
 
-  test("property: labels match a union-find oracle on random graphs") {
+  test("property: BOTH paths match a union-find oracle on random graphs") {
     import org.scalacheck.{Gen, Prop, Test => PropTest}
     val gen = for {
       n <- Gen.choose(2, 24)
@@ -93,7 +97,8 @@ class ConnectedComponentsSpec extends SparkSpec {
       } yield (a, b))
     } yield ((0L until n).toSeq, es)
     val prop = Prop.forAllNoShrink(gen) { case (vs, es) =>
-      labelsOf(vs, es) == unionFind(vs, es)
+      val oracle = unionFind(vs, es)
+      labelsOf(vs, es) == oracle && labelsOf(vs, es, localMax = -1) == oracle
     }
     val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
