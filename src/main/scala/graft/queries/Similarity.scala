@@ -426,23 +426,37 @@ object Similarity {
   // (fraction of agreeing signature components — the unbiased estimator
   // E[agree/K] = J) next to the exact shingle Jaccard and the absolute
   // error. Systematically large abs_err means K/BANDS are mis-sized for
-  // the corpus. Candidates are the SAME pair set as q24_lsh_pairs but via
-  // a plain band-key self-join (no capped expansion — an audit lane reads
-  // every candidate anyway): shuffle on the band key, AQE skew-join splits
-  // a viral bucket's stragglers, and the pair OUTPUT volume is the
-  // intrinsic bound. The signature frame is computed once (persist) and
-  // feeds banding + both estimate sides.
-  def q24LshEst(spark: SparkSession, dir: String): DataFrame = {
+  // the corpus. Candidates are the SAME pair set as q24_lsh_pairs, via the
+  // SAME capped hot-bucket routing (splitHotBuckets): cold band buckets
+  // expand in place off their capped arrays, viral buckets (the
+  // all-identical-boilerplate shape) feed raw rows through the salted
+  // self-join — no single task ever materializes a hot bucket, matching
+  // the lane's three siblings (r6 verdict task 2; previously this was the
+  // one band self-join relying on AQE skew-split alone). The signature
+  // frame is computed once (persist) and feeds banding + both estimate
+  // sides; the band explode re-derives off that cache for the hot probe
+  // (persistInput = false, the jaccard-lane trade).
+  def q24LshEst(spark: SparkSession, dir: String): DataFrame =
+    q24LshEstCapped(spark, dir, HotBucketCap)
+
+  /** `hotCap` exposed for adversarial-fixture specs (see SkewBucketSpec);
+    * production entry uses [[HotBucketCap]]. */
+  private[graft] def q24LshEstCapped(spark: SparkSession, dir: String,
+                                     hotCap: Int): DataFrame = {
     val d = docsWithShingles(spark, dir).persist()
     val sigs = sigsOf(d).select(col("doc_id"), col("sig"), col("sh")).persist()
-    val bands = sigs
+    def bands: DataFrame = sigs
       .withColumn("band", explode(expr(bandStructSpark)))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-    val cand = bands.join(
-        bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
-        Seq("band_id", "band_key"))
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      .select(col("band.band_id").as("band_id"), col("band.band_key").as("band_key"),
+        struct(col("doc_id")).as("e"))
+    val (cold, hotRaw) =
+      splitHotBuckets(bands, Seq("band_id", "band_key"), hotCap, persistInput = false)
+    val coldPairs = cold
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val hotPairs = hotRaw
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = coldPairs.unionByName(hotPairs).distinct()
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("sh").as("sh_a")), "doc_a")

@@ -57,10 +57,22 @@ class SkewBucketSpec extends SparkSpec {
     assert(!routed.exists(r => r.contains(200L)))
   }
 
+  test("q24_lsh_est: viral band bucket routes through the salted join unchanged") {
+    val inPlace = pairs(Similarity.q24LshEstCapped(spark, dir, hotCap = 1000))
+    val routed  = pairs(Similarity.q24LshEstCapped(spark, dir, hotCap = 3))
+    assert(inPlace === routed)
+    // the audit lane reads every banded candidate: the viral block's 66
+    // all-pairs plus the similar pair, unrelated doc absent
+    assert(routed.size >= Viral * (Viral - 1) / 2 + 1)
+    assert(!routed.exists(r => r.contains(200L)))
+  }
+
   test("production caps leave the fixture corpus answers unchanged") {
     assert(pairs(Similarity.q24LshPairs(spark, dir)) ===
       pairs(Similarity.q24LshPairsCapped(spark, dir, Int.MaxValue)))
     assert(pairs(Similarity.q24SimhashPairs(spark, dir)) ===
       pairs(Similarity.q24SimhashPairsCapped(spark, dir, Int.MaxValue)))
+    assert(pairs(Similarity.q24LshEst(spark, dir)) ===
+      pairs(Similarity.q24LshEstCapped(spark, dir, Int.MaxValue)))
   }
 }
