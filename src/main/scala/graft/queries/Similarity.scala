@@ -1275,7 +1275,51 @@ object Similarity {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- Q29c batch twin: streaming near-dup hits replayed in arrival order --
+  // The one nontrivial streaming lane whose semantics previously had no
+  // hash-checked twin (r6 verdict task 3). StreamingJobs.streamingNearDup
+  // keys state on (band_id, band_key) and flags every doc arriving after
+  // the key's first holder; arrival order is doc_id order (the streaming
+  // lane itself orders each micro-batch by doc_id, and the documents table
+  // carries no event time), so the batch replay is: first holder =
+  // min(doc_id) per band bucket, every other member emits one hit naming
+  // it. Shares bandKeysOf — the banding arithmetic exists ONCE across the
+  // batch lanes, their oracles, and the streaming detector.
+  // Scale shape: partial-agg min per bucket (map-side combine — skew-safe
+  // even on a viral bucket) + an AQE-splittable equi-join back;
+  // deliberately NOT a window over the bucket partition, which would sort
+  // a viral bucket's whole posting list inside one task.
+  def q29NeardupBatch(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the band frame feeds the min-agg AND the join probe; the two
+    // consumers' exchanges carry different payloads (partial-agg rows vs
+    // full rows), so ReuseExchange cannot dedupe them — the cache barrier
+    // is what keeps the shingle+minhash pass single-execution.
+    val bands = bandKeysOf(docsWithShingles(spark, dir)).persist()
+    val firsts = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(min(col("doc_id")).as("dup_of"))
+    bands.join(firsts, Seq("band_id", "band_key"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("band_id"), col("dup_of"))
+      .orderBy(col("doc_id"), col("band_id"))
+  }
+
+  val q29NeardupBatchSql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key FROM bands),
+       |firsts AS (SELECT band_id, band_key, min(doc_id) AS dup_of
+       |           FROM keys GROUP BY band_id, band_key)
+       |SELECT k.doc_id, CAST(k.band_id AS INT) AS band_id, f.dup_of
+       |FROM keys k JOIN firsts f ON k.band_id = f.band_id AND k.band_key = f.band_key
+       |WHERE k.doc_id <> f.dup_of
+       |ORDER BY k.doc_id, k.band_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_neardup_batch" -> (q29NeardupBatch _),
     "q33_decontam_fuzzy" -> (q33DecontamFuzzy _),
     "q26_span_dup"      -> (q26SpanDup _),
     "q26_dedup_survivors" -> (q26DedupSurvivors _),
@@ -1297,6 +1341,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q29_neardup_batch" -> q29NeardupBatchSql,
     "q33_decontam_fuzzy" -> q33DecontamFuzzySql,
     "q26_span_dup"      -> q26SpanDupSql,
     "q26_dedup_survivors" -> q26DedupSurvivorsSql,

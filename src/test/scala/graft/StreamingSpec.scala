@@ -200,4 +200,36 @@ class StreamingSpec extends SparkSpec {
       assert(hits.map(_._1).toSet === Set(20L, 30L))
     } finally q.stop()
   }
+
+  test("Q29c twin: doc_id-ordered streaming arrival reproduces q29_neardup_batch exactly") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_twin").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // near-dup of t1
+    val t3 = "totally different words about completely other topics entirely here now"
+    Seq((1L, t1, "en", "s", 10L), (2L, t3, "en", "s", 10L),
+        (5L, t1, "en", "s", 10L), // exact dup of doc 1 — collides on every band
+        (9L, t2, "en", "s", 10L)) // near dup — collides on some bands
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val batchHits = graft.queries.Similarity.q29NeardupBatch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batchHits.nonEmpty && batchHits.forall(_._3 == 1L))
+    // same corpus delivered in doc_id order across TWO micro-batches: the
+    // oracle-checked batch lane and the stateful streaming detector must
+    // agree hit-for-hit (doc_id, band_id, dup_of)
+    val src = MemoryStream[Doc]
+    val q = StreamingJobs.streamingNearDup(src.toDF())
+      .writeStream.format("memory").queryName("q29c_twin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Doc(1, t1), Doc(2, t3))
+      q.processAllAvailable()
+      src.addData(Doc(5, t1), Doc(9, t2))
+      q.processAllAvailable()
+      val streamHits = spark.table("q29c_twin_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamHits === batchHits)
+    } finally q.stop()
+  }
 }
