@@ -47,6 +47,101 @@ class RestPullE2ESpec extends SparkSpec {
     finally server.stop(0)
   }
 
+  /** Paginated mock with an injectable mid-run server cut: pages of `limit`
+    * rows (keyset-ordered, inclusive `indexed_on_start` — boundary rows
+    * duplicate by design), and every data request past `cutAfterPages`
+    * returns 503 until `healed` flips. */
+  private def serveFlaky(cutAfterPages: Int)(
+      f: (String, java.util.concurrent.atomic.AtomicBoolean) => Unit): Unit = {
+    val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val served = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (!healed.get() && served.incrementAndGet() > cutAfterPages) {
+          ex.sendResponseHeaders(503, -1); ex.close(); return
+        }
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val limit = params.getOrElse("limit", "1000").toInt
+        val start = params.get("indexed_on_start").map(graft.sources.RestEnvelopeSource.parseTsMicros)
+        val end = params.get("indexed_on_end").map(graft.sources.RestEnvelopeSource.parseTsMicros)
+        val matching = (0 until N)
+          .filter(i => start.forall(tsMicros(i) >= _) && end.forall(tsMicros(i) < _))
+        val page = matching.take(limit)
+        val next = if (matching.size > limit) "\"more\"" else "null"
+        val objs = page.map(i => s"""{"id": $i, "indexed_on": "${tsStr(i)}", "x": $i}""")
+        val body = s"""{"meta": {"limit": $limit, "next": $next, "total_count": ${matching.size}},
+                      | "objects": [${objs.mkString(",")}]}""".stripMargin
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://localhost:${server.getAddress.getPort}/api", healed)
+    finally server.stop(0)
+  }
+
+  test("crash between pages: watermark frozen, healed re-run converges to the uninterrupted result") {
+    // cutAfterPages = 3: run 1 (hours 0..9, limit 7) takes pages #1-#2; the
+    // incremental run 2 (hours 10..19) gets page #3 and is CUT between its
+    // pages 1 and 2 — the kill-between-pages shape of the at-least-once
+    // contract (reference semantics CommCareAPIHandler.py:261-262: the
+    // watermark advances only after a fully successful run).
+    serveFlaky(cutAfterPages = 3) { (url, healed) =>
+      val root = java.nio.file.Files.createTempDirectory("rcrash").toString
+      val bronze = s"$root/b"
+      val state = new StateStore(s"$root/s")
+      val n1 = Ingest.restPullRun(spark, url, bronze, state,
+        java.time.Instant.parse("2024-06-01T09:00:00Z"), limit = 7, slices = 1)
+      assert(n1 === 10) // hours 0..9
+      val wm1 = state.get("last_successful_job_time").get
+      assert(wm1.startsWith("2024-06-01 09:00:00"))
+
+      // run 2 dies mid-pagination: the partition reader's APIError must
+      // surface (never be swallowed), the watermark must NOT advance, and
+      // bronze must hold exactly run 1's rows — no partial landing.
+      val ex = intercept[Exception] {
+        Ingest.restPullRun(spark, url, bronze, state,
+          java.time.Instant.parse("2024-06-01T19:00:00Z"), limit = 7, slices = 1)
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain.exists(c => Option(c.getMessage).exists(_.contains("APIError"))))
+      assert(state.get("last_successful_job_time").get === wm1)
+      assert(spark.read.parquet(bronze).select($"id").distinct().count() === 10)
+
+      // server heals; the SAME incremental run re-extracts its full window
+      healed.set(true)
+      val n2 = Ingest.restPullRun(spark, url, bronze, state,
+        java.time.Instant.parse("2024-06-01T19:00:00Z"), limit = 7, slices = 1)
+      assert(n2 === 10) // hours 10..19, full window — nothing lost to the crash
+      assert(state.get("last_successful_job_time").get.startsWith("2024-06-01 19:00:00"))
+      val crashed = Ingest.readBronzeDeduped(spark, bronze, "id")
+        .select($"id", org.apache.spark.sql.functions
+          .get_json_object($"payload", "$.x").cast("long").as("x"))
+        .as[(Long, Long)].collect().sorted.toSeq
+
+      // uninterrupted twin: identical two-run sequence, no cut — the
+      // deduped bronze contents must be EQUAL, proving at-least-once +
+      // dedup ≡ exactly-once for the consumer
+      val bronze2 = s"$root/b2"
+      val state2 = new StateStore(s"$root/s2")
+      Ingest.restPullRun(spark, url, bronze2, state2,
+        java.time.Instant.parse("2024-06-01T09:00:00Z"), limit = 7, slices = 1)
+      Ingest.restPullRun(spark, url, bronze2, state2,
+        java.time.Instant.parse("2024-06-01T19:00:00Z"), limit = 7, slices = 1)
+      val clean = Ingest.readBronzeDeduped(spark, bronze2, "id")
+        .select($"id", org.apache.spark.sql.functions
+          .get_json_object($"payload", "$.x").cast("long").as("x"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(crashed === clean)
+      assert(crashed.map(_._1) === (0L until 20L))
+    }
+  }
+
   test("REST → bronze → watermark → incremental re-pull (R1-R8 chain)") {
     serve { url =>
       val bronze = java.nio.file.Files.createTempDirectory("rb").toString + "/b"
