@@ -731,7 +731,7 @@ object Similarity {
   // and the final top-k is TakeOrderedAndProject — the corpus is never
   // pairwise-joined with itself. Recall is tunable via NPROBE; the exact
   // baseline lane is q25_cosine_topk.
-  private val IvfK = 16
+  private[graft] val IvfK = 16
   private val NProbe = 4
 
   private def cosineOf(a: Column, b: Column): Column =
@@ -762,7 +762,7 @@ object Similarity {
     * plain avg() (order-free, tolerance-checked) and never collect; K
     * also scales with n there (see q26SemanticDedup scaladoc), keeping
     * cluster lists bounded either way. */
-  private def ivfCentroids(e: DataFrame): DataFrame = {
+  private[graft] def ivfCentroids(e: DataFrame): DataFrame = {
     val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
     val asgn0 = e.crossJoin(broadcast(ivfCentroids0(e)))
       .withColumn("cos_c", cosineOf(col("embedding"), col("cvec")))
@@ -814,15 +814,22 @@ object Similarity {
        |                FROM asgn0 GROUP BY cid))""".stripMargin
   }
 
-  def q25IvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(e)
+  /** The IVF probe pipeline over an arbitrary coarse quantizer `cents`
+    * (cid, cvec) — shared by [[q25IvfTopk]] (exact-mean, oracle-replayable
+    * quantizer) and [[q25IvfScale]] (production avg() quantizer), so the
+    * assignment/probe/top-k plan shape exists once: broadcast argmax
+    * assignment (rank-1 WindowGroupLimit collapses map-side, one Exchange
+    * per vector), broadcast `nprobe`-list filter, TakeOrderedAndProject. */
+  private def ivfProbeTopk(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
-    val assigned = ivfAssigned(spark, dir)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosineOf(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(wAsgn)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
     val probed = cents.crossJoin(broadcast(probe))
       .withColumn("cos_c", cosineOf(col("cvec"), col("probe_vec")))
-      .orderBy(col("cos_c").desc, col("cid")).limit(NProbe)
+      .orderBy(col("cos_c").desc, col("cid")).limit(nprobe)
       .select(col("cid"))
     assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(probed), Seq("cid"))
@@ -830,6 +837,12 @@ object Similarity {
       .withColumn("cosine", cosineOf(col("embedding"), col("probe_vec")))
       .select(col("vec_id"), col("label"), col("cid"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
+  def q25IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    ivfProbeTopk(e, ivfCentroids(e), NProbe)
   }
 
   /** The IVF probe's CTE chain (probe/asgn/probed, downstream of
@@ -892,6 +905,70 @@ object Similarity {
        |       CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
        |       CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM exact_topk e LEFT JOIN approx_topk a ON e.vec_id = a.vec_id""".stripMargin
+
+  // --- Q25d'': IVF at PRODUCTION scale — order-free avg() quantizer --------
+  // The 100 TB centroid path the exact-mean quantizer's scaladoc promises:
+  // same hash-sampled seeds + one Lloyd step, but the per-cluster mean is a
+  // plain per-dimension avg() — posexplode + hash-agg with MAP-SIDE PARTIALS,
+  // no per-cluster collected list anywhere (the exact-mean twin collects
+  // each cluster's vectors into one array to pin summation order for the
+  // DuckDB oracle; at 100 TB a dense cluster's list would be one task's
+  // buffer). K scales with the corpus: K ≈ √n (the classic IVF sizing —
+  // per-list size and centroid count grow together, keeping both the
+  // assignment broadcast and the probed lists bounded), floored at IvfK and
+  // capped at 4096 so the broadcast centroid table stays ≤ ~8 MB at 256
+  // dims. Not bit-exactly oracle-checkable BY DESIGN (float summation order
+  // is partition-nondeterministic); audited instead by IvfScaleSpec —
+  // component-wise ε-match against the exact-mean quantizer at equal K, and
+  // recall@10 tolerance at sf0.1 — and benched as the rows-only lane
+  // q25_ivf_scale (same contract as q13's HLL).
+  private[graft] def kForCorpus(n: Long): Int =
+    math.max(IvfK, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  private[graft] def ivfCentroidsAtScale(e: DataFrame, k: Int): DataFrame = {
+    val seeds = e
+      .withColumn("ch", expr(h60("CAST(vec_id AS STRING)")))
+      .orderBy(col("ch"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val asgn0 = e.crossJoin(broadcast(seeds))
+      .withColumn("cos_c", cosineOf(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(wAsgn)).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    // order-free mean: one (cid, dim) cell per row through a partial-agg
+    // avg; the final rebuild collects DIMS entries per centroid (bounded by
+    // vector width, never by cluster size)
+    asgn0
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("cid"), col("j"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("cid"), expr("transform(jm, p -> p.m)").as("cvec"))
+  }
+
+  /** Recall@10 of the production quantizer's IVF probe against the exact
+    * brute-force top-10 — q25_ivf_recall's audit run over
+    * [[ivfCentroidsAtScale]] with corpus-scaled K. NPROBE scales with K
+    * (probing a constant 1/4 of the centroid set, matching the exact-mean
+    * lane's 4-of-16), so the two recall numbers are comparable. The
+    * plan-build-time count() sizing K is one cheap corpus-cardinality scan
+    * — the price of corpus-adaptive K, paid once per run. */
+  def q25IvfScale(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val k = kForCorpus(e.count())
+    // persist: the centroid table feeds the assignment AND the probe ranking
+    val cents = ivfCentroidsAtScale(e, k).persist()
+    val approx = ivfProbeTopk(e, cents, nprobe = math.max(NProbe, k / 4))
+      .select(col("vec_id"), lit(1L).as("hit"))
+    q25CosineTopk(spark, dir).select(col("vec_id"))
+      .join(approx, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("k_top"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .select(lit(k).as("k_centroids"), col("k_top"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("k_top").cast("double")).as("recall"))
+  }
 
   // --- Q25e: int8 quantization audit -----------------------------------------
   // The storage path for vector search at scale: per-vector linear int8
@@ -1337,6 +1414,7 @@ object Similarity {
     "q25_ann_bucket"    -> (q25AnnBucket _),
     "q25_ivf_topk"      -> (q25IvfTopk _),
     "q25_ivf_recall"    -> (q25IvfRecall _),
+    "q25_ivf_scale"     -> (q25IvfScale _), // rows-only: avg() mean is order-nondeterministic (see scaladoc)
     "q25_quantize"      -> (q25Quantize _),
   )
 
