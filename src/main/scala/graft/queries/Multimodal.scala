@@ -17,10 +17,12 @@ import TextOps.{h60, h60d}
   * codec — the real-codec path is hash-checked end-to-end. Audio decode is
   * REAL too: q32_audio_decode round-trips md5-derived int16 PCM through the
   * JDK's WAV container codec (`javax.sound.sampled`), hash-checked the same
-  * way. Video codecs are not in the JDK, so the video-shaped lanes
-  * (q32_media_meta dims, q32_frame_sample fingerprints) keep the documented
-  * deterministic stubs in the same batch slot; a real codec replaces one
-  * function without changing the query shape.
+  * way. Video decode is real at the pipeline level: q32_video_frames
+  * demuxes a framed container (GVID: length-prefixed PNG frames) and runs
+  * every sampled frame through the same real ImageIO codec — only the
+  * frame codec itself would swap for an ffmpeg-style library; the
+  * lighter-weight q32_media_meta/q32_frame_sample lanes keep their
+  * deterministic header stubs for the metadata-only shape.
   *
   * Scale: all narrow per-row transforms (no shuffle at all except final
   * test-only ORDER BY); codec/model init amortizes per 64-row batch exactly
@@ -452,6 +454,139 @@ object Multimodal {
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- Q32h: REAL video-shaped decode — framed container + per-frame codec -
+  // Retires the last documented stub (r6 verdict task 6). Video codecs are
+  // not in the JDK, but a video PIPELINE's Spark-side work is container
+  // demux + per-frame decode + frame sampling — all of which is real here,
+  // zero new dependencies: fixture clips are GVID containers (magic,
+  // frame count, then length-prefixed REAL PNG frames), and the query
+  // demuxes the container and decodes every FrameStride-th frame through
+  // the same javax.imageio codec q32_decode uses, in the 64-row batch
+  // slot. PNG frames are lossless and md5-derived, so the decoded dims +
+  // pixel sums are replayed codec-free by the DuckDB oracle — demux
+  // misread, sampling drift, or decode infidelity all break the hash gate.
+  // Quarantine is per-FRAME: a corrupt frame inside a valid container
+  // drops that frame only; a corrupt/truncated container keeps its decoded
+  // prefix (spec-covered). An ffmpeg-style codec would replace
+  // encodeFramePng/decodePng only; the demux, stride, and schema are the
+  // production plumbing.
+  final case class VideoIn(doc_id: Long, video: Array[Byte])
+  final case class FrameDecOut(doc_id: Long, frame_no: Long, width: Long,
+                               height: Long, pix_sum: Long)
+
+  /** Every FrameStride-th frame is decoded — the every-k-th-frame sampling
+    * a training pipeline uses to bound per-clip cost. */
+  private[graft] val FrameStride = 2
+
+  private[graft] def fixtureVideoFrames(docId: Long): Int = 3 + (docId % 4).toInt
+  private[graft] def fixtureVideoDims(docId: Long): (Int, Int) =
+    (3 + (docId % 5).toInt, 3 + (docId % 3).toInt)
+
+  /** Real ImageIO PNG encode of frame `frameNo`'s md5-derived raster. */
+  private[graft] def encodeFramePng(docId: Long, frameNo: Int): Array[Byte] = {
+    val (w, h) = fixtureVideoDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val hh = graft.functions.Hash60(s"$docId:f:$frameNo:$x:$y")
+        val rgb = (((hh % 256L).toInt) << 16) |
+          ((((hh / 256L) % 256L).toInt) << 8) | ((hh / 65536L) % 256L).toInt
+        img.setRGB(x, y, rgb); x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** GVID container: "GVID" magic, int32 frame count, then per frame an
+    * int32 length + the PNG bytes (big-endian, ByteBuffer default). */
+  private[graft] def encodeVideo(docId: Long): Array[Byte] = {
+    val frames = (0 until fixtureVideoFrames(docId)).map(f => encodeFramePng(docId, f))
+    val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(frames.size)
+    frames.foreach(f => bb.putInt(f.length).put(f))
+    bb.array()
+  }
+
+  /** Demux + sampled per-frame decode. Quarantine granularity:
+    *  - bad magic / unparseable header → no rows (container quarantined);
+    *  - truncated container → the decoded prefix survives;
+    *  - corrupt frame bytes → that frame skipped (decodePng's None),
+    *    later frames still decoded.
+    * Skipped (non-sampled) frames cost one position() hop — never decoded. */
+  private[graft] def decodeVideoSampled(docId: Long, bytes: Array[Byte],
+                                        stride: Int): Seq[FrameDecOut] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      if (bb.remaining < 8) return Seq.empty
+      val magic = new Array[Byte](4); bb.get(magic)
+      if (new String(magic, "US-ASCII") != "GVID") return Seq.empty
+      val n = bb.getInt
+      if (n < 0) return Seq.empty
+      val out = Seq.newBuilder[FrameDecOut]
+      var f = 0
+      var ok = true
+      while (ok && f < n && bb.remaining >= 4) {
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining) ok = false // truncated: keep prefix
+        else if (f % stride == 0) {
+          val frame = new Array[Byte](len); bb.get(frame)
+          decodePng(frame).foreach { case (w, h, s) =>
+            out += FrameDecOut(docId, f.toLong, w, h, s)
+          }
+        } else bb.position(bb.position() + len)
+        f += 1
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** documents → real GVID payloads; same codec-parallelism repartition as
+    * imagesFrame (the per-frame PNG encode is the per-row cost). */
+  private[graft] def videosFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cpus = spark.sparkContext.defaultParallelism
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .repartition(cpus)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(64).flatMap(_.map(id => VideoIn(id, encodeVideo(id))))
+      }
+      .toDF()
+  }
+
+  def q32VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videosFrame(spark, dir)
+      .as[VideoIn]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(64).flatMap(_.flatMap(m =>
+          decodeVideoSampled(m.doc_id, m.video, FrameStride)))
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val q32VideoFramesSql: String = {
+    val hh = h60d("doc_id::VARCHAR || ':f:' || f::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR")
+    s"""WITH nf AS (SELECT doc_id, 3 + (doc_id % 4) AS nf,
+       |              3 + (doc_id % 5) AS w, 3 + (doc_id % 3) AS h
+       |            FROM documents),
+       |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM nf),
+       |sf AS (SELECT * FROM fr WHERE f % $FrameStride = 0),
+       |px AS (SELECT doc_id, f, w, h, unnest(generate_series(0, w - 1)) AS x FROM sf),
+       |pxy AS (SELECT doc_id, f, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px)
+       |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+       |       CAST(min(w) AS BIGINT) AS width, CAST(min(h) AS BIGINT) AS height,
+       |       CAST(sum(($hh) % 256 + (($hh) // 256) % 256 + (($hh) // 65536) % 256) AS BIGINT) AS pix_sum
+       |FROM pxy GROUP BY doc_id, f ORDER BY doc_id, frame_no""".stripMargin
+  }
+
   // --- Q32c: batched embedding-INFERENCE stub (oracle-checked) -------------
   // The GPU-inference batching shape as a first-class checked query: typed
   // `mapPartitions`, model invoked per 64-row batch (a real encoder replaces
@@ -497,9 +632,11 @@ object Multimodal {
     "q32_decode"       -> (q32Decode _),
     "q32_pixel_embed"  -> (q32PixelEmbed _),
     "q32_audio_decode" -> (q32AudioDecode _),
+    "q32_video_frames" -> (q32VideoFrames _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_video_frames" -> q32VideoFramesSql,
     "q32_media_meta"   -> q32MediaMetaSql,
     "q32_frame_sample" -> q32FrameSampleSql,
     "q32_embed_stub"   -> q32EmbedStubSql,

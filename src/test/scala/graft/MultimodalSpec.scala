@@ -93,6 +93,47 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getDouble(2) > 0.0) // embed norm derived from (doc_id, pix_sum)
   }
 
+  test("video demux: stride sampling decodes exactly the even frames, bit-faithful") {
+    val id = 6L // 3 + 6%4 = 5 frames → sampled {0, 2, 4}
+    val rows = Multimodal.decodeVideoSampled(id, Multimodal.encodeVideo(id),
+      Multimodal.FrameStride)
+    assert(rows.map(_.frame_no) === Seq(0L, 2L, 4L))
+    val (w, h) = Multimodal.fixtureVideoDims(id)
+    rows.foreach { r =>
+      assert(r.width === w.toLong && r.height === h.toLong)
+      // replay the generator arithmetic: the decoder must have recovered
+      // the exact raster through the real PNG codec
+      val expected = (for { x <- 0 until w; y <- 0 until h } yield {
+        val hh = graft.functions.Hash60(s"$id:f:${r.frame_no}:$x:$y")
+        (hh % 256L) + ((hh / 256L) % 256L) + ((hh / 65536L) % 256L)
+      }).sum
+      assert(r.pix_sum === expected, s"frame ${r.frame_no}")
+    }
+  }
+
+  test("video quarantine: corrupt frame drops that frame only; bad container drops all; truncation keeps the prefix") {
+    val id = 6L
+    val good = Multimodal.encodeVideo(id)
+    // (1) one corrupt frame inside a valid container: rebuild the container
+    // with frame 2's PNG bytes zeroed — frames 0 and 4 must still decode
+    val frames = (0 until Multimodal.fixtureVideoFrames(id))
+      .map(f => Multimodal.encodeFramePng(id, f))
+    val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(frames.size)
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      val payload = if (i == 2) new Array[Byte](fr.length) else fr
+      bb.putInt(payload.length).put(payload)
+    }
+    val oneBad = Multimodal.decodeVideoSampled(id, bb.array(), Multimodal.FrameStride)
+    assert(oneBad.map(_.frame_no) === Seq(0L, 4L))
+    // (2) garbage container: no rows, no crash
+    assert(Multimodal.decodeVideoSampled(id, Array.fill[Byte](64)(7), 2).isEmpty)
+    // (3) truncated container: decoded prefix survives (cut mid-frame-4)
+    val cut = java.util.Arrays.copyOf(good, good.length - frames.last.length / 2)
+    assert(Multimodal.decodeVideoSampled(id, cut, Multimodal.FrameStride)
+      .map(_.frame_no) === Seq(0L, 2L))
+  }
+
   test("BatchSizeAgg: one-pass stats match groupBy aggregates; limit suggestion bounded") {
     val bytes = Seq(100L, 200L, 300L, 150L, 250L)
     val ds = bytes.toDS()
