@@ -305,6 +305,41 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("day"))
 
+  // --- Q13b [bench-only]: HLL sketch-merge proof (no oracle — approximate) -
+  // The property the q37 100 TB swap-in (approx_count_distinct replacing
+  // COUNT DISTINCT) actually relies on: HLL sketches are LOSSLESSLY
+  // mergeable, so per-partition sketches unioned equal one global sketch —
+  // which is why the estimate is shard-topology-independent and a
+  // distributed profile can build sketches map-side and union them without
+  // error accumulation. Made explicit with Spark 4's Datasketches surface:
+  // slice the corpus by an arbitrary key (pmod(event_id) — a user's events
+  // deliberately SCATTER across slices, so the union must dedupe real
+  // cross-slice overlap), hll_sketch_agg per slice, hll_union_agg the
+  // binary sketches, estimate — next to the direct one-pass estimate and
+  // the exact count. merge_lossless (est_merged = est_direct) is the
+  // mergeability proof; rel_err the standard-error bound check (default
+  // lgK=12 → ~1.6% σ). HllMergeSpec asserts both, plus slice-count
+  // invariance (3-way ≡ 8-way union).
+  private[graft] def q13HllMergeSliced(spark: SparkSession, dir: String,
+                                       slices: Int): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("slice", pmod(col("event_id"), lit(slices)))
+    val merged = ev.groupBy(col("slice"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
+      countDistinct(col("user_id")).as("exact"))
+    merged.crossJoin(direct) // two one-row frames
+      .select(col("est_merged"), col("est_direct"), col("exact"),
+        (abs(col("est_merged") - col("exact")).cast("double") /
+          col("exact").cast("double")).as("rel_err"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"))
+  }
+
+  def q13HllMerge(spark: SparkSession, dir: String): DataFrame =
+    q13HllMergeSliced(spark, dir, 8)
+
   // --- Q14: rollup with grouping indicators --------------------------------
   def q14(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -567,6 +602,7 @@ object Relational {
     "q11_hash_agg"            -> (q11 _),
     "q12_count_distinct"      -> (q12 _),
     "q13_approx_distinct"     -> (q13 _),
+    "q13_hll_merge"           -> (q13HllMerge _), // rows-only: sketch estimates have no SQL oracle
     "q14_rollup"              -> (q14 _),
     "q15_rank_topk"           -> (q15Rank _),
     "q15_running_sum"         -> (q15Running _),
