@@ -37,6 +37,15 @@ import org.apache.spark.storage.StorageLevel
   * per-round `count()` is a single scalar; no driver-side data. On a real
   * cluster, `localCheckpoint` every few rounds would become a
   * reliable-storage checkpoint for fault tolerance.
+  *
+  * Two structural escapes bound the superstep count in practice: graphs at
+  * or below [[LocalSolveMaxEdges]] never enter the loop (single-task exact
+  * union-find), and larger graphs take the CONTRACTION EXIT — after each
+  * batch the edge set is contracted into label space and, once the residual
+  * cluster graph fits the same gate, solved locally and composed back. Real
+  * dedup graphs (near-dup clusters are cliquey) leave the loop after one
+  * batch; only an adversarial high-diameter graph ever pays O(log d)
+  * batches, and the path-doubling jumps keep even that logarithmic.
   */
 object ConnectedComponents {
 
@@ -49,7 +58,10 @@ object ConnectedComponents {
     * tiny relative to the corpus (sf0.1: ~2 k edges from 5 k docs), so this
     * is the common case at every scale; a graph that outgrows the threshold
     * takes the superstep path unchanged. */
-  val LocalSolveMaxEdges: Long = 4_000_000L
+  /** Env override `GRAFT_CC_LOCAL_MAX` (dev/ops knob): set `-1` to force
+    * the superstep path (scale rehearsal), or raise/lower the gate. */
+  val LocalSolveMaxEdges: Long =
+    sys.env.get("GRAFT_CC_LOCAL_MAX").map(_.toLong).getOrElse(4_000_000L)
 
   /** Single-task exact solve: union-find with full path compression and
     * union-by-min (the smaller root always becomes parent), so every root is
@@ -180,8 +192,11 @@ object ConnectedComponents {
     var prevCache: RDD[_] = labels
     var inFlight: RDD[_] = null
     var succeeded = false
+    // set when the contraction exit below solved the graph EXACTLY — skips
+    // both further batches and the at-the-cap recheck
+    var solvedExactly = false
     try {
-      while (secondHook > 0 && iters < maxIters) {
+      while (secondHook > 0 && iters < maxIters && !solvedExactly) {
         // TWO hook+jump rounds per materialization: on the pair graphs this
         // runs over, per-round data is tiny and the count JOB is the cost —
         // batching halves the driver round-trips. Lineage stays bounded:
@@ -201,6 +216,59 @@ object ConnectedComponents {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(
             s"[cc] superstep batch $iters: hook1=${acc1.value} hook2=${acc2.value}")
+
+        // CONTRACTION EXIT — what makes the distributed path terminate in
+        // O(1) batches on real dedup graphs instead of O(log diameter):
+        // labels are always in-component (self at start, lowered only to
+        // neighbour labels), so contracting every edge into label space and
+        // dropping intra-cluster edges yields a residual CLUSTER graph with
+        // the same components; it shrinks geometrically as labels converge
+        // (cliques collapse after one batch). As soon as it fits the local
+        // gate, one single-task union-find solves it exactly and one join
+        // composes final(v) = base(label(v)) — the component minimum, since
+        // the min vertex always labels itself and (if its cluster isn't the
+        // whole component yet) appears in the residual. residual == 0 is
+        // convergence by itself (every edge intra-cluster ⇒ labels constant
+        // per component). Cost when the residual is still too big: ~one
+        // hookJump's worth (2 joins + distinct + count) — paid only while
+        // the graph is genuinely huge. Disabled when the gate is negative
+        // (the forced-superstep rehearsal/spec mode).
+        if (secondHook > 0 && localSolveMaxEdges >= 0) {
+          val relabeled = undirected.join(labels)
+            .map { case (_, (dst, la)) => (dst, la) }
+            .join(labels)
+            .map { case (_, (la, lb)) => if (la < lb) (la, lb) else (lb, la) }
+            .filter { case (a, b) => a != b }
+            .distinct(width)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          inFlight = relabeled
+          val residual = relabeled.count()
+          if (residual <= localSolveMaxEdges) {
+            val base = relabeled.coalesce(1).mapPartitions(unionFindPartition)
+              .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+            base.count()
+            val composed = labels.map { case (v, l) => (l, v) }
+              .leftOuterJoin(base)
+              .map { case (l, (v, opt)) => (v, opt.getOrElse(l)) }
+              .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+            inFlight = composed
+            composed.count()
+            relabeled.unpersist(blocking = false)
+            base.unpersist(blocking = false)
+            prevCache.unpersist(blocking = false)
+            prevCache = composed
+            labels = composed
+            inFlight = null
+            secondHook = 0
+            solvedExactly = true
+            if (sys.env.contains("GRAFT_CC_DEBUG"))
+              System.err.println(
+                s"[cc] contraction exit after batch $iters: residual=$residual")
+          } else {
+            relabeled.unpersist(blocking = false)
+            inFlight = null
+          }
+        }
       }
       if (secondHook > 0) {
         // Accumulator counts can be INFLATED by task retries (speculation,

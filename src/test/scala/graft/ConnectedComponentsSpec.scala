@@ -74,6 +74,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.values.toSet === Set(0L))
   }
 
+  test("contraction exit solves a clique+chain mix in one batch, labels exact") {
+    // gate = 1: the 30-edge graph enters the superstep loop; after batch 1
+    // the clique collapses and the chain's residual cluster graph is tiny,
+    // so the contraction exit must fire and still produce exact minima
+    val vs = (0L until 40L).toSeq
+    val es = (for { a <- 0L until 10L; b <- a + 1 until 10L } yield (a, b)) ++ // clique 0..9
+      (20L until 39L).map(i => (i, i + 1)) // chain 20..39
+    val labels = labelsOf(vs, es, localMax = 1)
+    assert((0L until 10L).forall(labels(_) == 0L))
+    assert((20L to 39L).forall(labels(_) == 20L))
+    assert(labels(15L) === 15L) // isolated
+  }
+
   /** Reference union-find, the simplest possible correct implementation. */
   private def unionFind(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
@@ -98,7 +111,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     } yield ((0L until n).toSeq, es)
     val prop = Prop.forAllNoShrink(gen) { case (vs, es) =>
       val oracle = unionFind(vs, es)
-      labelsOf(vs, es) == oracle && labelsOf(vs, es, localMax = -1) == oracle
+      labelsOf(vs, es) == oracle &&           // local union-find path
+        labelsOf(vs, es, localMax = -1) == oracle && // pure superstep path
+        labelsOf(vs, es, localMax = 1) == oracle // superstep + contraction exit
     }
     val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
