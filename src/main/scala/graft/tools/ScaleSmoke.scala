@@ -57,7 +57,8 @@ object ScaleSmoke {
 
     Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
         "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors",
-        "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode").foreach { name =>
+        "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode",
+        "q29_neardup_batch", "q25_ivf_scale", "q32_video_frames").foreach { name =>
       (0 until 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, out).count()

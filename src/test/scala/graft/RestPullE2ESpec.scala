@@ -142,6 +142,38 @@ class RestPullE2ESpec extends SparkSpec {
     }
   }
 
+  test("parallel-slice crash: one dead slice fails the whole run, nothing lands, re-run converges") {
+    // The distributed-extraction form of the kill-between-pages property:
+    // 3 slices pull concurrently, the server dies after 2 page responses —
+    // whichever slices got through, the FAILED slice must fail the job
+    // (Spark all-or-nothing task semantics), the watermark must not move,
+    // and no partial bronze may land. The healed re-run then equals an
+    // uninterrupted single pull of the window.
+    serveFlaky(cutAfterPages = 2) { (url, healed) =>
+      val root = java.nio.file.Files.createTempDirectory("rcrashp").toString
+      val state = new StateStore(s"$root/s")
+      // custom range (both bounds pushed) → the scan plans 3 concurrent
+      // slice partitions — the distributed-extraction shape under test
+      val range = Some((java.time.Instant.parse("2024-06-01T00:00:00Z"),
+        java.time.Instant.parse("2024-06-02T05:00:00Z")))
+      intercept[Exception] {
+        Ingest.restPullRun(spark, url, s"$root/b", state,
+          java.time.Instant.parse("2024-06-02T06:00:00Z"), limit = 4, slices = 3,
+          customRange = range)
+      }
+      assert(state.get("last_successful_job_time").isEmpty) // no state mutation on failure
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/b")))
+      healed.set(true)
+      val n = Ingest.restPullRun(spark, url, s"$root/b", state,
+        java.time.Instant.parse("2024-06-02T06:00:00Z"), limit = 4, slices = 3,
+        customRange = range)
+      assert(n === 30) // the full fixture window, nothing lost
+      assert(state.get("last_successful_job_time").isEmpty) // backfills never advance
+      assert(Ingest.readBronzeDeduped(spark, s"$root/b", "id")
+        .select($"id").as[Long].collect().sorted.toSeq === (0L until 30L))
+    }
+  }
+
   test("REST → bronze → watermark → incremental re-pull (R1-R8 chain)") {
     serve { url =>
       val bronze = java.nio.file.Files.createTempDirectory("rb").toString + "/b"
