@@ -57,9 +57,8 @@ object ConnectedComponents {
     * materialized batch. On dedup workloads the pair graph is post-filter
     * tiny relative to the corpus (sf0.1: ~2 k edges from 5 k docs), so this
     * is the common case at every scale; a graph that outgrows the threshold
-    * takes the superstep path unchanged. */
-  /** Env override `GRAFT_CC_LOCAL_MAX` (dev/ops knob): set `-1` to force
-    * the superstep path (scale rehearsal), or raise/lower the gate. */
+    * takes the superstep path unchanged. Env override `GRAFT_CC_LOCAL_MAX`
+    * (dev/ops knob): `-1` forces the superstep path (scale rehearsal). */
   val LocalSolveMaxEdges: Long =
     sys.env.get("GRAFT_CC_LOCAL_MAX").map(_.toLong).getOrElse(4_000_000L)
 
