@@ -259,12 +259,74 @@ object Relational3 {
       |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- Q38b: CSV interchange — the lowest-common-denominator exchange -----
+  // The CSV twin of q38_jsonl: dump documents to CSV (writer quotes/escapes
+  // commas and quotes in text), read back with an EXPLICIT schema (never
+  // infer at scale), aggregate, and hash-compare against the parquet
+  // original — proving the quote/escape round trip lossless for the whole
+  // corpus. Same scale posture as JSONL: line-splittable (so the read
+  // parallelizes per split) as long as fields carry no embedded newlines —
+  // documents' text is single-line by construction; a corpus with embedded
+  // newlines needs multiLine=true, which makes files non-splittable and is
+  // exactly why JSONL is the better interchange format (documented trade).
+  // Distinct null sentinel: CSV's default empty-string null is ambiguous
+  // against a genuinely empty field, so both sides pin nullValue.
+  def q38Csv(spark: SparkSession, dir: String): DataFrame = {
+    // stable per-(sf dir, process) slot — same lazy-frame lifetime
+    // reasoning as q38_jsonl above
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").option("nullValue", "\\N").csv(out)
+    spark.read.schema(docs.schema).option("nullValue", "\\N").csv(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text")).cast("long")).as("total_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  /** Same oracle as the JSONL lane: both round trips must reproduce the
+    * parquet original exactly. */
+  val q38CsvSql: String = q38JsonlSql
+
+  // --- Q38c: ORC storage — the columnar alternative ------------------------
+  // Round-trips documents through ORC, the other splittable columnar
+  // format Spark ships natively — unlike the interchange lanes this one is
+  // a STORAGE format with the parquet-grade properties (column pruning,
+  // predicate pushdown into stripe/row-group indexes, dictionary+RLE
+  // encoding), so it is the realistic second answer to "where does the
+  // 100 TB corpus live". The filtered aggregate forces a text IS NOT NULL
+  // + lang predicate through the ORC reader; equality against the parquet
+  // oracle proves the codec + pushdown path lossless.
+  def q38Orc(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").orc(out)
+    spark.read.schema(docs.schema).orc(out)
+      .filter(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text")).cast("long")).as("total_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  val q38OrcSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
+      |FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_outer_join" -> (q07OuterJoin _),
     "q14_unpivot"    -> (q14Unpivot _),
     "q14_grouping_sets" -> (q14GroupingSets _),
     "q37_profile"    -> (q37Profile _),
     "q38_jsonl"      -> (q38Jsonl _),
+    "q38_csv"        -> (q38Csv _),
+    "q38_orc"        -> (q38Orc _),
     "q36_diff"       -> (q36Diff _),
   )
 
@@ -274,6 +336,8 @@ object Relational3 {
     "q14_grouping_sets" -> q14GroupingSetsSql,
     "q37_profile"    -> q37ProfileSql,
     "q38_jsonl"      -> q38JsonlSql,
+    "q38_csv"        -> q38CsvSql,
+    "q38_orc"        -> q38OrcSql,
     "q36_diff"       -> q36DiffSql,
   )
 }
