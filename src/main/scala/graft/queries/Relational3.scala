@@ -319,6 +319,41 @@ object Relational3 {
       |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
       |FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- Q39: partition PRUNING — the first scan lever at 100 TB -------------
+  // Writes documents hive-partitioned by lang (the layout a real corpus
+  // store uses for its coarsest filter column), reads it back with a
+  // lang predicate, and aggregates per source. The predicate must resolve
+  // at PLANNING time against the directory listing — the scan's
+  // PartitionFilters, not a data filter — so the non-matching partitions'
+  // files are never opened, let alone read: at 100 TB this is the
+  // difference between scanning one language's slice and the whole
+  // corpus. Plan-verified in PartitionPruneSpec (PartitionFilters carries
+  // the lang predicate, PushedFilters stays empty); values hash-checked
+  // against the unpartitioned parquet original.
+  def q39PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    partitionedDocs(spark, out)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** The partitioned read, exposed so the spec can explain() the exact
+    * frame the lane aggregates. Partition discovery types `lang` from the
+    * directory names (string — no inference pass over data). */
+  private[graft] def partitionedDocs(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+
+  val q39PartitionPruneSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_outer_join" -> (q07OuterJoin _),
     "q14_unpivot"    -> (q14Unpivot _),
@@ -327,6 +362,7 @@ object Relational3 {
     "q38_jsonl"      -> (q38Jsonl _),
     "q38_csv"        -> (q38Csv _),
     "q38_orc"        -> (q38Orc _),
+    "q39_partition_prune" -> (q39PartitionPrune _),
     "q36_diff"       -> (q36Diff _),
   )
 
@@ -338,6 +374,7 @@ object Relational3 {
     "q38_jsonl"      -> q38JsonlSql,
     "q38_csv"        -> q38CsvSql,
     "q38_orc"        -> q38OrcSql,
+    "q39_partition_prune" -> q39PartitionPruneSql,
     "q36_diff"       -> q36DiffSql,
   )
 }
