@@ -331,10 +331,7 @@ object Relational3 {
   // the lang predicate, PushedFilters stays empty); values hash-checked
   // against the unpartitioned parquet original.
   def q39PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
-    Tables.documents(spark, dir)
-      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val out = partitionedSlot(spark, dir)
     partitionedDocs(spark, out)
       .filter(col("lang") === "en")
       .groupBy(col("source"))
@@ -354,6 +351,59 @@ object Relational3 {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin
 
+  /** The partitioned-documents slot both q39 lanes share: written eagerly
+    * at plan-build, per (sf dir, process) — identical content either way,
+    * so double-writes are idempotent overwrites. */
+  private def partitionedSlot(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    out
+  }
+
+  /** The lang→region dim both engines must see identically. */
+  private[graft] val LangRegions: Seq[(String, String)] =
+    Seq("en" -> "A", "fr" -> "A", "de" -> "B", "es" -> "B", "zh" -> "C")
+
+  // --- Q39b: DYNAMIC partition pruning — runtime pruning off a dim filter --
+  // The star-schema staple: the fact side is partitioned on the join key,
+  // the dim side is filtered, and the partitions to read are only known
+  // AFTER the dim filter runs — static pruning can't help. Spark plants a
+  // dynamicpruning subquery in the fact scan's PartitionFilters: the
+  // broadcast dim's key set prunes the directory listing at RUNTIME, so a
+  // 100 TB fact table joined to "region = 'A'" reads only the matching
+  // languages' partitions. Plan-verified in PartitionPruneSpec
+  // (`dynamicpruning` inside the scan's PartitionFilters); values
+  // hash-checked against an unpartitioned VALUES-dim oracle.
+  def q39DynamicPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = partitionedSlot(spark, dir)
+    // the dim must be a STORAGE relation: a literal LocalRelation folds its
+    // filter away before the PartitionPruning rule looks for a selective
+    // predicate on the build side, and DPP never plants (measured) — which
+    // is also the realistic shape, dims live in storage
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_dim_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    LangRegions.toDF("lang", "region").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("region") === "A")
+    partitionedDocs(spark, out)
+      .join(dim.select(col("lang")), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q39DynamicPruneSql: String = {
+    val vals = LangRegions.map { case (l, r) => s"('$l','$r')" }.mkString(", ")
+    s"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+       |FROM documents d JOIN (VALUES $vals) AS dim(lang, region)
+       |  ON d.lang = dim.lang
+       |WHERE dim.region = 'A'
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_outer_join" -> (q07OuterJoin _),
     "q14_unpivot"    -> (q14Unpivot _),
@@ -363,6 +413,7 @@ object Relational3 {
     "q38_csv"        -> (q38Csv _),
     "q38_orc"        -> (q38Orc _),
     "q39_partition_prune" -> (q39PartitionPrune _),
+    "q39_dynamic_prune"   -> (q39DynamicPrune _),
     "q36_diff"       -> (q36Diff _),
   )
 
@@ -375,6 +426,7 @@ object Relational3 {
     "q38_csv"        -> q38CsvSql,
     "q38_orc"        -> q38OrcSql,
     "q39_partition_prune" -> q39PartitionPruneSql,
+    "q39_dynamic_prune"   -> q39DynamicPruneSql,
     "q36_diff"       -> q36DiffSql,
   )
 }

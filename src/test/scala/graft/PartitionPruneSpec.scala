@@ -40,4 +40,22 @@ class PartitionPruneSpec extends SparkSpec {
     assert(selected.nonEmpty && selected.forall(_.contains("lang=en")),
       s"scan selected non-en files: ${selected.filterNot(_.contains("lang=en")).take(3).mkString(",")}")
   }
+
+  test("dim filter plants a dynamicpruning subquery in the fact scan") {
+    val df = graft.queries.Relational3.q39DynamicPrune(spark, "/root/testdata/sf0.01")
+    // collect() first: AQE hides the scans until stages finalize, and the
+    // values must agree with a plain unpartitioned join anyway
+    import org.apache.spark.sql.functions._
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val expect = docs.filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // the partitioned fact scan must carry a runtime pruning expression —
+    // the partitions to read are only known after the dim filter runs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruning expression in the final plan:\n${plan.take(2000)}")
+  }
 }
