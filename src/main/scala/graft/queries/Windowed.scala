@@ -97,6 +97,35 @@ object Windowed {
       |  AND a.ts >= v.ts AND a.ts <= v.ts + INTERVAL '10 minutes'
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- Q29b' batch: LEFT OUTER interval attribution ------------------------
+  // Batch twin of StreamingJobs.intervalJoinOuter: every view keeps a row —
+  // matched ones per qualifying click, unmatched ones once with null click
+  // columns (the conversion-rate denominator the inner twin can't provide).
+  // Null ordering pinned explicitly: Spark defaults nulls FIRST ascending,
+  // DuckDB nulls LAST — an unpinned ORDER BY would hash-mismatch on
+  // identical data.
+  def q29IntervalOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    v.join(a, col("user_id") === col("a_user") && col("a_ts") >= col("v_ts") &&
+        col("a_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"), "left")
+      .select(col("user_id"), col("view_id"), col("click_id"), col("v_ts"), col("a_ts"))
+      .orderBy(col("view_id"), col("click_id").asc_nulls_first)
+  }
+
+  val q29IntervalOuterSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, a.event_id AS click_id,
+      |       v.ts AS v_ts, a.ts AS a_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') a
+      |  ON v.user_id = a.user_id
+      | AND a.ts >= v.ts AND a.ts <= v.ts + INTERVAL '10 minutes'
+      |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
+
   // --- Q34: conversion FUNNEL — view → click → purchase --------------------
   // Per user: first view, then earliest click at-or-after it, then earliest
   // purchase at-or-after that click; report survivors per stage. Min-based
@@ -172,6 +201,7 @@ object Windowed {
     "q28_sliding_batch"   -> (q28Sliding _),
     "q28_session_batch"   -> (q28Session _),
     "q29_interval_batch"  -> (q29IntervalBatch _),
+    "q29_interval_outer"  -> (q29IntervalOuter _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,5 +211,6 @@ object Windowed {
     "q28_sliding_batch"   -> q28SlidingSql,
     "q28_session_batch"   -> q28SessionSql,
     "q29_interval_batch"  -> q29IntervalBatchSql,
+    "q29_interval_outer"  -> q29IntervalOuterSql,
   )
 }

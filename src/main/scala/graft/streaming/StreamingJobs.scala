@@ -73,6 +73,28 @@ object StreamingJobs {
         col("v_ts"), col("a_ts"))
   }
 
+  /** Q29b': stream-stream LEFT OUTER interval join — attribution that must
+    * also report the UNMATCHED views (the conversion-rate denominator). The
+    * same watermark + two-sided time bound as [[intervalJoin]] makes state
+    * expiry provable, which is exactly what licenses the outer side: a view
+    * emits its null-action row only once the action-side watermark passes
+    * `v_ts + 10 min` — at that point no future action can ever match it, so
+    * the "unmatched" verdict is final, not racy. Inner matches emit as they
+    * join; nothing is dropped. */
+  def intervalJoinOuter(views: DataFrame, actions: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "5 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val a = actions.withWatermark("ts", "5 minutes")
+      .select(col("event_id").as("action_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    v.join(a, expr(
+      "v_user = a_user AND a_ts >= v_ts AND a_ts <= v_ts + INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("action_id"),
+        col("v_ts"), col("a_ts"))
+  }
+
   /** Q29d: stream-STATIC enrichment join — the dimension-lookup shape
     * (enrich each arriving event with its customer segment). Unlike the
     * stream-stream interval join there is NO state store: each micro-batch

@@ -201,6 +201,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Q29b': left-outer interval join emits the unmatched view only after its state expires") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val actions = MemoryStream[Ev]
+    val q = StreamingJobs.intervalJoinOuter(views.toDF(), actions.toDF())
+      .writeStream.format("memory").queryName("q29bo_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // view 1 never gets an action; view 3 matches action 60 inside 10 min
+      views.addData(Ev(1, ts("2024-01-01 00:00:10"), 1),
+        Ev(3, ts("2024-01-01 00:00:20"), 3))
+      actions.addData(Ev(60, ts("2024-01-01 00:05:00"), 3))
+      q.processAllAvailable()
+      val matched = spark.table("q29bo_out")
+        .filter($"action_id".isNotNull).select($"view_id", $"action_id")
+        .as[(Long, Long)].collect().toSet
+      assert(matched === Set((3L, 60L)))
+      // the unmatched verdict must NOT have been emitted yet — a future
+      // action could still match until the watermark passes v_ts + 10 min
+      assert(spark.table("q29bo_out").filter($"action_id".isNull).count() === 0)
+      // advance both watermarks far past every view's expiry horizon
+      views.addData(Ev(4, ts("2024-01-01 01:00:00"), 9))
+      actions.addData(Ev(61, ts("2024-01-01 01:00:00"), 9))
+      q.processAllAvailable()
+      actions.addData(Ev(62, ts("2024-01-01 01:00:01"), 9))
+      q.processAllAvailable()
+      val unmatched = spark.table("q29bo_out")
+        .filter($"action_id".isNull).select($"view_id").as[Long].collect().toSet
+      assert(unmatched.contains(1L), "expired unmatched view must emit a null-action row")
+      // and the matched view must not ALSO emit a spurious null row
+      assert(!unmatched.contains(3L))
+    } finally q.stop()
+  }
+
   test("Q29c twin: doc_id-ordered streaming arrival reproduces q29_neardup_batch exactly") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_twin").toString
