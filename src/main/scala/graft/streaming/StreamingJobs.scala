@@ -112,6 +112,23 @@ object StreamingJobs {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
 
+  /** Q31b: foreachBatch BULK sink — the production counterpart of the
+    * per-record REST push (PushJob): each micro-batch lands as one
+    * deterministic batch-addressed directory (`batch_id=N`), written with
+    * overwrite semantics, so a batch REPLAYED after a crash-and-restart
+    * (Structured Streaming's at-least-once foreachBatch contract: the same
+    * batchId may be delivered twice) overwrites its own previous attempt
+    * instead of duplicating it — batchId-keyed idempotence, the same trick
+    * a MERGE/upsert sink uses with a transactional store. Readers dedupe
+    * nothing: the directory layout IS the exactly-once projection. */
+  def foreachBatchSink(events: DataFrame, outDir: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/batch_id=$batchId")
+      ()
+    }
+
   /** Custom per-key state via flatMapGroupsWithState (the escape hatch when
     * built-in windows can't express the state machine): per-user lifetime
     * counters — events seen, distinct bursts (gap > 10 min starts a new
