@@ -394,6 +394,41 @@ object Relational3 {
       .orderBy(col("lang"))
   }
 
+  // --- Q40: schema EVOLUTION — mergeSchema across bronze epochs ------------
+  // A long-lived 100 TB bronze dataset never has one schema: early epochs
+  // lack columns later ones carry. This lane writes two epochs (epoch 1
+  // without `source`, epoch 2 with it), reads them as ONE dataset with
+  // mergeSchema (a footer-union planning step — data files are untouched),
+  // and aggregates: epoch-1 rows surface the missing column as NULL, which
+  // the count(source) lane makes visible. The oracle replays the epoch
+  // split arithmetically on the unpartitioned original — any column
+  // misalignment or dropped epoch breaks the hash. mergeSchema costs one
+  // footer read per file at planning (fine at 100 TB: schema lives in
+  // footers, not data) and is OFF by default precisely because of that
+  // planning cost — turned on per-read here, not globally.
+  def q40SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0) // epoch 1: pre-evolution schema
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    docs.filter(col("doc_id") % 2 =!= 0) // epoch 2: adds `source`
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count(col("source")).as("n_with_source"))
+      .orderBy(col("lang"))
+  }
+
+  val q40SchemaMergeSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(count(CASE WHEN doc_id % 2 <> 0 THEN source END) AS BIGINT) AS n_with_source
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val q39DynamicPruneSql: String = {
     val vals = LangRegions.map { case (l, r) => s"('$l','$r')" }.mkString(", ")
     s"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -414,6 +449,7 @@ object Relational3 {
     "q38_orc"        -> (q38Orc _),
     "q39_partition_prune" -> (q39PartitionPrune _),
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
+    "q40_schema_merge"    -> (q40SchemaMerge _),
     "q36_diff"       -> (q36Diff _),
   )
 
@@ -427,6 +463,7 @@ object Relational3 {
     "q38_orc"        -> q38OrcSql,
     "q39_partition_prune" -> q39PartitionPruneSql,
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
+    "q40_schema_merge"    -> q40SchemaMergeSql,
     "q36_diff"       -> q36DiffSql,
   )
 }
