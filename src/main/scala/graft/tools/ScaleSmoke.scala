@@ -13,20 +13,24 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = "/tmp/graft_scale8"
+    // copies: self-union factor (default 8); args, when present, restrict
+    // the lane list — e.g. `runMain graft.tools.ScaleSmoke q24_jaccard_pairs`
+    // with SPARK_GRAFT_SCALE_COPIES=32 spot-rehearses one lane at 32×.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "8").toInt
+    val out = s"/tmp/graft_scale$copies"
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
 
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    (0 until 8).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+    (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    (0 until 8).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+    (0 until copies).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[scale8] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs")
+    println(s"[scale8] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
 
     // Hot-key evidence: rows per bucket key above the production caps, per
     // lane's bucket definition (re-derived here; the lanes' own routing is
@@ -55,10 +59,11 @@ object ScaleSmoke {
       .groupBy("sp").count().filter(col("count") > 256)
     println(s"[scale8] span hot postings (>256): ${spans.count()}")
 
-    Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
+    val defaultLanes = Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
         "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors",
         "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode",
-        "q29_neardup_batch", "q25_ivf_scale", "q32_video_frames").foreach { name =>
+        "q29_neardup_batch", "q25_ivf_scale", "q32_video_frames")
+    (if (args.nonEmpty) args.toSeq else defaultLanes).foreach { name =>
       (0 until 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, out).count()
