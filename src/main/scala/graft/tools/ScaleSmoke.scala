@@ -30,6 +30,14 @@ object ScaleSmoke {
     (0 until copies).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events too (nanos-long ts survives the copy: nanosAsLong reads the
+    // NANOS column as int64 and the copy stores plain int64 — Tables.events'
+    // div-1000 conversion is identical either way), so the `ingest`
+    // pseudo-lane below can rehearse the Q30 write path at `copies`×
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    (0 until copies).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"[scale8] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
 
     // Hot-key evidence: rows per bucket key above the production caps, per
@@ -63,7 +71,30 @@ object ScaleSmoke {
         "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors",
         "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode",
         "q29_neardup_batch", "q25_ivf_scale", "q32_video_frames")
-    (if (args.nonEmpty) args.toSeq else defaultLanes).foreach { name =>
+    (if (args.nonEmpty) args.toSeq else defaultLanes).foreach {
+      case "ingest" =>
+        // Q30 write-path rehearsal at copies×: events → day-partitioned
+        // bronze, median of 3 (the Bench ingest slice's shape)
+        val evs = graft.core.Tables.events(spark, out)
+        val n = evs.count()
+        val width = graft.core.ApiLimitCalculator.writeWidth(n, 32)
+        val reps = (0 until 3).map { i =>
+          val dst = s"$out/bronze_smoke$i"
+          val t0 = System.nanoTime()
+          graft.ingest.Ingest.writeBronze(evs, dst, tsCol = "ts",
+            granularity = "day", writeTasks = Some(width))
+          val dt = (System.nanoTime() - t0) / 1e9
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(dst))
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          } catch { case _: Throwable => () }
+          dt
+        }.sorted
+        println(f"[scale8] ingest: $n rows, median ${n / reps(1)}%.0f rows/s " +
+          f"(reps ${reps.map(r => f"${n / r}%.0f").mkString(",")})")
+      case name =>
       (0 until 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, out).count()
