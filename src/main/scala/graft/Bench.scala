@@ -118,7 +118,13 @@ object Bench {
         dt
       }
       coldTimes(name) = once(failedCold)
-      name -> once(failedWarm)
+      val warm0 = once(failedWarm)
+      // If the cold pass failed (possibly before compiling the plan), the
+      // first successful pass above still paid codegen — one more pass makes
+      // the reported number genuinely warm (r7 ADVICE).
+      val warm =
+        if (failedCold(name) && !failedWarm(name)) once(failedWarm) else warm0
+      name -> warm
     }
 
     // Streaming throughput: events parquet driven through the Q27 tumbling
@@ -196,10 +202,35 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(json)
     Console.out.flush()
+    // Compact summary line: the driver keeps only the LAST ~2 KB of stdout,
+    // and the full line above (120+ lanes, ~3.5 KB) outgrew that window —
+    // BENCH_r06/r07 both came back "parsed": null with the line start cut
+    // off mid-dict. The process's FINAL line is a strict summary that always
+    // fits: headline metric, warm distribution stats, throughput slices,
+    // failures, and the slowest lanes; the complete per-lane dicts live in
+    // the full line above and in bench_result.json.
+    val warmOk = results.filterNot { case (k, _) => failedWarm(k) }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val sortedW = warmOk.map(_._2).sorted
+    def pctl(p: Double): Double =
+      if (sortedW.isEmpty) -1.0
+      else sortedW(math.min(sortedW.size - 1, (p * sortedW.size).toInt))
+    val warmMean = if (sortedW.isEmpty) -1.0 else sortedW.sum / sortedW.size
+    val slowest = warmOk.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"warm_mean":${r3(warmMean)},""" +
+      s""""warm_p50":${r3(pctl(0.5))},"warm_p95":${r3(pctl(0.95))},"warm_max":${r3(pctl(1.0))},""" +
+      s""""ingest_rows_per_sec":${math.rint(ingestRps)},"stream_rows_per_sec":${math.rint(streamRps)},""" +
+      s""""stream_warm_rows_per_sec":${math.rint(streamWarmRps)},""" +
+      s""""failed":$failedJson,"failed_cold":$failedColdJson,"queries":$slowest,""" +
+      s""""queries_note":"15 slowest warm lanes; full dict in bench_result.json","sf":"$sfDir"}"""
     spark.stop()
-    // Print again AFTER spark.stop so the bare JSON is the process's very
-    // last stdout line — a tail scrape always catches a complete line.
+    // Print again AFTER spark.stop so the bare JSON lines are the process's
+    // very last stdout lines — a tail scrape always catches the compact line
+    // complete, and catches as much of the full line as its window allows.
     println(json)
+    println(compact)
     Console.out.flush()
   }
 }

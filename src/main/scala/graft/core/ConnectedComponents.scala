@@ -190,6 +190,11 @@ object ConnectedComponents {
     // materialized so a mid-count failure can't strand its blocks.
     var prevCache: RDD[_] = labels
     var inFlight: RDD[_] = null
+    // persisted contraction-exit intermediates not yet owned by prevCache/
+    // inFlight (relabeled/base while a LATER count() runs) — covered by the
+    // finally block so a mid-compose failure can't strand their blocks
+    // (r7 ADVICE)
+    var pending: List[RDD[_]] = Nil
     var succeeded = false
     // set when the contraction exit below solved the graph EXACTLY — skips
     // both further batches and the at-the-cap recheck
@@ -245,15 +250,19 @@ object ConnectedComponents {
           if (residual <= localSolveMaxEdges) {
             val base = relabeled.coalesce(1).mapPartitions(unionFindPartition)
               .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+            pending = List(relabeled)
+            inFlight = base
             base.count()
             val composed = labels.map { case (v, l) => (l, v) }
               .leftOuterJoin(base)
               .map { case (l, (v, opt)) => (v, opt.getOrElse(l)) }
               .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+            pending = List(relabeled, base)
             inFlight = composed
             composed.count()
             relabeled.unpersist(blocking = false)
             base.unpersist(blocking = false)
+            pending = Nil
             prevCache.unpersist(blocking = false)
             prevCache = composed
             labels = composed
@@ -291,6 +300,9 @@ object ConnectedComponents {
         prevCache.unpersist(blocking = false)
         if (inFlight != null && (inFlight ne prevCache))
           inFlight.unpersist(blocking = false)
+        pending.foreach { r =>
+          if ((r ne prevCache) && (r ne inFlight)) r.unpersist(blocking = false)
+        }
       }
     }
     if (secondHook > 0)

@@ -247,16 +247,30 @@ object Relational3 {
     docs.write.mode("overwrite").json(out)
     spark.read.schema(docs.schema).json(out)
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"),
-        sum(length(col("text")).cast("long")).as("total_text_len"))
+      .agg(roundTripAggs.head, roundTripAggs.tail: _*)
       .orderBy(col("lang"))
   }
+
+  /** The shared round-trip aggregate: counts + length sums + a CONTENT-
+    * sensitive term. length-only sums are blind to exactly the failure
+    * modes a text codec has — an empty string nulled on read (length('')=0
+    * and null drop out of sum identically) or a field mangled into another
+    * of the same length — so the gate also sums a per-row 60-bit md5 of the
+    * text (mod 1e9+7: ~2^60 summands would overflow BIGINT under ANSI at
+    * corpus row counts; both engines' % on positives agree). Any dropped,
+    * nulled, or altered text field now moves the hash sum (r7 ADVICE). */
+  private val roundTripAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_chars")).as("total_chars"),
+    sum(length(col("text")).cast("long")).as("total_text_len"),
+    sum(expr("CAST(conv(substr(md5(text),1,15),16,10) AS BIGINT) % 1000000007"))
+      .as("text_h60_sum"))
 
   val q38JsonlSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-      |  CAST(sum(length(text)) AS BIGINT) AS total_text_len
+      |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+      |  CAST(sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007) AS BIGINT) AS text_h60_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- Q38b: CSV interchange — the lowest-common-denominator exchange -----
@@ -277,12 +291,17 @@ object Relational3 {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
       s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
     val docs = Tables.documents(spark, dir)
-    docs.write.mode("overwrite").option("nullValue", "\\N").csv(out)
-    spark.read.schema(docs.schema).option("nullValue", "\\N").csv(out)
+    // emptyValue pinned on BOTH sides alongside nullValue: Spark CSV's
+    // default read maps an empty quoted field to null, so a genuinely empty
+    // string would not survive the trip — and the length-sum gate alone
+    // could not tell (r7 ADVICE; the text_h60_sum term in roundTripAggs is
+    // the belt to this suspender).
+    docs.write.mode("overwrite")
+      .option("nullValue", "\\N").option("emptyValue", "\\E").csv(out)
+    spark.read.schema(docs.schema)
+      .option("nullValue", "\\N").option("emptyValue", "\\E").csv(out)
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"),
-        sum(length(col("text")).cast("long")).as("total_text_len"))
+      .agg(roundTripAggs.head, roundTripAggs.tail: _*)
       .orderBy(col("lang"))
   }
 

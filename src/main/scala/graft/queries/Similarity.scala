@@ -958,16 +958,26 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val k = kForCorpus(e.count())
-    // persist: the centroid table feeds the assignment AND the probe ranking
+    // persist: the centroid table feeds the assignment AND the probe ranking.
+    // The (single-row) audit is materialized EAGERLY so the cache can be
+    // released right here — returning a lazy frame over the persist stranded
+    // one cached centroid table per call anywhere outside Bench's inter-lane
+    // hygiene (specs, interactive sessions; r7 ADVICE). The lane was already
+    // non-lazy (the K-sizing count above), so eagerness costs no new
+    // semantics, and callers time the build via the returned local frame.
     val cents = ivfCentroidsAtScale(e, k).persist()
-    val approx = ivfProbeTopk(e, cents, nprobe = math.max(NProbe, k / 4))
-      .select(col("vec_id"), lit(1L).as("hit"))
-    q25CosineTopk(spark, dir).select(col("vec_id"))
-      .join(approx, Seq("vec_id"), "left")
-      .agg(count(lit(1)).as("k_top"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
-      .select(lit(k).as("k_centroids"), col("k_top"), col("n_overlap"),
-        (col("n_overlap").cast("double") / col("k_top").cast("double")).as("recall"))
+    try {
+      val approx = ivfProbeTopk(e, cents, nprobe = math.max(NProbe, k / 4))
+        .select(col("vec_id"), lit(1L).as("hit"))
+      val audit = q25CosineTopk(spark, dir).select(col("vec_id"))
+        .join(approx, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k_top"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+        .select(lit(k).as("k_centroids"), col("k_top"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("k_top").cast("double")).as("recall"))
+      val rows = audit.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), audit.schema)
+    } finally cents.unpersist(blocking = false)
   }
 
   // --- Q25e: int8 quantization audit -----------------------------------------

@@ -38,7 +38,7 @@ object ScaleSmoke {
     (0 until copies).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
-    println(s"[scale8] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
+    println(s"[scale$copies] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
 
     // Hot-key evidence: rows per bucket key above the production caps, per
     // lane's bucket definition (re-derived here; the lanes' own routing is
@@ -51,7 +51,7 @@ object ScaleSmoke {
       .withColumn("band_id", explode(expr("sequence(0, 4)")))
       .withColumn("bk", expr("shiftright(simhash, 12 * band_id) & 4095"))
       .groupBy("band_id", "bk").count().filter(col("count") > 256)
-    println(s"[scale8] simhash hot buckets (>256): ${simBands.count()} " +
+    println(s"[scale$copies] simhash hot buckets (>256): ${simBands.count()} " +
       s"max=${simBands.agg(coalesce(max("count"), lit(0L))).head().getLong(0)}")
     val shingles = d8.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -60,12 +60,12 @@ object ScaleSmoke {
           "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"))
       .select(col("lang"), explode(col("sh")).as("s"))
       .groupBy("lang", "s").count().filter(col("count") > 256)
-    println(s"[scale8] jaccard hot postings (>256): ${shingles.count()}")
+    println(s"[scale$copies] jaccard hot postings (>256): ${shingles.count()}")
     val spans = d8.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 50)
       .select(explode(expr("array_distinct(span_hashes(toks, 50))")).as("sp"))
       .groupBy("sp").count().filter(col("count") > 256)
-    println(s"[scale8] span hot postings (>256): ${spans.count()}")
+    println(s"[scale$copies] span hot postings (>256): ${spans.count()}")
 
     val defaultLanes = Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
         "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors",
@@ -92,13 +92,13 @@ object ScaleSmoke {
           } catch { case _: Throwable => () }
           dt
         }.sorted
-        println(f"[scale8] ingest: $n rows, median ${n / reps(1)}%.0f rows/s " +
+        println(f"[scale$copies] ingest: $n rows, median ${n / reps(1)}%.0f rows/s " +
           f"(reps ${reps.map(r => f"${n / r}%.0f").mkString(",")})")
       case name =>
       (0 until 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, out).count()
-        println(f"[scale8] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+        println(f"[scale$copies] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
