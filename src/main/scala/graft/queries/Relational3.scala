@@ -291,15 +291,17 @@ object Relational3 {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
       s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
     val docs = Tables.documents(spark, dir)
-    // emptyValue pinned on BOTH sides alongside nullValue: Spark CSV's
-    // default read maps an empty quoted field to null, so a genuinely empty
-    // string would not survive the trip — and the length-sum gate alone
-    // could not tell (r7 ADVICE; the text_h60_sum term in roundTripAggs is
-    // the belt to this suspender).
-    docs.write.mode("overwrite")
-      .option("nullValue", "\\N").option("emptyValue", "\\E").csv(out)
-    spark.read.schema(docs.schema)
-      .option("nullValue", "\\N").option("emptyValue", "\\E").csv(out)
+    // Null vs empty (r7 ADVICE): nullValue is pinned to a distinct sentinel
+    // on both sides; empty strings ride Spark's DEFAULT emptyValue pair,
+    // which is symmetric (writer quotes them as "", reader maps quoted-empty
+    // back to "") — pinning a custom emptyValue would actually BREAK the
+    // trip, because the read-side option is not a reverse mapping of the
+    // write-side sentinel (FormatRoundTripSpec pins both facts). Text
+    // literally equal to the null sentinel is CSV's one inherent loss (no
+    // second escaping layer); the text_h60_sum gate in roundTripAggs exists
+    // to catch exactly such silent collisions on a real corpus.
+    docs.write.mode("overwrite").option("nullValue", "\\N").csv(out)
+    spark.read.schema(docs.schema).option("nullValue", "\\N").csv(out)
       .groupBy(col("lang"))
       .agg(roundTripAggs.head, roundTripAggs.tail: _*)
       .orderBy(col("lang"))
@@ -331,6 +333,60 @@ object Relational3 {
         sum(length(col("text")).cast("long")).as("total_text_len"))
       .orderBy(col("lang"))
   }
+
+  // --- Q38d: Avro interchange — the schema'd row-based exchange format ----
+  // Round-trips documents through Avro, the row-oriented container the
+  // streaming/log ecosystem (Kafka, schema registries) exchanges records
+  // in. Unlike CSV/JSONL the schema travels IN the file header, so there is
+  // no inference question and no text-escaping question — but unlike
+  // parquet/ORC it is row-major: no column pruning, no predicate pushdown,
+  // which is exactly the trade that makes it an interchange format rather
+  // than a storage format at 100 TB. Files are block-splittable (sync
+  // markers), so the read parallelizes per split like the others. Same
+  // content-sensitive gate as the text codecs.
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def q38Avro(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val docs = Tables.documents(spark, dir)
+    // the avro classes ship inside spark-sql but are NOT service-registered
+    // in this build (no spark-avro connector jar), so the short name "avro"
+    // does not resolve — the FQCN loads the same FileFormat directly
+    docs.write.mode("overwrite").format(AvroFmt).save(out)
+    spark.read.schema(docs.schema).format(AvroFmt).load(out)
+      .groupBy(col("lang"))
+      .agg(roundTripAggs.head, roundTripAggs.tail: _*)
+      .orderBy(col("lang"))
+  }
+
+  val q38AvroSql: String = q38JsonlSql
+
+  // --- Q38e: XML interchange — the document-tree exchange format ----------
+  // Round-trips documents through Spark 4's NATIVE xml source (one <doc>
+  // element per row). XML is the worst-case text codec — entity escaping
+  // (&amp;/&lt;), whitespace handling, empty-vs-missing elements — which is
+  // precisely why the round trip is worth gating: the content hash would
+  // catch any of those mangling text. ignoreSurroundingSpaces is pinned
+  // OFF on read (the default TRIMS element text — a silent content change
+  // at corpus scale). Scale posture: XML records span lines, so files are
+  // NOT line-splittable like JSONL — the read parallelizes per FILE; an
+  // interchange-only format, never the 100 TB storage layout (documented
+  // trade, same verdict as CSV-with-newlines).
+  def q38Xml(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    spark.read.schema(docs.schema)
+      .option("rowTag", "doc").option("ignoreSurroundingSpaces", "false")
+      .format("xml").load(out)
+      .groupBy(col("lang"))
+      .agg(roundTripAggs.head, roundTripAggs.tail: _*)
+      .orderBy(col("lang"))
+  }
+
+  val q38XmlSql: String = q38JsonlSql
 
   val q38OrcSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -466,6 +522,8 @@ object Relational3 {
     "q38_jsonl"      -> (q38Jsonl _),
     "q38_csv"        -> (q38Csv _),
     "q38_orc"        -> (q38Orc _),
+    "q38_avro"       -> (q38Avro _),
+    "q38_xml"        -> (q38Xml _),
     "q39_partition_prune" -> (q39PartitionPrune _),
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
     "q40_schema_merge"    -> (q40SchemaMerge _),
@@ -480,6 +538,8 @@ object Relational3 {
     "q38_jsonl"      -> q38JsonlSql,
     "q38_csv"        -> q38CsvSql,
     "q38_orc"        -> q38OrcSql,
+    "q38_avro"       -> q38AvroSql,
+    "q38_xml"        -> q38XmlSql,
     "q39_partition_prune" -> q39PartitionPruneSql,
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
     "q40_schema_merge"    -> q40SchemaMergeSql,

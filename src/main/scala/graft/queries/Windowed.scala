@@ -194,7 +194,55 @@ object Windowed {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- Q41: state-store INTROSPECTION — read a checkpoint back as a table --
+  // Runs the Q27 tumbling-count stream to completion (AvailableNow) against
+  // the dir's events file, then reads the aggregation's STATE back through
+  // Spark's `statestore` data source and oracle-checks it. What remains in
+  // state after the finalize batch is exactly the set of non-empty windows
+  // the watermark has not yet closed — w_end > max(ts) - 5 min (append-mode
+  // eviction emits a window once watermark >= w_end) — so the oracle
+  // recomputes that set relationally from the same events. This is the ops
+  // surface a 100 TB streaming deployment leans on: inspect/debug/audit
+  // per-key state offline, validate state after a provider migration (the
+  // RocksDB spec proves the jobs run on either provider), size state before
+  // a backfill. The read itself is a normal DSv2 batch scan partitioned by
+  // the store's shuffle partitions — it scales like any other source and
+  // never touches the running query's store instances.
+  def q41StateRead(spark: SparkSession, dir: String): DataFrame = {
+    // per-(sf dir, process) checkpoint slot — same lifetime reasoning as the
+    // q38 interchange slots. A second call in the same process finds every
+    // input file already committed in the checkpoint, so the stream
+    // finalizes without reprocessing and the state is simply re-read.
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_state_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = graft.streaming.StreamingJobs.tumblingCounts(src)
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.window.start").as("w_start"),
+        col("key.window.end").as("w_end"),
+        col("value.count").as("n"))
+      .orderBy(col("w_start"))
+  }
+
+  val q41StateReadSql: String =
+    """SELECT * FROM (
+      |  SELECT time_bucket(INTERVAL '1 minute', ts) AS w_start,
+      |         time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS w_end,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |WHERE w_end > (SELECT max(ts) - INTERVAL '5 minutes' FROM events)
+      |ORDER BY w_start""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_state_read"      -> (q41StateRead _),
     "q29_enrich_batch"    -> (q29EnrichBatch _),
     "q34_funnel"          -> (q34Funnel _),
     "q27_tumbling_batch"  -> (q27Tumbling _),
@@ -205,6 +253,7 @@ object Windowed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_state_read"      -> q41StateReadSql,
     "q29_enrich_batch"    -> q29EnrichBatchSql,
     "q34_funnel"          -> q34FunnelSql,
     "q27_tumbling_batch"  -> q27TumblingSql,
