@@ -216,9 +216,17 @@ object Windowed {
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_state_" +
       s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // file streams want a directory to list: the sf fixture keeps events as
+    // a single FILE inside dir (stream dir, glob to the file), while widened
+    // rehearsal corpora (ScaleSmoke) write events.parquet as a DIRECTORY of
+    // part files (stream that directory itself)
+    val raw =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.readStream.schema(rawSchema).parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = graft.streaming.StreamingJobs.tumblingCounts(src)
       .writeStream.format("noop").option("checkpointLocation", ckpt)
       .outputMode("append")
