@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StatefulProcessors
+
+/** t1 coverage for the transformWithState surface (Q42): per-key state
+  * accumulates across micro-batches, emits update-mode rows, and runs on
+  * the RocksDB provider (the only one the operator supports). */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
+
+  private val Provider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  test("Q42: running counts accumulate per key across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try {
+      val src = MemoryStream[Ev]
+      val q = StatefulProcessors.runningCounts(src.toDF())
+        .writeStream.format("memory").queryName("q42_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        src.addData(
+          Ev(1, ts("2024-01-01 00:00:10"), 1),
+          Ev(2, ts("2024-01-01 00:00:20"), 1),
+          Ev(3, ts("2024-01-01 00:00:30"), 2))
+        q.processAllAvailable()
+        // batch 2: user 1 gains one more, user 3 appears
+        src.addData(
+          Ev(4, ts("2024-01-01 00:01:10"), 1),
+          Ev(5, ts("2024-01-01 00:01:20"), 3))
+        q.processAllAvailable()
+      } finally q.stop()
+      // update mode: one row per touched key per batch — the LAST row per
+      // key is its running total
+      val out = spark.table("q42_out").as[(Long, Long)].collect()
+      val last = out.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1._2 }
+      assert(last === Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"got ${out.toSeq}")
+      // batch-1 emission for user 1 was the then-current total, proving the
+      // emitted rows are per-batch snapshots, not replays
+      assert(out.contains((1L, 2L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}
