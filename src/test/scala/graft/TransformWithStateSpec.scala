@@ -53,4 +53,33 @@ class TransformWithStateSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("Q42b: initial state seeds counters from batch history before the first batch") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try {
+      // batch-computed history: user 1 has 10 prior events, user 9 has 7
+      val history = Seq((1L, 10L), (9L, 7L)).toDF("user_id", "n_events")
+      val src = MemoryStream[Ev]
+      val q = StatefulProcessors.runningCountsSeeded(src.toDF(), history)
+        .writeStream.format("memory").queryName("q42b_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        src.addData(
+          Ev(1, ts("2024-01-01 00:00:10"), 1),  // seeded key: 10 + 1
+          Ev(2, ts("2024-01-01 00:00:20"), 2))  // unseeded key: 0 + 1
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("q42b_out").as[(Long, Long)].collect().toMap
+      assert(out === Map(1L -> 11L, 2L -> 1L), s"got $out")
+      // user 9 was seeded but never touched by the stream: no emission —
+      // its state waits in the store, it does not replay
+      assert(!out.contains(9L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
