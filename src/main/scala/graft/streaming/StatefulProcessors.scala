@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** `transformWithState` surface — Spark 4's arbitrary-stateful operator
   * (the successor to `flatMapGroupsWithState`): typed per-key state
@@ -80,6 +81,63 @@ object StatefulProcessors {
       countState.update(n)
       Iterator.single(UserCount(key, n))
     }
+  }
+
+  /** Output row of the inactivity sessionizer: a closed session. */
+  case class ClosedSession(user_id: Long, n_events: Long)
+
+  /** Per-user inactivity sessionizer on EVENT-TIME timers — the timer half
+    * of the transformWithState API (session_window covers the aggregation
+    * form; this is the explicit-state form that can carry arbitrary
+    * per-session payloads). Each event refreshes the key's count and
+    * re-registers a timer at event-time + gap; when the WATERMARK passes
+    * the timer (deterministic — no wall clock involved), the session emits
+    * once as closed and its state clears. State per key is one counter and
+    * one timer regardless of session length, and quiet keys leave the
+    * store entirely — the bounded-state property that matters when the key
+    * space is 100 TB of users. */
+  class InactivitySessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), ClosedSession] {
+    @transient private var countState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var n = if (countState.exists()) countState.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { case (_, t) => n += 1; if (t > maxTs) maxTs = t }
+      countState.update(n)
+      // one live timer per key: re-arm at latest-activity + gap
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val n = if (countState.exists()) countState.get() else 0L
+      countState.clear()
+      Iterator.single(ClosedSession(key, n))
+    }
+  }
+
+  /** Q42c: explicit-state inactivity sessions (user_id, ts) → closed
+    * sessions, emitted when the event-time watermark passes last activity
+    * + gap. Input needs a watermark on `ts` for EventTime time mode. */
+  def inactivitySessions(events: DataFrame, gapMs: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long"),
+        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivitySessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Q42b: running counts seeded from a batch history table

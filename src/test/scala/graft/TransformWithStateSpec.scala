@@ -54,6 +54,43 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("Q42c: event-time timers close inactivity sessions when the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try {
+      val src = MemoryStream[Ev]
+      // 60 s gap
+      val q = StatefulProcessors.inactivitySessions(src.toDF(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("q42c_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: two events 20 s apart — one session once quiet
+        src.addData(
+          Ev(1, ts("2024-01-01 00:00:10"), 1),
+          Ev(2, ts("2024-01-01 00:00:30"), 1))
+        q.processAllAvailable()
+        assert(spark.table("q42c_out").count() === 0, "nothing closes before the gap")
+        // user 2 far in the future: watermark jumps past user 1's
+        // last-activity+gap (00:01:30) → user 1's timer fires, session closes
+        src.addData(Ev(3, ts("2024-01-01 00:10:00"), 2))
+        q.processAllAvailable()
+        val afterJump = spark.table("q42c_out").as[(Long, Long)].collect().toSet
+        assert(afterJump === Set((1L, 2L)), s"got $afterJump")
+        // user 2 closes once the watermark passes ITS gap; a re-armed key
+        // does not double-emit
+        src.addData(Ev(4, ts("2024-01-01 00:30:00"), 3))
+        q.processAllAvailable()
+        val finalRows = spark.table("q42c_out").as[(Long, Long)].collect().toSet
+        assert(finalRows === Set((1L, 2L), (2L, 1L)), s"got $finalRows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("Q42b: initial state seeds counters from batch history before the first batch") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
