@@ -17,16 +17,6 @@ import org.apache.spark.sql.functions._
   */
 class BloomJoinSpec extends SparkSpec {
 
-  private def withConfs[A](kvs: (String, String)*)(body: => A): A = {
-    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("runtime bloom filter plants a might_contain probe on the fact side of a shuffle join") {
     val dir = sf001
     // no broadcast: the rule targets shuffle joins (a broadcastable dim at

@@ -9,6 +9,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf001 = "/root/testdata/sf0.001"
 
+  /** Run `body` with the given SQL confs set, restoring previous values
+    * (or unsetting) after — the shared shape of every plan-evidence spec
+    * that has to flip optimizer knobs. */
+  def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Run `body` with whole-stage codegen and the expression codegen factory
     * disabled, restoring both confs after — the shared half of every custom
     * Expression's codegen/interpreted parity spec. */
