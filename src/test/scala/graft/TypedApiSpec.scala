@@ -54,4 +54,36 @@ class TypedApiSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(byFlag === expected2)
   }
+
+  test("typed cogroup reconciles both sides per key, matching the join-based plan") {
+    // cogroup = the typed reconciliation shape: both sides shuffle ONCE on
+    // the key, then one function sees each key's rows from both sides —
+    // the escape hatch when per-key merge logic won't express as a join
+    // (here it would, which is what makes it checkable)
+    val orders = graft.core.Tables.orders(spark, sf001)
+      .select($"o_orderkey", $"o_totalprice".cast("double").as("p"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val items = graft.core.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_quantity".cast("double").as("q"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val recon = orders.cogroup(items) { (k, os, ls) =>
+      val lis = ls.toSeq
+      // orders without items and items without orders both surface — the
+      // reconciliation property an inner join silently drops
+      Iterator.single((k, os.nonEmpty, lis.length.toLong))
+    }.collect().map { case (k, hasO, nLi) => k -> ((hasO, nLi)) }.toMap
+    val expected = graft.core.Tables.orders(spark, sf001)
+      .select($"o_orderkey".as("k")).distinct()
+      .join(graft.core.Tables.lineitem(spark, sf001)
+          .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("n")),
+        Seq("k"), "full_outer")
+      .select($"k", $"n").as[(Long, Option[Long])].collect()
+      .map { case (k, n) => k -> n }.toMap
+    assert(recon.size === expected.size)
+    expected.foreach { case (k, nOpt) =>
+      val (hasO, nLi) = recon(k)
+      assert(nLi === nOpt.getOrElse(0L), s"order $k item count")
+      assert(hasO, s"order $k should be present on the orders side")
+    }
+  }
 }
