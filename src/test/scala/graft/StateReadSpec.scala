@@ -51,4 +51,30 @@ class StateReadSpec extends SparkSpec {
     assert(st === Map("2024-01-01 00:10:00" -> 2L),
       s"state should hold only the unclosed window, got $st")
   }
+
+  test("Q41: the reader generalizes to the dedup operator's key-only state") {
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_state_spec_dd").toString
+    val src = MemoryStream[Ev]
+    val q = StreamingJobs.dedupWithinWatermark(src.toDF())
+      .writeStream.format("memory").queryName("q41_dd_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        Ev(7, ts("2024-01-01 00:00:10"), 1),
+        Ev(7, ts("2024-01-01 00:00:12"), 1),  // in-batch re-send collapses
+        Ev(8, ts("2024-01-01 00:00:20"), 2))
+      q.processAllAvailable()
+      src.addData(Ev(9, ts("2024-01-01 00:00:30"), 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    // dropDuplicatesWithinWatermark keeps one state row per key seen inside
+    // the watermark horizon: the dedup ledger an ops investigation reads
+    // ("which ids does the stream currently consider seen?")
+    val seen = spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_id")).as[Long].collect().toSet
+    assert(seen === Set(7L, 8L, 9L),
+      s"dedup state should hold each seen id once, got $seen")
+  }
 }
