@@ -388,6 +388,35 @@ object Relational3 {
 
   val q38XmlSql: String = q38JsonlSql
 
+  // --- Q38f: raw text lines — the pretraining-corpus layout ---------------
+  // One document per line with no framing at all: the layout C4/Pile-style
+  // corpora actually ship in, and the cheapest possible scan (no parse, no
+  // schema — one string column per line). The lane exports the non-null
+  // texts, reads them back through the `text` source, and gates on count +
+  // length sum + the per-row content hash. Nulls cannot exist in a raw
+  // line file (no sentinel layer at all — one step below even CSV), so the
+  // lane and oracle both restrict to text IS NOT NULL; single-line text is
+  // a corpus invariant here (same caveat the CSV lane documents).
+  // Line-splittable like JSONL, so the read parallelizes per split.
+  def q38Text(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull).select(col("text"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value")).cast("long")).as("total_len"),
+        sum(expr("CAST(conv(substr(md5(value),1,15),16,10) AS BIGINT) % 1000000007"))
+          .as("text_h60_sum"))
+  }
+
+  val q38TextSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_len,
+      |  CAST(sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007) AS BIGINT) AS text_h60_sum
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   val q38OrcSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -524,6 +553,7 @@ object Relational3 {
     "q38_orc"        -> (q38Orc _),
     "q38_avro"       -> (q38Avro _),
     "q38_xml"        -> (q38Xml _),
+    "q38_text"       -> (q38Text _),
     "q39_partition_prune" -> (q39PartitionPrune _),
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
     "q40_schema_merge"    -> (q40SchemaMerge _),
@@ -540,6 +570,7 @@ object Relational3 {
     "q38_orc"        -> q38OrcSql,
     "q38_avro"       -> q38AvroSql,
     "q38_xml"        -> q38XmlSql,
+    "q38_text"       -> q38TextSql,
     "q39_partition_prune" -> q39PartitionPruneSql,
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
     "q40_schema_merge"    -> q40SchemaMergeSql,

@@ -73,7 +73,8 @@ class ShortInputSpec extends SparkSpec {
       "q33_resample", "q35_pack", "q26_quality_survivors", "q23_filter_verdict",
       "q26_span_dup", "q33_decontam_fuzzy", "q32_decode", "q32_pixel_embed",
       "q23_wordfreq", "q26_para_dedup", "q23_compress", "q33_decontam_bloom",
-      "q38_jsonl", "q38_csv", "q38_avro", "q38_xml", "q23_tokens_pos")
+      "q38_jsonl", "q38_csv", "q38_avro", "q38_xml", "q38_text",
+      "q23_tokens_pos")
     lanes.foreach { name =>
       withClue(s"$name on short docs: ") {
         assert(SparkEntry.queries(name)(spark, dir).count() >= 0L)
