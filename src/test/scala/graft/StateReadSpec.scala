@@ -69,6 +69,12 @@ class StateReadSpec extends SparkSpec {
       src.addData(Ev(9, ts("2024-01-01 00:00:30"), 1))
       q.processAllAvailable()
     } finally q.stop()
+    // discovery first: an ops investigation of a FOREIGN checkpoint starts
+    // at the state-metadata source, which names the operators and stores
+    // before any state is read
+    val meta = spark.read.format("state-metadata").load(ckpt)
+      .select(col("operatorName")).as[String].collect().toSet
+    assert(meta === Set("dedupeWithinWatermark"), s"got $meta")
     // dropDuplicatesWithinWatermark keeps one state row per key seen inside
     // the watermark horizon: the dedup ledger an ops investigation reads
     // ("which ids does the stream currently consider seen?")
