@@ -219,7 +219,55 @@ object Analytics {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |ORDER BY user_id, version""".stripMargin
 
+  // --- Q43: time-series GAP-FILL / resampling ------------------------------
+  // The missing-interval staple: hourly activity per event type over each
+  // type's observed span, with silent hours materialized as ZERO rows and a
+  // running cumulative — the shape monitoring, rate-limiting and trend
+  // models consume (a time series with holes is not a time series). Three
+  // steps, all scale-bounded: (1) hash-agg to (type, hour) counts — the
+  // only pass over the events, one shuffle; (2) per-type min/max hour →
+  // `sequence()` explode builds the dense grid, whose size is types ×
+  // hours — a function of TIME SPAN, never of event volume, so the grid
+  // join stays trivial at 100 TB; (3) left join + zero-fill + one window
+  // cumsum over the small grid. A per-USER gap-fill swaps the grouping key
+  // and range-partitions the window by (user, time) — same plan family,
+  // stated here because the per-key grid then grows with keys.
+  def q43Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = ev.groupBy(col("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("event_type"), col("h"), col("n"), col("cum"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q43GapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+      |          FROM hourly GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |                unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      |         FROM spans)
+      |SELECT g.event_type, g.h, CAST(coalesce(n, 0) AS BIGINT) AS n,
+      |       CAST(sum(coalesce(n, 0)) OVER (PARTITION BY g.event_type
+      |                                      ORDER BY g.h) AS BIGINT) AS cum
+      |FROM grid g LEFT JOIN hourly USING (event_type, h)
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_gapfill"     -> (q43Gapfill _),
     "q36_scd2"        -> (q36Scd2 _),
     "q34_gaps"        -> (q34Gaps _),
     "q34_outliers"    -> (q34Outliers _),
@@ -229,6 +277,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_gapfill"     -> q43GapfillSql,
     "q36_scd2"        -> q36Scd2Sql,
     "q34_gaps"        -> q34GapsSql,
     "q34_outliers"    -> q34OutliersSql,
