@@ -266,8 +266,56 @@ object Analytics {
       |FROM grid g LEFT JOIN hourly USING (event_type, h)
       |ORDER BY 1, 2""".stripMargin
 
+  // --- Q43b: forward fill (LOCF) over the gap-filled grid ------------------
+  // The other resampling staple: a VALUE column carried across silent
+  // hours — last observation carried forward, the sensor/finance default.
+  // Per (type, hour) the observed value is the hour's LAST event's value
+  // (max_by on the deterministic (ts, event_id) order); silent hours then
+  // inherit it via `last(_, ignoreNulls)` over the time-ordered window —
+  // same frame the cumsum rides, so the fill costs no extra shuffle.
+  // Hours before a type's first observation stay NULL (nothing to carry).
+  // DuckDB's IGNORE NULLS last_value is the exact relational twin.
+  def q43Locf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(expr("max_by(value, struct(ts, event_id))").as("hv"))
+    val grid = ev.groupBy(col("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled", last(col("hv"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("hv").isNotNull)
+      .select(col("event_type"), col("h"), col("filled"), col("is_observed"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q43LocfSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, h, value AS hv FROM (
+      |    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, value,
+      |           row_number() OVER (PARTITION BY event_type,
+      |                                           time_bucket(INTERVAL '1 hour', ts)
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+      |          FROM hourly GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |                unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      |         FROM spans)
+      |SELECT g.event_type, g.h,
+      |       last_value(hv IGNORE NULLS) OVER (PARTITION BY g.event_type
+      |         ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS filled,
+      |       hv IS NOT NULL AS is_observed
+      |FROM grid g LEFT JOIN hourly USING (event_type, h)
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_gapfill"     -> (q43Gapfill _),
+    "q43_locf"        -> (q43Locf _),
     "q36_scd2"        -> (q36Scd2 _),
     "q34_gaps"        -> (q34Gaps _),
     "q34_outliers"    -> (q34Outliers _),
@@ -278,6 +326,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q43_gapfill"     -> q43GapfillSql,
+    "q43_locf"        -> q43LocfSql,
     "q36_scd2"        -> q36Scd2Sql,
     "q34_gaps"        -> q34GapsSql,
     "q34_outliers"    -> q34OutliersSql,
