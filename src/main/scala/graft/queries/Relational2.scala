@@ -444,7 +444,83 @@ object Relational2 {
       |  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // --- Q44: statistical aggregates — corr/covar/stddev, oracle-exactly -----
+  // Native corr()/covar_samp()/stddev_samp() are one-pass co-moment
+  // aggregates whose float result depends on partition merge ORDER — they
+  // can never be hash-exact across engines (or even across two Spark runs
+  // with different splits). The checkable formulation: exact DECIMAL power
+  // sums (n, Σx, Σy, Σx², Σy², Σxy — partition-order-free by exactness),
+  // then ONE double expression per statistic with an identical tree on
+  // both engines (IEEE ops are deterministic; only reassociation isn't —
+  // same discipline as the q20 lane). StatsAggSpec closes the loop by
+  // pinning Spark's native aggregates to these values within 1e-9
+  // relative — so the native operators are covered AND the lane is exact.
+  // Scale: one hash-shuffle agg, map-side partials; decimal sums widen to
+  // (38,8) — no overflow headroom issues below ~1e14 rows per group.
+  def q44Stats(spark: SparkSession, dir: String): DataFrame = {
+    // DECIMAL(12,4), not the usual (18,4): Spark's (12,4)x(12,4) product is
+    // DECIMAL(25,8), exact. DuckDB multiplies decimals in the operands'
+    // COMMON STORAGE width — int64 for anything <= 18 digits — and
+    // overflows on price^2 regardless of declared result precision, so the
+    // oracle widens ONE factor to DECIMAL(24,8) (int128 storage). The
+    // engine-side asymmetry is harmless: both products are exact, and
+    // exact decimals cast to identical doubles.
+    val lq = "CAST(l_quantity AS DECIMAL(12,4))"
+    val lp = "CAST(l_extendedprice AS DECIMAL(12,4))"
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(lq)).as("sx"), sum(expr(lp)).as("sy"),
+        sum(expr(s"$lq * $lq")).as("sxx"),
+        sum(expr(s"$lp * $lp")).as("syy"),
+        sum(expr(s"$lq * $lp")).as("sxy"))
+      .selectExpr(Seq("l_returnflag", "CAST(n AS BIGINT) AS n") ++ statExprs: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The shared double formulas — one string per statistic, spliced into
+    * BOTH the Spark projection and the DuckDB oracle so the expression
+    * trees cannot drift. */
+  private val statFormulas: Seq[(String, String)] = {
+    val n = "CAST(n AS DOUBLE)"
+    val (sx, sy, sxx, syy, sxy) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)")
+    // Each statistic is floor-rounded to 9 decimals ON BOTH ENGINES: the
+    // a*b - c*d shapes differ by one ULP across engines (fused-multiply-add
+    // contraction is compiler territory, not IEEE's), and floor(x*1e9+0.5)
+    // is the repo's IEEE-pinned rounding (round() diverges cross-engine —
+    // see q25_quantize). Magnitudes here keep x*1e9 far below 2^53.
+    def r9(f: String) = s"floor(($f) * 1.0e9 + 0.5) / 1.0e9"
+    Seq(
+      "var_qty"   -> r9(s"($n * $sxx - $sx * $sx) / ($n * ($n - 1.0))"),
+      "std_qty"   -> r9(s"sqrt(($n * $sxx - $sx * $sx) / ($n * ($n - 1.0)))"),
+      "covar_qp"  -> r9(s"($n * $sxy - $sx * $sy) / ($n * ($n - 1.0))"),
+      "corr_qp"   -> r9(s"($n * $sxy - $sx * $sy) / " +
+        s"sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"))
+  }
+
+  private val statExprs: Seq[String] =
+    statFormulas.map { case (name, f) => s"$f AS $name" }
+
+  val q44StatsSql: String = {
+    val stats = statFormulas.map { case (name, f) => s"  $f AS $name" }
+      .mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST(l_quantity AS DECIMAL(12,4))) AS sx,
+       |    sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS sy,
+       |    sum(CAST(l_quantity AS DECIMAL(24,8)) * CAST(l_quantity AS DECIMAL(12,4))) AS sxx,
+       |    sum(CAST(l_extendedprice AS DECIMAL(24,8)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS syy,
+       |    sum(CAST(l_quantity AS DECIMAL(24,8)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS sxy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |$stats
+       |FROM s ORDER BY l_returnflag""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_stats"       -> (q44Stats _),
     "q18_encode_funcs" -> (q18EncodeFuncs _),
     "q14_cube"        -> (q14Cube _),
     "q16_null_ordering" -> (q16NullOrdering _),
@@ -465,6 +541,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q44_stats"       -> q44StatsSql,
     "q18_encode_funcs" -> q18EncodeFuncsSql,
     "q14_cube"        -> q14CubeSql,
     "q16_null_ordering" -> q16NullOrderingSql,
