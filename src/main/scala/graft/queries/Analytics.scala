@@ -237,9 +237,13 @@ object Analytics {
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val grid = ev.groupBy(col("event_type"))
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+    // span derived FROM the hourly agg (min/max of its hours ≡ truncated
+    // min/max ts) — matches the oracle's derivation, and Catalyst's
+    // RemoveRedundantAggregates then collapses agg-over-agg into a direct
+    // per-type min/max over the pruned (ts, type) scan: the span branch
+    // never shuffles on (type, h) at all (plan-checked, PLANS.md r8)
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("event_type"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
@@ -280,9 +284,9 @@ object Analytics {
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(expr("max_by(value, struct(ts, event_id))").as("hv"))
-    val grid = ev.groupBy(col("event_type"))
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+    // span from the hourly agg — same collapse reasoning as q43Gapfill
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("event_type"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
