@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
   StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
   TimerValues, ValueState}
 
@@ -81,6 +81,48 @@ object StatefulProcessors {
       countState.update(n)
       Iterator.single(UserCount(key, n))
     }
+  }
+
+  /** Output row of the per-type breakdown: one (user, type) running count. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts over MapState — the keyed
+    * sub-structure state type (ValueState holds one value per key;
+    * MapState holds a keyed map per key, stored as individual state rows
+    * so updating one sub-key never rewrites the others — the property
+    * that matters when a user's map has thousands of entries). Emits the
+    * touched (user, type) pairs per batch, update-mode style. */
+  class TypeBreakdownProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("by_type",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
+      rows.foreach { case (_, t) =>
+        val cur = touched.getOrElse(t,
+          if (counts.containsKey(t)) counts.getValue(t) else 0L)
+        touched(t) = cur + 1
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypeCount(key, t, n) }.toSeq.iterator
+    }
+  }
+
+  /** Q42d: per-user per-type running event counts via MapState. */
+  def typeBreakdown(events: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeBreakdownProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Output row of the inactivity sessionizer: a closed session. */

@@ -54,6 +54,38 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("Q42d: MapState keeps per-sub-key counts, updating only touched entries") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try {
+      val src = MemoryStream[(Long, String)]
+      val q = StatefulProcessors.typeBreakdown(
+          src.toDF().toDF("user_id", "event_type"))
+        .writeStream.format("memory").queryName("q42d_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        src.addData((1L, "view"), (1L, "view"), (1L, "click"), (2L, "view"))
+        q.processAllAvailable()
+        // batch 2 touches only user 1's "view" — "click" must persist
+        // untouched and not re-emit
+        src.addData((1L, "view"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("q42d_out").as[(Long, String, Long)].collect()
+      val last = out.zipWithIndex.groupBy(r => (r._1._1, r._1._2))
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1._3 }
+      assert(last === Map((1L, "view") -> 3L, (1L, "click") -> 1L,
+        (2L, "view") -> 1L), s"got ${out.toSeq}")
+      // the second batch emitted ONLY the touched (1, view) pair
+      assert(out.count { case (u, t, _) => u == 1L && t == "click" } === 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("Q42c: event-time timers close inactivity sessions when the watermark passes") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
