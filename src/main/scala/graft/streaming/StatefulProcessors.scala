@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** `transformWithState` surface — Spark 4's arbitrary-stateful operator
   * (the successor to `flatMapGroupsWithState`): typed per-key state
@@ -122,6 +122,44 @@ object StatefulProcessors {
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new TypeBreakdownProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Output row of the trail keeper: a user's recent event ids, oldest
+    * first, serialized for assertion/inspection. */
+  case class Trail(user_id: Long, recent: String)
+
+  /** Last-K event ids per user over ListState — the append-log state type
+    * (appendValue is O(1) per arrival; the trim rewrites only when the cap
+    * is crossed). The "recent activity" shape: fraud trails, dedup-recent
+    * windows, UI activity feeds. K bounds state per key regardless of
+    * lifetime event count. */
+  class RecentTrailProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long), Trail] {
+    @transient private var trail: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      trail = getHandle.getListState[Long]("trail", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[Trail] = {
+      rows.foreach { case (_, id) => trail.appendValue(id) }
+      val all = trail.get().toSeq
+      val recent = all.takeRight(k)
+      if (all.length > k) trail.put(recent.toArray) // trim to the cap
+      Iterator.single(Trail(key, recent.mkString(",")))
+    }
+  }
+
+  /** Q42e: per-user last-K event-id trails via ListState. */
+  def recentTrails(events: DataFrame, k: Int): Dataset[Trail] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentTrailProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
 

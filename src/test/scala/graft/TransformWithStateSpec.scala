@@ -86,6 +86,33 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("Q42e: ListState keeps a capped last-K trail across batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try {
+      val src = MemoryStream[(Long, Long)]
+      val q = StatefulProcessors.recentTrails(
+          src.toDF().toDF("user_id", "event_id"), k = 3)
+        .writeStream.format("memory").queryName("q42e_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        src.addData((1L, 101L), (1L, 102L))
+        q.processAllAvailable()
+        // crossing the cap drops the OLDEST entries, keeps arrival order
+        src.addData((1L, 103L), (1L, 104L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("q42e_out").as[(Long, String)].collect()
+      assert(out.toSet === Set((1L, "101,102"), (1L, "102,103,104")),
+        s"got ${out.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("Q42c: event-time timers close inactivity sessions when the watermark passes") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
