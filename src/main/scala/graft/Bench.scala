@@ -121,9 +121,15 @@ object Bench {
       val warm0 = once(failedWarm)
       // If the cold pass failed (possibly before compiling the plan), the
       // first successful pass above still paid codegen — one more pass makes
-      // the reported number genuinely warm (r7 ADVICE).
+      // the reported number genuinely warm (r7 ADVICE). The retry runs into
+      // a scratch set: if it flakes, keep warm0 (a valid measurement) rather
+      // than adopting the failed pass's duration (r8 ADVICE).
       val warm =
-        if (failedCold(name) && !failedWarm(name)) once(failedWarm) else warm0
+        if (failedCold(name) && !failedWarm(name)) {
+          val scratch = scala.collection.mutable.LinkedHashSet[String]()
+          val retry = once(scratch)
+          if (scratch.isEmpty) retry else warm0
+        } else warm0
       name -> warm
     }
 

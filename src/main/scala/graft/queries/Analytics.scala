@@ -289,7 +289,12 @@ object Analytics {
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("event_type"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    // ROWS frame pinned explicitly: the DuckDB oracle says ROWS UNBOUNDED
+    // PRECEDING, and Spark's default frame for last() is RANGE — they agree
+    // only because grid hours are unique per partition (sequence() built
+    // them), so make the parity explicit instead of structural.
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("event_type", "h"), "left")
       .withColumn("filled", last(col("hv"), ignoreNulls = true).over(w))
       .withColumn("is_observed", col("hv").isNotNull)

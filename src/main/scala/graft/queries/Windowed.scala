@@ -215,6 +215,12 @@ object Windowed {
     // finalizes without reprocessing and the state is simply re-read.
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_state_" +
       s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    // The oracle's invariant (state holds EXACTLY the windows with
+    // w_end > max(ts) - delay) depends on the final no-data micro-batch
+    // running eviction after AvailableNow drains the files. That batch only
+    // happens while this conf is true (its default) — pin it so an
+    // environment override can't silently leave closed windows in state.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streams want a directory to list: the sf fixture keeps events as
     // a single FILE inside dir (stream dir, glob to the file), while widened

@@ -190,9 +190,16 @@ object StatefulProcessors {
       var maxTs = Long.MinValue
       rows.foreach { case (_, t) => n += 1; if (t > maxTs) maxTs = t }
       countState.update(n)
-      // one live timer per key: re-arm at latest-activity + gap
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(maxTs + gapMs)
+      // One live timer per key, re-armed at latest-activity + gap. The
+      // watermarked event-time column is projected away before
+      // transformWithState, so a batch can consist entirely of out-of-order
+      // rows; never move an armed timer BACKWARD (that would close the
+      // session early with an undercount) — take the max with the existing
+      // expiry before re-arming.
+      val existing = getHandle.listTimers().toSeq
+      val armAt = (existing :+ (maxTs + gapMs)).max
+      existing.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(armAt)
       Iterator.empty
     }
 

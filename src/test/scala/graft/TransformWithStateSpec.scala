@@ -150,6 +150,40 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("Q42c: a batch of only out-of-order rows never moves the timer backward") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try {
+      val src = MemoryStream[Ev]
+      val q = StatefulProcessors.inactivitySessions(src.toDF(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("q42c_ooo_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1 arms user 1's timer at 00:06:00; watermark → 00:05:00
+        src.addData(Ev(1, ts("2024-01-01 00:05:00"), 1))
+        q.processAllAvailable()
+        // batch 2 is ONLY a late row (00:00:30 < watermark — the event-time
+        // column is projected away before transformWithState, so it is NOT
+        // dropped). Re-arming from this batch's max alone would plant the
+        // timer at 00:01:30, already behind the watermark → early close.
+        src.addData(Ev(2, ts("2024-01-01 00:00:30"), 1))
+        q.processAllAvailable()
+        assert(spark.table("q42c_ooo_out").count() === 0,
+          "late-only batch must not close the session early")
+        // watermark passes the REAL expiry → session closes counting both rows
+        src.addData(Ev(3, ts("2024-01-01 00:10:00"), 2))
+        q.processAllAvailable()
+        val rows = spark.table("q42c_ooo_out").as[(Long, Long)].collect().toSet
+        assert(rows === Set((1L, 2L)), s"got $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("Q42b: initial state seeds counters from batch history before the first batch") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
