@@ -146,6 +146,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_contains", exprs => GraftFunctions.bloomContains(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_centroid", exprs => NearestCentroid.fromExprs(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_avg", exprs => VecAvg(exprs.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize_pos", exprs => TokenizePos(exprs.head), "built-in")
@@ -231,6 +235,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "bloom_contains"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.bloomContains(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroid.fromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("vec_avg"),
+      new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecAvg(exprs.head).toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),

@@ -820,7 +820,7 @@ object Similarity {
     * assignment/probe/top-k plan shape exists once: broadcast argmax
     * assignment (rank-1 WindowGroupLimit collapses map-side, one Exchange
     * per vector), broadcast `nprobe`-list filter, TakeOrderedAndProject. */
-  private def ivfProbeTopk(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private[graft] def ivfProbeTopk(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
     val assigned = e.crossJoin(broadcast(cents))
@@ -925,26 +925,48 @@ object Similarity {
   private[graft] def kForCorpus(n: Long): Int =
     math.max(IvfK, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
-  private[graft] def ivfCentroidsAtScale(e: DataFrame, k: Int): DataFrame = {
-    val seeds = e
-      .withColumn("ch", expr(h60("CAST(vec_id AS STRING)")))
-      .orderBy(col("ch"), col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val wAsgn = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
-    val asgn0 = e.crossJoin(broadcast(seeds))
-      .withColumn("cos_c", cosineOf(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(wAsgn)).filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
-    // order-free mean: one (cid, dim) cell per row through a partial-agg
-    // avg; the final rebuild collects DIMS entries per centroid (bounded by
-    // vector width, never by cluster size)
-    asgn0
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("j", "x")))
-      .groupBy(col("cid"), col("j"))
-      .agg(avg(col("x").cast("double")).as("m"))
+  /** Row-local nearest-centroid id for the `embedding` column against a
+    * DRIVER-HELD quantizer (cid, cvec) list. The coarse quantizer is a
+    * bounded driver-scale object by construction — K ≤ 4096 centroids ×
+    * ≤ 256 dims ≤ ~8 MB — so embedding it as an array literal makes the
+    * assignment a pure projection: no crossJoin fan-out, no window, no
+    * Exchange; each executor scans its vectors once against the in-plan
+    * centroid array (the textbook IVF assignment pass). Tie-break matches
+    * the window form (cos desc, cid asc): lexicographic max of
+    * (cos, -cid) structs. */
+  private def nearestCidLocal(cents: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.NearestCentroid.nearestOf(col("embedding"), cents)
+
+  /** The hash-sampled seed query shared by the at-scale quantizer and the
+    * q25_ivf_scale lane's fused seed∪probe action: k rows of
+    * (vec_id, embedding-as-double). */
+  private def ivfSeedQuery(e: DataFrame, k: Int): DataFrame = e
+    .withColumn("ch", expr(h60("CAST(vec_id AS STRING)")))
+    .orderBy(col("ch"), col("vec_id")).limit(k)
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** One Lloyd step from DRIVER-HELD seeds: row-local nearest-seed
+    * assignment (codegen'd NearestCentroid), then ONE vec_avg imperative
+    * agg — element-wise array mean in a single typed buffer. The map-side
+    * partial collapses to K buffers per partition before the single
+    * Exchange; no crossJoin fan-out, no posexplode, no dims-wide
+    * expression plan. Per-partition sum order is scan order — exactly as
+    * order-free as a cell formulation (this lane's documented reason for
+    * being rows-only). */
+  private[graft] def ivfMeansFromSeeds(
+      e: DataFrame, seeds: Seq[(Long, Seq[Double])]): DataFrame =
+    e.withColumn("cid", nearestCidLocal(seeds))
       .groupBy(col("cid"))
-      .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("jm"))
-      .select(col("cid"), expr("transform(jm, p -> p.m)").as("cvec"))
+      .agg(call_function("vec_avg", col("embedding")).as("cvec"))
+
+  private[graft] def ivfCentroidsAtScale(e: DataFrame, k: Int): DataFrame = {
+    // Seed quantizer collected to the driver (k rows, bounded by the
+    // broadcast cap — see nearestCidLocal). One bounded collect replaces a
+    // crossJoin + rank shuffle over the whole corpus.
+    val seeds: Seq[(Long, Seq[Double])] = ivfSeedQuery(e, k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    ivfMeansFromSeeds(e, seeds)
   }
 
   /** Recall@10 of the production quantizer's IVF probe against the exact
@@ -958,26 +980,63 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val k = kForCorpus(e.count())
-    // persist: the centroid table feeds the assignment AND the probe ranking.
-    // The (single-row) audit is materialized EAGERLY so the cache can be
-    // released right here — returning a lazy frame over the persist stranded
-    // one cached centroid table per call anywhere outside Bench's inter-lane
-    // hygiene (specs, interactive sessions; r7 ADVICE). The lane was already
-    // non-lazy (the K-sizing count above), so eagerness costs no new
-    // semantics, and callers time the build via the returned local frame.
-    val cents = ivfCentroidsAtScale(e, k).persist()
-    try {
-      val approx = ivfProbeTopk(e, cents, nprobe = math.max(NProbe, k / 4))
-        .select(col("vec_id"), lit(1L).as("hit"))
-      val audit = q25CosineTopk(spark, dir).select(col("vec_id"))
-        .join(approx, Seq("vec_id"), "left")
-        .agg(count(lit(1)).as("k_top"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
-        .select(lit(k).as("k_centroids"), col("k_top"), col("n_overlap"),
-          (col("n_overlap").cast("double") / col("k_top").cast("double")).as("recall"))
-      val rows = audit.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), audit.schema)
-    } finally cents.unpersist(blocking = false)
+    // The centroid table is materialized ONCE to the driver (K rows,
+    // bounded ≤ ~8 MB by the broadcast cap — see nearestCidLocal) instead
+    // of persisted: the r8 persist() both stranded cache blocks (r7
+    // ADVICE) and re-ran the two-exchange build per consumer (ReuseExchange
+    // does not dedupe across a cache boundary; measured 3× lane
+    // regression). With the quantizer driver-held, probe-list ranking is K
+    // driver-side cosines (no job), assignment is a row-local projection,
+    // and the only corpus-scale work left is two map-heavy scans (approx
+    // top-k, exact top-k) ending in TakeOrdered — no corpus Exchange
+    // anywhere. Nothing is cached, so nothing can strand (IvfScaleSpec
+    // asserts it). Returned as a LocalRelation (no RDD, no job on
+    // re-count).
+    val nprobe = math.max(NProbe, k / 4)
+    // Every step below is a bounded driver action; the lane is
+    // job-scheduling-bound at bench scale (listener-measured: ~250 ms of
+    // task time under ~0.8 s of wall), so each action keeps its plan in
+    // the cheapest root form — TakeOrdered and head stay at the ROOT
+    // (driver-merge, no Exchange); fusing them under a union was measured
+    // slower because a non-root limit plans a shuffle merge.
+    val seeds: Seq[(Long, Seq[Double])] = ivfSeedQuery(e, k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val probeVec: Seq[Double] = e.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0).toSeq
+    val cents: Seq[(Long, Seq[Double])] = ivfMeansFromSeeds(e, seeds)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    // probe ranking on the driver — same left-fold double accumulation as
+    // DotF, same (cos desc, cid asc) order as the probed CTE
+    def cosL(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed: Seq[Long] = cents.map { case (cid, cv) => (cid, cosL(cv, probeVec)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+    // Both top-10 sets are ROOT TakeOrderedAndProject collects — map-local
+    // top-k + bounded driver merge, NO Exchange, one job each. (Fusing them
+    // under a union was measured slower: a non-root TakeOrdered plans a
+    // single-partition shuffle merge, trading the saved action for two AQE
+    // stage jobs.) The overlap of two ≤10-element id sets is driver
+    // arithmetic — a join + global agg over them would cost more scheduled
+    // stages than the whole audit's task time.
+    val exactIds: Seq[Long] = q25CosineTopk(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val approxIds: Set[Long] = e.filter(col("vec_id") =!= 0)
+      .withColumn("cid", nearestCidLocal(cents))
+      .filter(col("cid").isin(probed: _*))
+      .select(col("vec_id"),
+        cosineOf(col("embedding"), typedlit(probeVec)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = exactIds.count(approxIds.contains)
+    spark.createDataFrame(Seq(
+      (k, exactIds.length.toLong, overlap.toLong,
+        overlap.toDouble / exactIds.length.toDouble)))
+      .toDF("k_centroids", "k_top", "n_overlap", "recall")
   }
 
   // --- Q25e: int8 quantization audit -----------------------------------------

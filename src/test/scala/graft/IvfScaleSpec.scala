@@ -35,6 +35,65 @@ class IvfScaleSpec extends SparkSpec {
     assert(Similarity.kForCorpus(100_000_000_000L) === 4096) // 100 TB corpus: capped
   }
 
+  test("q25_ivf_scale strands no cached RDDs (r8 fix held without persist)") {
+    graft.functions.GraftFunctions.register(spark)
+    // drain caches persisted by OTHER lanes in this shared session (e.g.
+    // the exact-mean quantizer's documented lazy persist) so the assertion
+    // isolates what THIS lane leaves behind
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    Similarity.q25IvfScale(spark, "/root/testdata/sf0.01").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"stranded: ${spark.sparkContext.getPersistentRDDs.keys.toSeq}")
+  }
+
+  test("nearest_centroid matches the cosine-argmax window formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents: Seq[(Long, Seq[Double])] =
+      Similarity.ivfCentroids(e).select("cid", "cvec").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    // reference: broadcast crossJoin + row_number window (cos desc, cid asc)
+    import spark.implicits._
+    val centsDf = cents.toDF("cid", "cvec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val viaWindow = e.crossJoin(broadcast(centsDf))
+      .withColumn("cos_c",
+        call_function("dotf", col("embedding"), col("cvec")) /
+          (sqrt(call_function("dotf", col("embedding"), col("embedding"))) *
+            sqrt(call_function("dotf", col("cvec"), col("cvec")))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def exprAssign(): Map[Long, Long] = e.select(col("vec_id"),
+        graft.functions.NearestCentroid.nearestOf(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprAssign() === viaWindow)
+    // codegen/interpreted parity (the eval path serves interpreted plans)
+    withInterpretedOnly { assert(exprAssign() === viaWindow) }
+  }
+
+  test("vec_avg equals the per-dimension declarative mean") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .withColumn("g", (col("vec_id") % 7).cast("long"))
+    val viaAgg = e.groupBy("g")
+      .agg(call_function("vec_avg", col("embedding")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val dims = viaAgg.head._2.length
+    val viaAvg = e.groupBy("g")
+      .agg(array((0 until dims).map(j =>
+        avg(col("embedding").getItem(j).cast("double"))): _*).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(viaAgg.keySet === viaAvg.keySet)
+    viaAgg.foreach { case (g, v) =>
+      v.zip(viaAvg(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9, s"g=$g diverged: $a vs $b") }
+    }
+  }
+
   test("q25_ivf_scale recall@10 at sf0.1 is within tolerance of the exact-mean IVF lane") {
     val dir = "/root/testdata/sf0.1"
     val rScale = Similarity.q25IvfScale(spark, dir)
