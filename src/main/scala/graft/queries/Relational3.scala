@@ -154,6 +154,37 @@ object Relational3 {
       .orderBy(col("col_name"))
   }
 
+  /** Q37b — the documented 100 TB profile variant, now a lane: ONE global
+    * aggregation with approx_count_distinct (HLL++, rsd 0.05) in place of
+    * the COUNT(DISTINCT) branch. No Expand fan-out, no distinct shuffle —
+    * the whole profile is a single map-side-combining pass (the HLL and
+    * min/max/null buffers all merge associatively), which is the only
+    * affordable shape at 10¹²-row scale. The swap is licensed by the
+    * q13_hll_merge proof (HllMergeSpec: per-slice sketches union to the
+    * global sketch exactly) and audited by ProfileApproxSpec: per-column
+    * relative error vs the exact lane ≤ the configured rsd envelope at
+    * sf0.1, and a plan assertion that no Expand node appears. Rows-only in
+    * the oracle gate BY DESIGN (approx values have no relational oracle);
+    * the exact lane q37_profile remains the correctness anchor. */
+  def q37ProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val orders = Tables.orders(spark, dir)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, vmin, vmax)"))
+      .orderBy(col("col_name"))
+  }
+
   val q37ProfileSql: String = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -179,16 +210,26 @@ object Relational3 {
   // NULL price classifies as update/unchanged, never as a phantom insert
   // (ADVICE r4). Snapshots derived deterministically from `orders`
   // (modulo families) so both engines build identical inputs.
-  def q36Diff(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val old = o.filter(col("o_orderkey") % 7 =!= 0)
+  /** The deterministic snapshot pair shared by q36_diff and q45_upsert
+    * (old: keys % 7 ≠ 0 at original payload; new: keys % 5 ≠ 0 with every
+    * % 3 key's price bumped ×1.1) — one definition so the diff, the merge
+    * and both oracles classify the same rows. */
+  private def snapOld(o: DataFrame): DataFrame =
+    o.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
         col("o_orderstatus").as("old_status"), lit(true).as("in_old"))
-    val neu = o.filter(col("o_orderkey") % 5 =!= 0)
+
+  private def snapNew(o: DataFrame): DataFrame =
+    o.filter(col("o_orderkey") % 5 =!= 0)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
           .otherwise(col("o_totalprice")).as("new_price"),
         col("o_orderstatus").as("new_status"), lit(true).as("in_new"))
+
+  def q36Diff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val old = snapOld(o)
+    val neu = snapNew(o)
     old.join(neu, Seq("o_orderkey"), "full")
       .withColumn("verdict",
         when(col("in_old").isNull, "insert")
@@ -220,6 +261,67 @@ object Relational3 {
       |WHERE in_old IS NULL OR in_new IS NULL
       |   OR NOT (old_price IS NOT DISTINCT FROM new_price
       |           AND old_status IS NOT DISTINCT FROM new_status)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- Q45: MERGE-shape keyed upsert — applying a change feed ---------------
+  // One step past q36_diff: the diff CLASSIFIES changes; this lane APPLIES
+  // them — the warehouse MERGE the reference's push path ultimately feeds.
+  // Spark has no MERGE INTO on plain parquet, so this is the canonical
+  // relational realization: full-outer join target × change-feed on the
+  // key; a change row wins wherever present (insert and update are the
+  // same arm — that's what makes re-application a fixpoint), a `delete`
+  // row erases the key, untouched target rows pass through. Payload
+  // transfer keys off the change MARKER, not payload nullness, so an
+  // update carrying a genuinely NULL field overwrites to NULL instead of
+  // silently keeping the old value. Scale shape: ONE shuffle per side on
+  // the join key — identical cost class to the diff itself; at 100 TB the
+  // change feed is usually ≪ target, so AQE plans its side broadcast and
+  // the target never shuffles at all. Correctness oracle: applying
+  // diff(old→new) onto old must reproduce EXACTLY the new snapshot — the
+  // oracle states that algebraic identity relationally (it is also what
+  // makes the operation auditable: merge, then diff again → empty).
+  // Idempotence (merge ∘ merge = merge) is property-tested in
+  // UpsertSpec.
+  /** Change feed (key, verdict, new payload) — q36_diff's classification
+    * kept WITH the full new payload, as a merge needs it. */
+  private[graft] def changeFeedFor(o: DataFrame): DataFrame =
+    snapOld(o).join(snapNew(o), Seq("o_orderkey"), "full")
+      .withColumn("verdict",
+        when(col("in_old").isNull, "insert")
+          .when(col("in_new").isNull, "delete")
+          .when(col("old_price") <=> col("new_price") &&
+            col("old_status") <=> col("new_status"), "unchanged")
+          .otherwise("update"))
+      .filter(col("verdict") =!= "unchanged")
+      .select(col("o_orderkey"), col("verdict"),
+        col("new_price"), col("new_status"), lit(true).as("in_chg"))
+
+  /** The merge operator itself, reusable over any (target, changes) pair
+    * keyed on o_orderkey — UpsertSpec drives it twice for the fixpoint
+    * property. */
+  private[graft] def applyChanges(target: DataFrame, changes: DataFrame): DataFrame =
+    target.join(changes, Seq("o_orderkey"), "full")
+      .filter(col("verdict").isNull || col("verdict") =!= "delete")
+      .select(col("o_orderkey"),
+        when(col("in_chg").isNotNull, col("new_price"))
+          .otherwise(col("price")).cast("double").as("price"),
+        when(col("in_chg").isNotNull, col("new_status"))
+          .otherwise(col("status")).as("status"))
+
+  def q45Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val target = snapOld(o).select(col("o_orderkey"),
+      col("old_price").as("price"), col("old_status").as("status"))
+    applyChanges(target, changeFeedFor(o)).orderBy(col("o_orderkey"))
+  }
+
+  /** The oracle is the algebraic identity: old ⊕ diff(old→new) ≡ new. */
+  val q45UpsertSql: String =
+    """SELECT o_orderkey,
+      |       CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                 ELSE o_totalprice END AS DOUBLE) AS price,
+      |       o_orderstatus AS status
+      |FROM orders WHERE o_orderkey % 5 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
   // --- Q38: JSONL interchange — the training-data exchange format ----------
@@ -548,6 +650,8 @@ object Relational3 {
     "q14_unpivot"    -> (q14Unpivot _),
     "q14_grouping_sets" -> (q14GroupingSets _),
     "q37_profile"    -> (q37Profile _),
+    "q37_profile_approx" -> (q37ProfileApprox _),
+    "q45_upsert"     -> (q45Upsert _),
     "q38_jsonl"      -> (q38Jsonl _),
     "q38_csv"        -> (q38Csv _),
     "q38_orc"        -> (q38Orc _),
@@ -565,6 +669,7 @@ object Relational3 {
     "q14_unpivot"    -> q14UnpivotSql,
     "q14_grouping_sets" -> q14GroupingSetsSql,
     "q37_profile"    -> q37ProfileSql,
+    "q45_upsert"     -> q45UpsertSql,
     "q38_jsonl"      -> q38JsonlSql,
     "q38_csv"        -> q38CsvSql,
     "q38_orc"        -> q38OrcSql,
