@@ -9,14 +9,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val builder = GraftSession.builder("4")
-    // SPARK_GRAFT_NO_BROADCAST=1: preview the at-scale plan shape — with
-    // test-SF inputs every join side fits under the broadcast threshold,
-    // which hides the SMJ/shuffle structure a 100 TB run would use.
-    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
-      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    val spark = builder.getOrCreate()
+    // SPARK_GRAFT_NO_BROADCAST=1 (the at-scale plan-shape preview) is
+    // honored inside GraftSession.builder for every entry point.
+    val spark = GraftSession.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq

@@ -25,8 +25,8 @@ import org.apache.spark.sql.SparkSession
   *    with no imperative register call.
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,6 +34,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new graft.functions.GraftExtensions)
+    // SPARK_GRAFT_NO_BROADCAST=1: the at-scale join-shape preview — with
+    // test-SF inputs every join side fits under the broadcast threshold,
+    // which hides the SMJ/shuffle structure a 100 TB run would use.
+    // Honored by EVERY entry point (Bench, Verify, QTime, Explain,
+    // JoinShapes) so the full lane set can be run and benched in the
+    // degraded-shape configuration (r9 audit). Explicit broadcast() hints
+    // are unaffected by design — they mark sides bounded by construction.
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+      b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    b
+  }
 
   /** Env-driven convenience used by the tool mains. */
   def build(defaultCpus: String = "32"): SparkSession = {

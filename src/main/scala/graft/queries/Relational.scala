@@ -330,7 +330,12 @@ object Relational {
     val direct = ev.agg(
       expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
       countDistinct(col("user_id")).as("exact"))
-    merged.crossJoin(direct) // two one-row frames
+    // two one-row frames — broadcast EXPLICITLY: without the hint the
+    // cross rides auto-broadcast, and a no-broadcast conf (the at-scale
+    // preview / a 100 TB deployment with thresholds tuned down) silently
+    // degrades it to CartesianProduct (r9 join-shape audit). The hint pins
+    // the bounded side by construction, independent of any threshold.
+    merged.crossJoin(broadcast(direct))
       .select(col("est_merged"), col("est_direct"), col("exact"),
         (abs(col("est_merged") - col("exact")).cast("double") /
           col("exact").cast("double")).as("rel_err"),

@@ -27,6 +27,21 @@ class HllMergeSpec extends SparkSpec {
     assert(a.getBoolean(4) && b.getBoolean(4))
   }
 
+  test("the sketch-merge cross stays a broadcast NLJ when auto-broadcast is off") {
+    // r9 join-shape audit: the unhinted one-row crossJoin degraded to
+    // CartesianProduct under no-broadcast confs; the explicit broadcast()
+    // hint must pin the shape independent of any threshold.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = Relational.q13HllMerge(spark, dir)
+      df.collect() // finalize the adaptive plan before reading it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   test("q13's approx_count_distinct stays inside its error envelope per group") {
     import org.apache.spark.sql.functions._
     val approx = Relational.q13(spark, dir) // (day, approx_users)
