@@ -151,15 +151,15 @@ object Bench {
     def streamPass(): Double = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
       spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
-      // raw file schema (ts = nanos long under nanosAsLong), converted
-      // in-stream exactly as Tables.events does for batch
+      // raw file schema (nanos long or timestamp[us]), converted in-stream
+      // exactly as Tables.events does for batch
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // file streams want a directory: stream the sf dir filtered to the
       // events file
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
       val t1 = System.nanoTime()
       val q = graft.streaming.StreamingJobs.tumblingCounts(src)
         .writeStream.format("noop").option("checkpointLocation", ckpt)

@@ -14,10 +14,11 @@ import org.apache.spark.sql.SparkSession
   *  - `shuffle.partitions` = core count, not the 200 default — at test SF
   *    a 200-way shuffle is pure task-scheduling overhead; a real cluster
   *    deployment overrides BOTH master and this value.
-  *  - `nanosAsLong`: the fixture `events.parquet` carries
+  *  - `nanosAsLong`: events fixtures through round 8 carried
   *    TIMESTAMP(NANOS), which Spark reads only as raw longs; set at
   *    session build (NOT mutated later — plan-build-time conf mutation was
-  *    a round-2 finding).
+  *    a round-2 finding). Harmless for the round-9+ timestamp[us] files;
+  *    `Tables.normalizeEventTs` accepts either storage generation.
   *  - `outputTimestampType=TIMESTAMP_MICROS`: written parquet carries the
   *    same unit DuckDB reads, keeping the oracle compare unit-exact.
   *  - [[graft.functions.GraftExtensions]] injects the custom expressions

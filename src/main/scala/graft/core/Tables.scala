@@ -13,18 +13,53 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * AT BUILD TIME (Bench/Verify/QTime/cli/SparkSpec all do) — a loader
-    * must not mutate shared session conf at plan-build time. The long nanos
-    * truncate to micros — identical to DuckDB's ns→us truncation, keeping
-    * the oracle in lockstep. Integer `div` (not `/`): epoch-nanos exceed
-    * 2^53, double math would corrupt the low bits.
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** Normalize an events frame's `ts` to the engine-wide shape regardless
+    * of how the file stored it. Two storage generations exist:
+    *  - TIMESTAMP(NANOS) → int64 under `spark.sql.legacy.parquet.
+    *    nanosAsLong=true` (set AT BUILD TIME by every session — a loader
+    *    must not mutate shared conf at plan-build time). The long nanos
+    *    truncate to micros with integer `div` (not `/`): epoch-nanos
+    *    exceed 2^53, double math would corrupt the low bits. This is also
+    *    the convention of the spec fixtures that synthesize events.
+    *  - plain timestamp[us] (surfaces as TIMESTAMP_NTZ), the round-9
+    *    testdata generation: cast to session-TZ TIMESTAMP (UTC session →
+    *    identical instants and identical written-parquet bytes to the
+    *    nanos path, keeping the DuckDB oracle in lockstep).
+    * Either way the surfaced schema is the same: `ts` TIMESTAMP plus a
+    * derived `ts_ns` BIGINT epoch-nanos twin. Works on batch AND streaming
+    * frames (schema-driven, no action). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** Incremental-window events scan with the range predicate applied to
+    * the RAW `ts` column in the file's own type, BEFORE normalization —
+    * the only way the bound reaches the parquet scan (PushedFilters) and
+    * prunes row groups/partitions: a predicate on the derived `ts`/`ts_ns`
+    * sits above a cast/arithmetic projection Catalyst cannot invert. The
+    * 100 TB incremental-read shape (R4). */
+  def eventsRanged(spark: SparkSession, dir: String,
+                   fromLit: String, untilLit: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val raw = table(spark, dir, "events")
+    val ranged = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= nanosOf(fromLit) && col("ts") < nanosOf(untilLit))
+      case dt =>
+        raw.filter(col("ts") >= lit(fromLit).cast(dt) && col("ts") < lit(untilLit).cast(dt))
+    }
+    normalizeEventTs(ranged)
   }
 
   /** Raw-nanos twin of a `ts` predicate bound: predicates on the derived

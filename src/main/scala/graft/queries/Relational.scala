@@ -30,14 +30,12 @@ object Relational {
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   // --- Q1: incremental window scan+filter+project (R1+R4 shape) ---------
-  // The range predicate is expressed BOTH on the derived `ts` (semantics)
-  // and on the raw parquet `ts_ns` column (pushdown): the derived-column
-  // filter can't reach the scan, the ts_ns twin shows up in PushedFilters
-  // and prunes row groups — the shape that matters at 100 TB.
+  // The range predicate is expressed BOTH on the RAW file column in its
+  // own storage type (Tables.eventsRanged — the only form that reaches
+  // PushedFilters and prunes row groups, the shape that matters at 100 TB)
+  // and on the derived `ts` (semantic restatement above the projection).
   def q01(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts_ns") >= Tables.nanosOf("2024-01-10 00:00:00") &&
-        col("ts_ns") < Tables.nanosOf("2024-01-20 00:00:00"))
+    Tables.eventsRanged(spark, dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
       .filter(col("ts") >= ts("2024-01-10 00:00:00") && col("ts") < ts("2024-01-20 00:00:00"))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type").as("etype"), col("value"))

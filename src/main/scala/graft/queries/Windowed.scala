@@ -232,7 +232,7 @@ object Windowed {
       else
         spark.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val src = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = graft.core.Tables.normalizeEventTs(raw)
     val q = graft.streaming.StreamingJobs.tumblingCounts(src)
       .writeStream.format("noop").option("checkpointLocation", ckpt)
       .outputMode("append")

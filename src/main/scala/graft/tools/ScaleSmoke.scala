@@ -30,9 +30,9 @@ object ScaleSmoke {
     (0 until copies).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // events too (nanos-long ts survives the copy: nanosAsLong reads the
-    // NANOS column as int64 and the copy stores plain int64 — Tables.events'
-    // div-1000 conversion is identical either way), so the `ingest`
+    // events too (the raw ts column copies as-is in either storage
+    // generation — nanos int64 or timestamp[us] — and Tables.events'
+    // schema-driven normalization handles both), so the `ingest`
     // pseudo-lane below can rehearse the Q30 write path at `copies`×
     val ev = spark.read.parquet(s"$sf/events.parquet")
     (0 until copies).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))

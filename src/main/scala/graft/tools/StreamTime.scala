@@ -24,10 +24,10 @@ object StreamTime {
     (0 until reps).foreach { rep =>
       val ckpt = java.nio.file.Files.createTempDirectory("graft_streamtime").toString
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamingJobs.tumblingCounts(src)
         .writeStream.format("noop").option("checkpointLocation", ckpt)
