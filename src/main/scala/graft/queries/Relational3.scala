@@ -568,6 +568,54 @@ object Relational3 {
     out
   }
 
+  // --- Q39c: SORTED-layout row-group skipping (min/max stats pruning) ------
+  // Partition pruning (q39a) and DPP (q39b) cover the partition key; for
+  // every OTHER probe key the 100 TB scan lever is ROW-GROUP statistics:
+  // rewrite the table range-clustered + sorted by the key and each row
+  // group's footer [min,max] becomes tight and disjoint, so a range
+  // predicate skips all but the matching groups at footer-read time — no
+  // data pages touched. Unsorted bronze leaves every row group spanning
+  // the whole key domain, and the same pushed filter prunes NOTHING (the
+  // pushdown is there; the layout wastes it). One probe key needs a plain
+  // sort; multi-key corpora generalize via Z/Hilbert interleaving.
+  // The lane performs the rewrite (repartitionByRange + sortWithin-
+  // Partitions — globally range-clustered files) and aggregates a narrow
+  // user range from the SORTED copy; the oracle computes the same over
+  // the raw table, proving rewrite fidelity. SortSkipSpec reads parquet
+  // footers of both layouts and proves the stats prune (sorted: ≤2 of 8
+  // clusters match; unsorted: every row group matches). Aggregates are
+  // chosen order-independent (count, min/max) so the hash gate is exact.
+  def q39SortSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = sortedSlot(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 10 && col("user_id") < 14)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The sorted-rewrite slot, shared with SortSkipSpec: events rewritten
+    * range-clustered by user_id (8 clusters ≈ files at test SF; at 100 TB
+    * the same write is a day's compaction output with many row groups per
+    * file — the footer-stats mechanism is identical at both scales). */
+  private[graft] def sortedSlot(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    Tables.events(spark, dir)
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  val q39SortSkipSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events WHERE user_id >= 10 AND user_id < 14
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** The lang→region dim both engines must see identically. */
   private[graft] val LangRegions: Seq[(String, String)] =
     Seq("en" -> "A", "fr" -> "A", "de" -> "B", "es" -> "B", "zh" -> "C")
@@ -660,6 +708,7 @@ object Relational3 {
     "q38_text"       -> (q38Text _),
     "q39_partition_prune" -> (q39PartitionPrune _),
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
+    "q39_sort_skip"       -> (q39SortSkip _),
     "q40_schema_merge"    -> (q40SchemaMerge _),
     "q36_diff"       -> (q36Diff _),
   )
@@ -678,6 +727,7 @@ object Relational3 {
     "q38_text"       -> q38TextSql,
     "q39_partition_prune" -> q39PartitionPruneSql,
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
+    "q39_sort_skip"       -> q39SortSkipSql,
     "q40_schema_merge"    -> q40SchemaMergeSql,
     "q36_diff"       -> q36DiffSql,
   )

@@ -1464,7 +1464,106 @@ object Similarity {
        |WHERE k.doc_id <> f.dup_of
        |ORDER BY k.doc_id, k.band_id""".stripMargin
 
+  // --- Q26f: INCREMENTAL near-dup — today's delta vs a persisted band index
+  // The operational staple one step past q24_lsh_pairs: a 100 TB corpus is
+  // deduped ONCE, its banded MinHash index persisted columnar, and each
+  // day's arrivals probe that index instead of re-banding the corpus —
+  // cost O(delta · BANDS + candidates), never another full-corpus pass.
+  // This lane runs the whole maintenance cycle: build yesterday's index
+  // from the base split (doc_id % 7 != 0), persist it to parquet, read it
+  // BACK (the probe must consume the on-disk index, not the in-memory
+  // lineage, or the lane would silently prove nothing), probe today's
+  // delta (doc_id % 7 == 0) against it, and dedup the delta against
+  // itself in arrival (= doc_id) order. Verdict per delta doc: the
+  // minimal qualifying partner with exact-Jaccard ≥ 0.3 (base docs, or
+  // earlier delta docs), NULL for clean docs.
+  //
+  // Scale shapes: probe-vs-index is a plain equi-join on (band_id,
+  // band_key) — the skew-splittable join shape (AQE, AqeSkewJoinSpec);
+  // delta-vs-delta reuses the capped hot-bucket routing (splitHotBuckets)
+  // exactly like the batch pair lanes, so a viral band key inside one
+  // day's arrivals still never materializes in a single task. The verify
+  // join and min-partner agg are candidate-linear with map-side combine.
+  // IncrNeardupSpec proves the incremental path ≡ the from-scratch batch
+  // run: verdicts equal q24_lsh_pairs' pair set restricted to
+  // (base ∪ earlier-delta) partners, and index ∪ delta-bands ≡ a full
+  // rebuild — the index maintenance invariant.
+  private val IncrDeltaMod = 7
+
+  def q26IncrNeardup(spark: SparkSession, dir: String): DataFrame =
+    q26IncrNeardupCapped(spark, dir, HotBucketCap)
+
+  private[graft] def q26IncrNeardupCapped(spark: SparkSession, dir: String,
+                                          hotCap: Int): DataFrame = {
+    // persist: the shingle table feeds index build, delta banding AND both
+    // verify sides (same trade as q24_lsh_pairs).
+    val shingled = docsWithShingles(spark, dir).persist()
+    val base  = shingled.filter(col("doc_id") % IncrDeltaMod =!= 0)
+    val delta = shingled.filter(col("doc_id") % IncrDeltaMod === 0)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_incr_idx_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    bandKeysOf(base).write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+
+    val probe = bandKeysOf(delta)
+      .select(col("band_id"), col("band_key"), struct(col("doc_id")).as("e"))
+    // new-vs-indexed: equi-join the on-disk index (AQE splits a viral key)
+    val candBase = probe
+      .join(idx.select(col("band_id"), col("band_key"), col("doc_id").as("partner")),
+        Seq("band_id", "band_key"))
+      .select(col("e.doc_id").as("doc_id"), col("partner"))
+    // new-vs-earlier-new: the family's capped bucket expansion; pairs come
+    // out x<y, so y is "today's later arrival" and x its earlier partner
+    val (cold, hotRaw) = splitHotBuckets(probe, Seq("band_id", "band_key"), hotCap,
+      persistInput = false)
+    val candDelta = cold
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
+      .select(col("p.doc_b").as("doc_id"), col("p.doc_a").as("partner"))
+      .unionByName(hotRaw
+        .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("partner")))
+    val cand = candBase.unionByName(candDelta).distinct()
+
+    val verdicts = cand
+      .join(shingled.select(col("doc_id"), col("sh")), "doc_id")
+      .join(shingled.select(col("doc_id").as("partner"), col("sh").as("sh_p")), "partner")
+      .withColumn("j",
+        size(array_intersect(col("sh"), col("sh_p"))).cast("double") /
+          size(array_union(col("sh"), col("sh_p"))).cast("double"))
+      .filter(col("j") >= 0.3)
+      .groupBy(col("doc_id"))
+      .agg(min(col("partner")).as("dup_of"), expr("min_by(j, partner)").as("jaccard"))
+    delta.select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  val q26IncrNeardupSql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key FROM bands),
+       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, p.doc_id AS partner
+       |         FROM keys n JOIN keys p
+       |           ON n.band_id = p.band_id AND n.band_key = p.band_key
+       |         WHERE n.doc_id % $IncrDeltaMod = 0
+       |           AND (p.doc_id % $IncrDeltaMod <> 0 OR p.doc_id < n.doc_id)),
+       |ver AS (SELECT c.doc_id, c.partner,
+       |          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+       |        FROM cand c JOIN d a ON a.doc_id = c.doc_id
+       |                    JOIN d b ON b.doc_id = c.partner),
+       |v AS (SELECT doc_id, min(partner) AS dup_of, arg_min(j, partner) AS jaccard
+       |      FROM ver WHERE j >= 0.3 GROUP BY doc_id)
+       |SELECT nd.doc_id, v.dup_of, v.jaccard
+       |FROM (SELECT doc_id FROM d WHERE doc_id % $IncrDeltaMod = 0) nd
+       |LEFT JOIN v USING (doc_id)
+       |ORDER BY nd.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_incr_neardup"  -> (q26IncrNeardup _),
     "q29_neardup_batch" -> (q29NeardupBatch _),
     "q33_decontam_fuzzy" -> (q33DecontamFuzzy _),
     "q26_span_dup"      -> (q26SpanDup _),
@@ -1488,6 +1587,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q26_incr_neardup"  -> q26IncrNeardupSql,
     "q29_neardup_batch" -> q29NeardupBatchSql,
     "q33_decontam_fuzzy" -> q33DecontamFuzzySql,
     "q26_span_dup"      -> q26SpanDupSql,

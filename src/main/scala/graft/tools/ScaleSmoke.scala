@@ -22,6 +22,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
 
+    // SPARK_GRAFT_SCALE_REUSE=1: skip the corpus build when a previous run
+    // already widened this copies× (big rehearsals chunk their lane lists
+    // across invocations; rebuilding 100+ copies each chunk wastes minutes)
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      new java.io.File(s"$out/events.parquet/_SUCCESS").exists()
+    if (!reuse) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
@@ -38,7 +44,9 @@ object ScaleSmoke {
     (0 until copies).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
-    println(s"[scale$copies] corpus ready: ${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
+    }
+    println(s"[scale$copies] corpus ${if (reuse) "reused" else "ready"}: " +
+      s"${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
 
     // Hot-key evidence: rows per bucket key above the production caps, per
     // lane's bucket definition (re-derived here; the lanes' own routing is
