@@ -33,4 +33,40 @@ object SkewJoin {
       .withColumn("_salt", explode(expr(s"sequence(0, ${buckets - 1})")))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Self-PAIR expansion for viral bucket keys with per-key 2-D GRID
+    * salting — the shape 1-D salting cannot bound: salting one side into
+    * a fixed `buckets` leaves each task joining f/buckets × f rows, so
+    * per-task output still grows LINEARLY with the key's row count f
+    * (measured at 128× twins: a 70 k-row band bucket ⇒ ~150 M-pair tasks).
+    * Here both sides split into B = ⌈f/cap⌉ hash slices and the pair space
+    * becomes a B×B grid of cells: row x lands in column h(x) replicated
+    * across rows, row y in row h(y) replicated across columns, so every
+    * ordered pair (x, y) meets in EXACTLY ONE cell (h(x), h(y)) — no
+    * dedup pass — and per-cell work is ~cap² pairs REGARDLESS of f. B is
+    * per-key (derived from `fCol`, which the capped-collect aggregation
+    * already computed), so moderate hot keys pay a 2-3× explode while a
+    * viral key fans exactly as wide as its quadratic output requires:
+    * replicated rows per key = f·B ≈ f²/cap = 2·pairs/cap — O(1) overhead
+    * per emitted pair. Returns `carry` columns (from the x side) plus
+    * payload pair (`x`, `y`); the caller applies its own dedup/order
+    * filter (e.g. x.doc_id < y.doc_id).
+    */
+  def gridSelfPairs(rows: DataFrame, key: String, fCol: String,
+                    payloadCol: String, carry: Seq[String],
+                    cap: Int): DataFrame = {
+    require(cap > 0)
+    val withB = rows.withColumn("_gb",
+      greatest(lit(1), ceil(col(fCol).cast("double") / cap).cast("int")))
+    val l = withB
+      .withColumn("_gi", pmod(hash(col(payloadCol)), col("_gb")))
+      .withColumn("_gj", explode(expr("sequence(0, _gb - 1)")))
+      .select(Seq(col(key), col("_gi"), col("_gj")) ++
+        carry.map(col) :+ col(payloadCol).as("x"): _*)
+    val r = withB
+      .withColumn("_gj", pmod(hash(col(payloadCol)), col("_gb")))
+      .withColumn("_gi", explode(expr("sequence(0, _gb - 1)")))
+      .select(col(key), col("_gi"), col("_gj"), col(payloadCol).as("y"))
+    l.join(r, Seq(key, "_gi", "_gj")).drop("_gi", "_gj")
+  }
 }

@@ -89,8 +89,11 @@ object Similarity {
     * ever holds more than cap+1 payloads regardless of key virality.
     * Keys with f ≤ cap expand in place off `ds` (complete by construction);
     * keys above the cap feed RAW rows through [[graft.core.SkewJoin]]'s
-    * salted self-join, so a viral posting list (f = 10⁷ boilerplate docs at
-    * 100 TB) is never materialized as one array in any single task.
+    * per-key 2-D GRID self-pair expansion, so a viral posting list
+    * (f = 10⁷ boilerplate docs at 100 TB) is never materialized as one
+    * array in any single task AND no task's pair output exceeds ~cap²
+    * (1-D salting bounded the input side only; per-task OUTPUT still grew
+    * linearly with f — the r9 128× finding).
     *
     * Earlier rounds learned the key count in a SEPARATE count pass, which
     * cost an extra job plus a materialization (localCheckpoint, later
@@ -142,24 +145,32 @@ object Similarity {
     // bucket would count as hot yet fail to route its raw rows. Explicit
     // <=> conditions keep NULL groups routable. (concat_ws below skips
     // nulls, so the cast also coalesces to a sentinel that keeps a NULL
-    // key distinct from an empty string in the salted-join bucket id.)
+    // key distinct from an empty string in the grid cell id.)
+    // The probe join carries g.f (the key's exact row count) onto every
+    // hot row: the grid expansion below sizes its per-key split from it.
+    // Inner broadcast ≡ the former left_semi here (hk keys are distinct,
+    // so no row duplication), and AQE's empty-relation propagation still
+    // collapses the hot branch when hk materializes empty.
     val hk = grouped.filter(col("g.f") > cap)
-      .select(keyCols.map(c => col(c).as(s"__hk_$c")): _*)
+      .select(col("g.f").as("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*)
     val nsCond = keyCols.map(c => col(c) <=> col(s"__hk_$c")).reduce(_ && _)
-    // hotRows is NOT persisted although both salted-join sides reference
-    // it: a cache boundary here isolates the semi join's internal plan and
+    // hotRows is NOT persisted although both grid sides reference it: a
+    // cache boundary here isolates the probe join's internal plan and
     // breaks exchange reuse between the broadcast hk aggregation and the
     // cold path's (measured: jaccard 2.0 -> 3.1 s with the persist). The
     // two probe passes read `src`'s cache (or re-derive cheaply for
     // persistInput=false callers), which is the better trade.
-    val hotRows = src.join(broadcast(hk), nsCond, "left_semi")
+    val hotRows = src.join(broadcast(hk), nsCond)
       .select(concat_ws("\u0001",
           keys.map(k => coalesce(k.cast("string"), lit("\u0001NULL"))): _*).as("k") +:
-        (keys :+ col("e")): _*)
-    val hotPairs = graft.core.SkewJoin.saltedInnerJoin(
-        hotRows.select(col("k") +: (keys :+ col("e").as("x")): _*),
-        hotRows.select(col("k"), col("e").as("y")),
-        "k", buckets = 32, saltBy = Seq("x"))
+        (keys :+ col("e") :+ col("__hk_f")): _*)
+    // 2-D grid self-pairs (SkewJoin.gridSelfPairs): per-cell work ≤ ~cap²
+    // pairs regardless of the key's virality — 1-D salting left per-task
+    // output growing linearly with f (measured at the 128× rehearsal:
+    // a 70 k-row band bucket => ~150 M-pair tasks; see PLANS.md Round-9).
+    val hotPairs = graft.core.SkewJoin.gridSelfPairs(
+        hotRows, key = "k", fCol = "__hk_f", payloadCol = "e",
+        carry = keyCols, cap = cap)
       .filter(col("x.doc_id") < col("y.doc_id"))
     (cold, hotPairs)
   }
