@@ -77,7 +77,7 @@ object ScaleSmoke {
 
     val defaultLanes = Seq("q24_simhash_pairs", "q24_lsh_pairs", "q24_jaccard_pairs",
         "q26_span_dup", "q26_cc_clusters", "q26_dedup_survivors",
-        "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode",
+        "q26_incr_neardup", "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode",
         "q29_neardup_batch", "q25_ivf_scale", "q32_video_frames",
         "q41_state_read")
     (if (args.nonEmpty) args.toSeq else defaultLanes).foreach {
