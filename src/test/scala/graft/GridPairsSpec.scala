@@ -39,6 +39,33 @@ class GridPairsSpec extends SparkSpec {
     assert(grid.sorted === naive.sorted)
   }
 
+  test("property: grid pairs == naive pairs for arbitrary multiplicity mixes") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // keys with arbitrary row counts straddling the cap from both sides —
+    // the boundary cases (f == cap, f == cap+1, f >> cap) all land here
+    val mixGen = Gen.listOfN(4, Gen.chooseNum(1, 400))
+    val prop = Prop.forAll(mixGen) { ns =>
+      val keys = ns.zipWithIndex.map { case (n, i) => (s"k$i", n) }
+      val df = keys.flatMap { case (k, n) =>
+        (0 until n).map(i => (k, n.toLong, i.toLong))
+      }.toDF("k", "f", "id")
+        .withColumn("e", struct(col("id").as("doc_id")))
+        .select("k", "f", "e")
+      val grid = SkewJoin.gridSelfPairs(df, "k", "f", "e",
+          carry = Seq.empty, cap = 32)
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("k"), col("x.doc_id"), col("y.doc_id"))
+        .as[(String, Long, Long)].collect().toSeq
+      val naive = keys.flatMap { case (k, n) =>
+        for (i <- 0 until n; j <- i + 1 until n) yield (k, i.toLong, j.toLong)
+      }
+      grid.size == grid.distinct.size && grid.sorted == naive.sorted
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("per-cell pair output is bounded ~cap^2 regardless of key virality") {
     // reconstruct the cell of each pair: B = ceil(f/cap), cell =
     // (h(x) mod B, h(y) mod B) — same arithmetic as the implementation
