@@ -153,6 +153,9 @@ object GraftFunctions {
       "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize_pos", exprs => TokenizePos(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch",
+      exprs => FreqSketch(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     MinHashSketch.register(spark)
   }
 }
@@ -255,5 +258,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[TokenizePos].getName, "tokenize_pos"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenizePos(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FreqSketch(exprs(0), exprs(1)).toAggregateExpression()))
   }
 }

@@ -616,6 +616,76 @@ object Relational3 {
       |FROM events WHERE user_id >= 10 AND user_id < 14
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- Q39d: Z-ORDER clustering — MULTI-column row-group skipping ---------
+  // q39_sort_skip's linear sort serves ONE probe key; real 100 TB tables
+  // are probed on several (lineitem by part AND by supplier). A linear
+  // sort on l_partkey leaves l_suppkey footer stats spanning the whole
+  // domain — suppkey probes skip nothing. Interleaving the two keys' bits
+  // into one Morton/Z value and range-clustering on THAT gives every
+  // cluster a tight [min,max] on BOTH columns (each z-range is a block of
+  // quad-tree cells), so either probe key prunes at footer-read time.
+  // Keys are normalized to 16 bits by scaling against their observed max
+  // (at 100 TB: table stats / footer maxes — one metadata read, not a
+  // scan; here one scalar agg). The z column exists only during the write
+  // and is dropped — layout is physical, the data is untouched, and the
+  // lane's aggregate over the rewrite hash-matches the raw-table oracle
+  // (rewrite fidelity). ZorderSpec evaluates the parquet footers of the
+  // z layout vs a partkey-sorted layout: the z layout prunes BOTH probe
+  // dimensions; the linear layout prunes only its sort key. The lane
+  // itself probes l_suppkey — the key the linear layout cannot serve.
+  def q39Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    val out = zorderSlot(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("l_suppkey") >= 4 && col("l_suppkey") < 8)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Morton/Z interleave of two 16-bit-normalized keys: bit i of `a` goes
+    * to position 2i+1, bit i of `b` to 2i — a pure bitwise Column tree
+    * (32 shift/and/or terms, whole-stage-codegen'd; no UDF). */
+  private[graft] def zValue(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Scale a non-negative key to 0..65535 against its observed max —
+    * sf-independent normalization (bit-shifting a fixed width breaks the
+    * moment a key outgrows it at a larger SF). */
+  private[graft] def norm16(c: Column, max: Long): Column =
+    ((c * lit(65535L)) / lit(math.max(max, 1L))).cast("long")
+
+  /** The z-clustered lineitem rewrite, shared with ZorderSpec. 16 range
+    * clusters on the interleaved key ≈ a 4×4 grid of (partkey, suppkey)
+    * quarter-cells at this file count; at 100 TB the same write is a
+    * compaction output with many row groups per file and the footer-stats
+    * mechanism is identical. */
+  private[graft] def zorderSlot(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    val li = Tables.lineitem(spark, dir)
+    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+    val (maxP, maxS) = (maxes.getLong(0), maxes.getLong(1))
+    li.withColumn("zv",
+        zValue(norm16(col("l_partkey"), maxP), norm16(col("l_suppkey"), maxS)))
+      .repartitionByRange(16, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  val q39ZorderSql: String =
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_suppkey >= 4 AND l_suppkey < 8
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   /** The lang→region dim both engines must see identically. */
   private[graft] val LangRegions: Seq[(String, String)] =
     Seq("en" -> "A", "fr" -> "A", "de" -> "B", "es" -> "B", "zh" -> "C")
@@ -709,6 +779,7 @@ object Relational3 {
     "q39_partition_prune" -> (q39PartitionPrune _),
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
     "q39_sort_skip"       -> (q39SortSkip _),
+    "q39_zorder"          -> (q39Zorder _),
     "q40_schema_merge"    -> (q40SchemaMerge _),
     "q36_diff"       -> (q36Diff _),
   )
@@ -728,6 +799,7 @@ object Relational3 {
     "q39_partition_prune" -> q39PartitionPruneSql,
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
     "q39_sort_skip"       -> q39SortSkipSql,
+    "q39_zorder"          -> q39ZorderSql,
     "q40_schema_merge"    -> q40SchemaMergeSql,
     "q36_diff"       -> q36DiffSql,
   )

@@ -486,6 +486,173 @@ object TextOps {
       |      FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
       |ORDER BY doc_id, chunk_no""".stripMargin
 
+  // --- Q23i: CONTENT-DEFINED chunking — rolling-hash breakpoints -----------
+  // q23_chunks' fixed stride breaks on edits: insert one token at the top
+  // of a document and EVERY downstream chunk boundary shifts, so every
+  // fingerprint changes and chunk-level dedup across document versions
+  // finds nothing. Content-defined chunking (the rsync/LBFS/CDC family)
+  // places boundaries where the CONTENT says so — after any token whose
+  // 60-bit md5 hash ≡ 0 (mod 16), giving ~16-token expected chunks — so
+  // an edit perturbs only the chunk containing it and fingerprints
+  // re-align at the next content boundary. That is the property that
+  // makes chunk-granular dedup of versioned/near-dup corpora work at
+  // 100 TB (CdcChunksSpec proves it: a prefixed document shares every
+  // chunk fingerprint except its first).
+  //
+  // Shape: entirely row-local (scan-speed; boundary positions via ONE
+  // compiled hash60_arr pass + a filter over sequence — no prefix-sum
+  // window, no shuffle). Chunk k spans (bnd[k-1], bnd[k]]; the one
+  // possibly-empty tail chunk (text ending exactly on a boundary) is
+  // dropped by the end ≥ start guard. The oracle replays the identical
+  // boundary arithmetic on DuckDB's list primitives.
+  def q23CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      // ONE hash60_arr pass feeds the index-aware transform (hoisting it
+      // into a lambda over positions would re-digest the whole array per
+      // element); boundary positions are 1-based, non-boundaries map to 0
+      // and are filtered out
+      .withColumn("bnd",
+        expr("filter(transform(hash60_arr(toks), (h, i) -> " +
+          "IF(h % 16 = 0, i + 1, 0)), p -> p > 0)"))
+      .withColumn("k", explode(expr("sequence(1, size(bnd) + 1)")))
+      .withColumn("start_tok",
+        expr("CASE WHEN k = 1 THEN 1 ELSE element_at(bnd, k - 1) + 1 END"))
+      .withColumn("end_tok",
+        expr("CASE WHEN k = size(bnd) + 1 THEN size(toks) ELSE element_at(bnd, k) END"))
+      .filter(col("end_tok") >= col("start_tok"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_no"),
+        col("start_tok").cast("long").as("start_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast("long").as("n_toks"),
+        expr("md5(concat_ws(' ', slice(toks, start_tok, end_tok - start_tok + 1)))")
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  val q23CdcChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, toks,
+       |        list_filter(generate_series(1, len(toks)),
+       |                    i -> ${h60d("toks[i]")} % 16 = 0) AS bnd
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, bnd, unnest(generate_series(1, len(bnd) + 1)) AS k
+       |      FROM b),
+       |c AS (SELECT doc_id, k,
+       |        CASE WHEN k = 1 THEN 1 ELSE bnd[k - 1] + 1 END AS start_tok,
+       |        CASE WHEN k = len(bnd) + 1 THEN len(toks) ELSE bnd[k] END AS end_tok,
+       |        toks
+       |      FROM e)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_toks,
+       |  md5(array_to_string(list_slice(toks, start_tok, end_tok), ' ')) AS chunk_md5
+       |FROM c WHERE end_tok >= start_tok
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  // --- Q23k: BM25 relevance scoring --------------------------------------
+  // The retrieval-side text op (dedup/curation's sibling): Okapi BM25 of a
+  // fixed 3-term query over every document — k1 = 1.2, b = 0.75, idf =
+  // ln(1 + (N − df + ½)/(df + ½)). Shape at 100 TB: per-doc tf/dl are
+  // row-local array ops (scan speed, no corpus shuffle); the ONLY global
+  // state is a one-row stats frame (N, Σdl, per-term df — a single
+  // map-side-combining pass) broadcast-crossed in, the engine's standard
+  // scalar-frame pattern. Determinism: every operand is integer-derived,
+  // the arithmetic tree is written identically on both engines (same
+  // precedence, same order), ln is empirically bit-identical between
+  // Java's Math.log and DuckDB's libm ln (round-10 probe), and the final
+  // score is floor-rounded at 1e-9 (q44_stats' convention) so a last-ULP
+  // wobble cannot move the hash.
+  private val Bm25Terms = Seq("join", "customer", "scan")
+
+  def q23Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val statCols = Seq(sum(col("dl")).as("tot_toks")) ++ dfCols
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val contrib = Bm25Terms.indices.map { i =>
+      s"""(ln(1.0d + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5d)
+         |   / (CAST(df$i AS DOUBLE) + 0.5d))
+         | * (CAST(tf$i AS DOUBLE) * 2.2d)
+         | / (CAST(tf$i AS DOUBLE)
+         |    + 1.2d * (0.25d + 0.75d * CAST(dl AS DOUBLE) / avgdl)))""".stripMargin
+    }.mkString(" + ")
+    Bm25Terms.zipWithIndex.foldLeft(docs.crossJoin(broadcast(stats))) {
+        case (d, (t, i)) =>
+          d.withColumn(s"tf$i", expr(s"size(filter(toks, x -> x = '$t'))").cast("long"))
+      }
+      .withColumn("avgdl",
+        expr("CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .withColumn("score", expr(s"floor(($contrib) * 1e9) / 1e9"))
+      .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
+        col("dl"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q23Bm25Sql: String = {
+    val dfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val contrib = Bm25Terms.indices.map { i =>
+      s"""(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |   / (CAST(df$i AS DOUBLE) + 0.5))
+         | * (CAST(tf$i AS DOUBLE) * 2.2)
+         | / (CAST(tf$i AS DOUBLE)
+         |    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))""".stripMargin
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |           FROM documents),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(dl) AS BIGINT) AS tot_toks, $dfSel FROM t),
+       |d AS (SELECT doc_id, dl, $tfSel,
+       |        CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+       |        n_docs, df0, df1, df2
+       |      FROM t CROSS JOIN s)
+       |SELECT doc_id, tf0, tf1, tf2, dl,
+       |  floor(($contrib) * 1e9) / 1e9 AS score
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  // --- Q46: heavy hitters — bounded-memory frequent items ------------------
+  // q23_top_terms' exact counts need a full-vocabulary shuffle; at 10¹²
+  // tokens the single-pass answer is a Misra-Gries summary (freq_sketch,
+  // functions.FreqSketch): k counters per partition, map-side mergeable,
+  // deterministic guarantees (underestimate-only, error ≤ n/(k+1),
+  // anything above n/(k+1) guaranteed present — FreqSketchSpec proves all
+  // three across merge topologies). The lane runs the sketch per lang
+  // (k = 8, deliberately smaller than the vocabulary so eviction really
+  // fires at test SF) and AUDITS it in place against the exact counts —
+  // every emitted row carries its own bound verdicts. Rows-only by design:
+  // the summary's exact content is merge-order-dependent inside the
+  // guaranteed band, like every sketch lane (q13, q25_ivf_scale).
+  def q46HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val sk = toks.groupBy(col("lang"))
+      .agg(expr("freq_sketch(tok, 8)").as("sk"), count(lit(1)).as("n_toks"))
+      .select(col("lang"), col("n_toks"), explode(col("sk")).as("e"))
+      .select(col("lang"), col("n_toks"),
+        col("e.item").as("item"), col("e.est").as("est"))
+      .alias("s")
+    val exact = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("true_cnt")).alias("x")
+    sk.join(exact,
+        col("s.lang") === col("x.lang") && col("s.item") === col("x.tok"))
+      .select(col("s.lang").as("lang"), col("item"), col("est"),
+        col("true_cnt"), col("n_toks"),
+        (col("est") <= col("true_cnt")).as("under_ok"),
+        // integer error vs real bound n/(k+1) ⇒ error ≤ floor(n/9) exactly
+        (col("true_cnt") - col("est") <= expr("n_toks div 9")).as("band_ok"))
+      .orderBy(col("lang"), col("item"))
+  }
+
   // --- Q23j: PII redaction (email / phone / numeric-id) --------------------
   // Row-local regexp_replace chain emitting the redacted text plus per-rule
   // match counts — the pass every production curation pipeline runs before
@@ -606,6 +773,9 @@ object TextOps {
     "q23_zipf_rank"       -> (q23ZipfRank _),
     "q26_para_dedup"      -> (q26ParaDedup _),
     "q23_chunks"          -> (q23Chunks _),
+    "q23_cdc_chunks"      -> (q23CdcChunks _),
+    "q23_bm25"            -> (q23Bm25 _),
+    "q46_heavy_hitters"   -> (q46HeavyHitters _),
     "q23_top_terms"       -> (q23TopTerms _),
     "q23_lang_id"         -> (q23LangId _),
     "q23_quality"         -> (q23Quality _),
@@ -623,6 +793,8 @@ object TextOps {
     "q23_zipf_rank"       -> q23ZipfRankSql,
     "q26_para_dedup"      -> q26ParaDedupSql,
     "q23_chunks"          -> q23ChunksSql,
+    "q23_cdc_chunks"      -> q23CdcChunksSql,
+    "q23_bm25"            -> q23Bm25Sql,
     "q23_top_terms"       -> q23TopTermsSql,
     "q23_lang_id"         -> q23LangIdSql,
     "q23_quality"         -> q23QualitySql,
