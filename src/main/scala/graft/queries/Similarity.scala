@@ -1573,7 +1573,37 @@ object Similarity {
        |LEFT JOIN v USING (doc_id)
        |ORDER BY nd.doc_id""".stripMargin
 
+  // --- Q25g: Lloyd k-means refinement audit -------------------------------
+  // The trained-quantizer upgrade over q25_ivf_scale's one-pass centroids:
+  // core.KMeans runs 4 distributed Lloyd rounds (ONE aggregation job per
+  // round — compiled Euclidean assignment inside the scan, k partial
+  // buffers per partition through the Exchange, SSE recovered on the
+  // driver from the same k rows). The lane emits the per-iteration audit:
+  // SSE (non-increasing — Lloyd's theorem, spec-pinned), live cluster
+  // count, and the relative SSE improvement over the seed assignment —
+  // the number that says whether training the quantizer bought anything.
+  // (The planted `label` column is NOT a geometric clustering — measured:
+  // within-label spread ~5× the between-centroid distance — so no purity
+  // audit is possible on this corpus.) Rows-only by design: vec_avg
+  // partial sums are IEEE-order-dependent at the last ULP (same reason as
+  // q25_ivf_scale), and the iteration structure is not expressible in one
+  // DuckDB query; KMeansSpec carries the correctness load (brute-force
+  // assignment parity, SSE monotonicity, planted-cluster recovery across
+  // partitionings on a constructed separable set).
+  def q25Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val res = graft.core.KMeans.refine(e, "vec_id", "embedding", k = 16, iters = 4)
+    val sse0 = res.history.head.sse
+    res.history
+      .map(h => (h.iter.toLong, math.floor(h.sse * 1e6) / 1e6,
+        h.nonEmpty.toLong, math.floor((sse0 - h.sse) / sse0 * 1e6) / 1e6))
+      .toDF("iter", "sse", "non_empty", "improvement_vs_seed")
+      .orderBy(col("iter"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_kmeans"        -> (q25Kmeans _), // rows-only: iterative + order-dependent float sums (see scaladoc)
     "q26_incr_neardup"  -> (q26IncrNeardup _),
     "q29_neardup_batch" -> (q29NeardupBatch _),
     "q33_decontam_fuzzy" -> (q33DecontamFuzzy _),
