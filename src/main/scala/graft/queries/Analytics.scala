@@ -197,7 +197,9 @@ object Analytics {
   // event_id. Scale shape: ONE shuffle on user_id; version, valid_to and
   // is_current all ride the same Window partitioning (single WindowExec —
   // the classic SCD2 build shuffles each event exactly once at any scale).
-  def q36Scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** The SCD2 interval frame (no output ordering) — shared by q36_scd2 and
+    * the q36_asof_snapshot time-travel probe. */
+  private def scd2Frame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("version", row_number().over(w).cast("long"))
@@ -206,8 +208,41 @@ object Analytics {
       .select(col("user_id"), col("version"), col("event_id"),
         col("ts").as("valid_from"), col("valid_to"), col("event_type"),
         col("value"), col("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
+
+  def q36Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Frame(spark, dir).orderBy(col("user_id"), col("version"))
+
+  // --- Q36c: AS-OF snapshot (time travel) ----------------------------------
+  // Reconstruct per-key state as of T from the SCD2 intervals: the row
+  // whose [valid_from, valid_to) contains T. The ORACLE takes the other
+  // road — latest event per user restricted to ts <= T on the RAW table —
+  // so the hash-equality is a cross-derivation proof that interval
+  // reconstruction ≡ direct as-of semantics (including the version number:
+  // the interval row's version equals the restricted per-user row count).
+  // Scale: the interval filter is a narrow scan over the SCD2 frame; at
+  // 100 TB a time-travel read serves from the (partitioned) SCD2 table
+  // WITHOUT touching the raw history — exactly why warehouses keep SCD2.
+  def q36AsofSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val t = lit("2024-01-16 00:00:00").cast("timestamp")
+    scd2Frame(spark, dir)
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("valid_from"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q36AsofSnapshotSql: String =
+    """WITH e AS (SELECT * FROM events
+      |           WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'),
+      |r AS (SELECT user_id, event_id, ts, event_type, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rn,
+      |             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS version
+      |      FROM e)
+      |SELECT user_id, version, event_id, ts AS valid_from, event_type, value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val q36Scd2Sql: String =
     """SELECT user_id, version, event_id, valid_from, valid_to, event_type,
@@ -322,7 +357,97 @@ object Analytics {
       |FROM grid g LEFT JOIN hourly USING (event_type, h)
       |ORDER BY 1, 2""".stripMargin
 
+  // --- Q34g: BATCH sessionization via session_window -----------------------
+  // The batch twin of the streaming session job (StreamingJobs.scala:42):
+  // the SAME built-in `session_window` operator, so batch backfill and the
+  // live stream share one session definition — re-sessionizing history never
+  // drifts from what the stream computed. Gap = 4 h (the events table's
+  // inter-arrival p25–p75 straddles it, so sessions genuinely merge: ~6.9 k
+  // sessions / 10 k events at sf0.01, max 7 events). Semantics pinned by
+  // probe: windows ARE merged when the next event lands exactly one gap
+  // after the previous (merge on `start <= end`), so the oracle breaks on
+  // STRICTLY-greater gaps. Duration is integer epoch-micros end − start —
+  // no float, no date_diff boundary-counting hazard.
+  // Scale: one shuffle on user_id; per-key in-memory sort inside the
+  // session agg — no window function, no second shuffle. At 100 TB this is
+  // the canonical "sessionize a day of clickstream" shape; key count =
+  // users, so AQE handles the power-user skew (bounded by events/user/day).
+  def q34Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("n_events"),
+        (unix_micros(col("sw.end")) - unix_micros(col("sw.start"))).as("dur_us"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  val q34SessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x)
+      |SELECT user_id, min(ts) AS s_start,
+      |       max(ts) + INTERVAL '4 hours' AS s_end,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       epoch_us(max(ts) + INTERVAL '4 hours') - epoch_us(min(ts)) AS dur_us
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
+  // --- Q43c: hourly OHLC bars (time-series downsampling) -------------------
+  // Open/high/low/close per (event_type, hour): the financial-bar staple of
+  // time-series resampling. ONE hash aggregation — open/close via
+  // min_by/max_by over the (ts, event_id) struct (lexicographic = the
+  // deterministic event order), NOT two row_number windows + self-joins:
+  // no window shuffle, partial-aggregates map-side, and the struct ordinal
+  // is unique so ties cannot exist. Values are PICKED, never summed —
+  // doubles stay bit-exact cross-engine. The oracle expresses the same
+  // selection with row_number CTEs (DuckDB's arg_min lacks a composite
+  // tie-break). At 100 TB: (type, hour) keys grow with time not volume;
+  // per-key state is 4 scalars — the agg never spills.
+  def q43Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q43OhlcSql: String =
+    """WITH b AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+      |         ts, event_id, value
+      |  FROM events),
+      |o AS (SELECT event_type, h, value AS open FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY event_type, h
+      |                                     ORDER BY ts, event_id) AS rn FROM b)
+      |      WHERE rn = 1),
+      |c AS (SELECT event_type, h, value AS close FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY event_type, h
+      |                                     ORDER BY ts DESC, event_id DESC) AS rn FROM b)
+      |      WHERE rn = 1),
+      |a AS (SELECT event_type, h, max(value) AS high, min(value) AS low,
+      |             CAST(count(*) AS BIGINT) AS n
+      |      FROM b GROUP BY 1, 2)
+      |SELECT a.event_type, a.h, o.open, a.high, a.low, c.close, a.n
+      |FROM a JOIN o USING (event_type, h) JOIN c USING (event_type, h)
+      |ORDER BY a.event_type, a.h""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_sessionize"  -> (q34Sessionize _),
+    "q43_ohlc"        -> (q43Ohlc _),
+    "q36_asof_snapshot" -> (q36AsofSnapshot _),
     "q43_gapfill"     -> (q43Gapfill _),
     "q43_locf"        -> (q43Locf _),
     "q36_scd2"        -> (q36Scd2 _),
@@ -334,6 +459,9 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q34_sessionize"  -> q34SessionizeSql,
+    "q43_ohlc"        -> q43OhlcSql,
+    "q36_asof_snapshot" -> q36AsofSnapshotSql,
     "q43_gapfill"     -> q43GapfillSql,
     "q43_locf"        -> q43LocfSql,
     "q36_scd2"        -> q36Scd2Sql,

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Entity-resolution and cohort-shaping operators: blocked fuzzy record
+  * linkage, k-anonymity suppression, and partitioned quantile binning —
+  * the master-data / privacy / feature-prep trio a warehouse pipeline runs
+  * downstream of ingest (the reference's case/form exports feed exactly
+  * such consumers once landed; cf. CommCareAPIHandler.py:1 scope note in
+  * SURVEY.md §1).
+  *
+  * Determinism: edit distances and counts are integers; doubles are only
+  * ever PICKED (min/max), never summed — every lane is hash-exact against
+  * its DuckDB oracle.
+  */
+object Entity {
+
+  // --- Q47a: blocked fuzzy record linkage (entity resolution) -------------
+  // The classic ER pipeline: normalize → collapse to DISTINCT keys with
+  // multiplicities → block → compare within block → emit candidate matches.
+  // Blocking key = last name token; comparator = Levenshtein ≤ 3 (identical
+  // classic edit distance in Spark and DuckDB). The distinct-first collapse
+  // is the load-bearing scale move: the O(b²) comparison runs over UNIQUE
+  // names per block, so a billion-row table with a million distinct names
+  // costs the same pair work as a million-row one — multiplicities ride
+  // along as counts. Blocks are an equi-join (shuffle on the block key,
+  // AQE-splittable); a viral block (everyone named "smith") routes through
+  // the same grid-expansion used for viral LSH buckets (SkewJoin
+  // .gridSelfPairs) — here block sizes are bounded by the name vocabulary.
+  // `a.p_name < b.p_name` orients each unordered pair exactly once.
+  def q47Linkage(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("canon_key"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 3)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("a.blk").as("blk"), col("dist"),
+        col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"),
+        col("a.canon_key").as("canon_a"), col("b.canon_key").as("canon_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q47LinkageSql: String =
+    """WITH n AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+      |         min(p_partkey) AS canon_key
+      |  FROM part GROUP BY p_name),
+      |b AS (SELECT p_name, n_parts, canon_key,
+      |             string_split(p_name, ' ')[-1] AS blk FROM n)
+      |SELECT a.p_name AS name_a, b2.p_name AS name_b, a.blk,
+      |       CAST(levenshtein(a.p_name, b2.p_name) AS INT) AS dist,
+      |       a.n_parts AS n_a, b2.n_parts AS n_b,
+      |       a.canon_key AS canon_a, b2.canon_key AS canon_b
+      |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+      |WHERE levenshtein(a.p_name, b2.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // --- Q47b: k-anonymity suppression (privacy-preserving release) ---------
+  // Quasi-identifier groups (nation, segment) with fewer than k = 10
+  // members are generalized to a single ('*','*') bucket; groups ≥ k are
+  // released with their exact counts and balance range. The released table
+  // is k-anonymous by construction: every row describes ≥ k individuals.
+  // Shapes: one hash agg over the QI pair (125 cells here; still tiny at
+  // 100 TB — cells grow with the QI domain, not the row count), then a
+  // driver-free split/union of that AGGREGATE — the base table is scanned
+  // once. Doubles are picked (min/max), never summed.
+  def q47Kanon(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+    val kept = g.filter(col("n_rows") >= 10)
+      .select(col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"),
+        col("n_rows"), lit(1L).as("n_groups"), col("min_bal"), col("max_bal"))
+    val suppressed = g.filter(col("n_rows") < 10)
+      .agg(sum(col("n_rows")).as("n_rows"), count(lit(1)).as("n_groups"),
+        min(col("min_bal")).as("min_bal"), max(col("max_bal")).as("max_bal"))
+      .select(lit("*").as("nation"), lit("*").as("segment"),
+        col("n_rows"), col("n_groups"), col("min_bal"), col("max_bal"))
+      .filter(col("n_groups") > 0) // emit the catch-all only if anything was suppressed
+    kept.unionByName(suppressed).orderBy(col("nation"), col("segment"))
+  }
+
+  val q47KanonSql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS segment,
+      |       n_rows, CAST(1 AS BIGINT) AS n_groups, min_bal, max_bal
+      |FROM g WHERE n_rows >= 10
+      |UNION ALL
+      |SELECT '*', '*', CAST(sum(n_rows) AS BIGINT),
+      |       CAST(count(*) AS BIGINT), min(min_bal), max(max_bal)
+      |FROM g WHERE n_rows < 10 HAVING count(*) > 0
+      |ORDER BY nation, segment""".stripMargin
+
+  // --- Q15f: partitioned quantile binning (ntile) --------------------------
+  // Quartile bins of order value WITHIN each priority class — the feature-
+  // prep "bucketize against your peer group" shape. ntile(4) over
+  // (priority, ORDER BY totalprice, orderkey): the ordinal tie-break makes
+  // bucket assignment deterministic, and both engines share ntile's
+  // front-loaded-remainder semantics. Deliberately PARTITIONED: a global
+  // ntile would serialize into one task at 100 TB; per-group windows
+  // parallelize across the partitionBy key (and a truly global quantile cut
+  // belongs to q34_outliers' percentile-fence shape instead — compute the
+  // cuts, broadcast, bin by comparison).
+  def q15NtileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("bin", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderpriority"), col("bin"))
+  }
+
+  val q15NtileBinsSql: String =
+    """SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS n,
+      |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |             ntile(4) OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice, o_orderkey) AS bin
+      |      FROM orders)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_linkage"    -> (q47Linkage _),
+    "q47_kanon"      -> (q47Kanon _),
+    "q15_ntile_bins" -> (q15NtileBins _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q47_linkage"    -> q47LinkageSql,
+    "q47_kanon"      -> q47KanonSql,
+    "q15_ntile_bins" -> q15NtileBinsSql,
+  )
+}

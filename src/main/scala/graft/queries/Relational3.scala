@@ -686,6 +686,60 @@ object Relational3 {
       |FROM lineitem WHERE l_suppkey >= 4 AND l_suppkey < 8
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // --- Q39e: parquet BLOOM-FILTER skipping — the point-probe lever ---------
+  // The FOURTH scan lever, orthogonal to the other three: partition pruning
+  // (q39) and min/max stats (q39_sort_skip, q39_zorder) only serve keys the
+  // LAYOUT was organized around. A point probe on a high-cardinality key in
+  // an UNSORTED table defeats them all — every row group's [min,max] spans
+  // the whole domain. Parquet bloom filters close that hole: the writer
+  // embeds a per-row-group membership sketch for the flagged column, and a
+  // probing scan consults it at footer-read time — "definitely absent" row
+  // groups are skipped without touching a page, at any position in the
+  // file. This is exactly the needle-in-100 TB shape ("fetch these three
+  // event ids from the raw archive") where sorting by event_id was never
+  // worth the write cost. BloomSkipSpec queries the written sketches
+  // directly: absent probes report absent in every row group while the
+  // min/max stats of the SAME row groups span every probe (stats prune
+  // NOTHING here — the sketch, not the layout, is what was missing).
+  // The lane itself is the rewrite-fidelity gate: the probe over the
+  // bloom-indexed rewrite hash-matches the raw-table oracle.
+  def q39BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = bloomSlot(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("event_id").isin(11L, 47L, 911L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ns"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The bloom-indexed rewrite slot, shared with BloomSkipSpec: events
+    * hash-scattered (the adversarial layout for stats pruning) with a
+    * parquet bloom filter on event_id. NDV hint sized to the table — at
+    * 100 TB the same option rides on every compaction write. The
+    * `% 997` tombstone models compacted-away deletes: the test ids are
+    * dense, so without it no IN-RANGE absent key exists and the bloom-vs-
+    * stats comparison would be untestable (out-of-range absents are the
+    * one case stats already handle). Probed ids 11/47/911 are unaffected.
+    */
+  private[graft] def bloomSlot(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+    Tables.events(spark, dir)
+      .filter(col("event_id") % 997 =!= 0) // tombstoned rows
+      .repartition(8) // hash-scatter: min/max stats span the whole domain
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#event_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#event_id", "1000000")
+      .parquet(out)
+    out
+  }
+
+  val q39BloomSkipSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       epoch_us(ts) * 1000 AS ts_ns
+      |FROM events WHERE event_id IN (11, 47, 911)
+      |ORDER BY event_id""".stripMargin
+
   /** The lang→region dim both engines must see identically. */
   private[graft] val LangRegions: Seq[(String, String)] =
     Seq("en" -> "A", "fr" -> "A", "de" -> "B", "es" -> "B", "zh" -> "C")
@@ -780,6 +834,7 @@ object Relational3 {
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
     "q39_sort_skip"       -> (q39SortSkip _),
     "q39_zorder"          -> (q39Zorder _),
+    "q39_bloom_skip"      -> (q39BloomSkip _),
     "q40_schema_merge"    -> (q40SchemaMerge _),
     "q36_diff"       -> (q36Diff _),
   )
@@ -800,6 +855,7 @@ object Relational3 {
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
     "q39_sort_skip"       -> q39SortSkipSql,
     "q39_zorder"          -> q39ZorderSql,
+    "q39_bloom_skip"      -> q39BloomSkipSql,
     "q40_schema_merge"    -> q40SchemaMergeSql,
     "q36_diff"       -> q36DiffSql,
   )

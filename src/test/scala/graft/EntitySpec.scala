@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.Entity
+
+/** q47_linkage / q47_kanon / q15_ntile_bins semantics, proven against
+  * driver-side recomputation on sf0.001 (small enough to brute-force).
+  */
+class EntitySpec extends SparkSpec {
+
+  /** Classic DP edit distance — the definition both engines implement. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q47_linkage equals brute-force same-block pairs under lev<=3") {
+    val got = Entity.q47Linkage(spark, sf001).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("dist"))).toSet
+    val names = graft.core.Tables.part(spark, sf001)
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val expect = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === expect)
+    // every emitted distance really is the DP edit distance (Spark's
+    // levenshtein ≡ the classic definition — the oracle-parity hinge)
+    got.foreach { case (a, b, d) => assert(d === lev(a, b)) }
+  }
+
+  test("q47_kanon: every released row covers >= k individuals; nothing lost") {
+    val k = 10
+    val out = Entity.q47Kanon(spark, sf001).collect()
+    val total = graft.core.Tables.customer(spark, sf001).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === total)
+    out.foreach { r =>
+      val isCatchAll = r.getAs[String]("nation") == "*"
+      if (!isCatchAll) assert(r.getAs[Long]("n_rows") >= k)
+      // the catch-all aggregates groups that were each < k
+      else assert(r.getAs[Long]("n_groups") >= 1)
+    }
+    // at most one catch-all row
+    assert(out.count(_.getAs[String]("nation") == "*") <= 1)
+  }
+
+  test("q15_ntile_bins: quartiles balanced within 1 and covering") {
+    val out = Entity.q15NtileBins(spark, sf001).collect()
+    val total = graft.core.Tables.orders(spark, sf001).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+    out.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, bins) =>
+      assert(bins.map(_.getAs[Int]("bin")).sorted.toSeq === Seq(1, 2, 3, 4))
+      val sizes = bins.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.toSeq}")
+      // bins are ordered ranges: lo/hi monotone across bins
+      val byBin = bins.sortBy(_.getAs[Int]("bin"))
+      byBin.sliding(2).foreach {
+        // ties split across adjacent bins at worst ⇒ a.hi == b.lo; never >
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+        case _ => ()
+      }
+    }
+  }
+}
