@@ -156,6 +156,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch",
       exprs => FreqSketch(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin2",
+      exprs => ArgExtremum(exprs(0), exprs(1), exprs(2), findMin = true)
+        .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmax2",
+      exprs => ArgExtremum(exprs(0), exprs(1), exprs(2), findMin = false)
+        .toAggregateExpression(), "built-in")
     MinHashSketch.register(spark)
   }
 }
@@ -263,5 +271,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FreqSketch(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("argmin2"),
+      new ExpressionInfo(classOf[ArgExtremum].getName, "argmin2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgExtremum(exprs(0), exprs(1), exprs(2), findMin = true)
+          .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("argmax2"),
+      new ExpressionInfo(classOf[ArgExtremum].getName, "argmax2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgExtremum(exprs(0), exprs(1), exprs(2), findMin = false)
+          .toAggregateExpression()))
   }
 }

@@ -403,24 +403,34 @@ object Analytics {
 
   // --- Q43c: hourly OHLC bars (time-series downsampling) -------------------
   // Open/high/low/close per (event_type, hour): the financial-bar staple of
-  // time-series resampling. ONE hash aggregation — open/close via
-  // min_by/max_by over the (ts, event_id) struct (lexicographic = the
-  // deterministic event order), NOT two row_number windows + self-joins:
-  // no window shuffle, partial-aggregates map-side, and the struct ordinal
-  // is unique so ties cannot exist. Values are PICKED, never summed —
-  // doubles stay bit-exact cross-engine. The oracle expresses the same
-  // selection with row_number CTEs (DuckDB's arg_min lacks a composite
-  // tie-break). At 100 TB: (type, hour) keys grow with time not volume;
-  // per-key state is 4 scalars — the agg never spills.
+  // time-series resampling. ONE aggregation, NOT two row_number windows +
+  // self-joins (no window shuffle, partial-aggregates map-side). Open and
+  // close come from the custom `argmin2`/`argmax2` aggregate
+  // (functions.ArgExtremum): Spark's own min_by(v, struct(ts, event_id))
+  // is the same semantics, but the struct ordering column is immutable in
+  // the agg buffer and demotes the WHOLE aggregate to SortAggregate
+  // (plan-checked; a packed-string ordinal demotes identically — varlen
+  // buffers are immutable too, the same trap q37_profile dodges).
+  // ArgExtremum buffers four primitives, so the plan stays HashAggregate
+  // end to end (plan-asserted in ArgExtremumSpec). The (epoch-micros,
+  // event_id) ordinal is unique, so ties cannot exist; values are PICKED,
+  // never summed — bit-exact vs the row_number-CTE oracle (DuckDB's
+  // arg_min lacks a composite tie-break). At 100 TB: (type, hour) keys
+  // grow with time not volume; per-key state is six scalars — the agg
+  // never spills.
+  private[graft] def ohlcAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    expr("argmin2(unix_micros(ts), event_id, value)").as("open"),
+    max(col("value")).as("high"),
+    min(col("value")).as("low"),
+    expr("argmax2(unix_micros(ts), event_id, value)").as("close"),
+    count(lit(1)).as("n"))
+
   def q43Ohlc(spark: SparkSession, dir: String): DataFrame = {
-    val ord = struct(col("ts"), col("event_id"))
+    graft.functions.GraftFunctions.register(spark)
+    val aggs = ohlcAggs
     Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(min_by(col("value"), ord).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), ord).as("close"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("event_type"), col("h"))
   }
 

@@ -68,40 +68,47 @@ object Entity {
   // released with their exact counts and balance range. The released table
   // is k-anonymous by construction: every row describes ≥ k individuals.
   // Shapes: one hash agg over the QI pair (125 cells here; still tiny at
-  // 100 TB — cells grow with the QI domain, not the row count), then a
-  // driver-free split/union of that AGGREGATE — the base table is scanned
-  // once. Doubles are picked (min/max), never summed.
+  // 100 TB — cells grow with the QI domain, not the row count), then the
+  // generalization as a SECOND agg over that tiny aggregate under the
+  // rewritten ('*','*')-or-exact key — ONE scan of the base table (the
+  // filter/union formulation re-scans it twice, plan-checked). A kept
+  // group regroups to itself (n_groups = 1); suppressed groups collapse
+  // into the catch-all, which simply doesn't exist when nothing was
+  // suppressed. Doubles are picked (min/max), never summed.
   def q47Kanon(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.customer(spark, dir)
+    val k = 10
+    Tables.customer(spark, dir)
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
-    val kept = g.filter(col("n_rows") >= 10)
-      .select(col("c_nationkey").cast("string").as("nation"),
-        col("c_mktsegment").as("segment"),
-        col("n_rows"), lit(1L).as("n_groups"), col("min_bal"), col("max_bal"))
-    val suppressed = g.filter(col("n_rows") < 10)
+      .select(
+        when(col("n_rows") < k, lit("*"))
+          .otherwise(col("c_nationkey").cast("string")).as("nation"),
+        when(col("n_rows") < k, lit("*"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        col("n_rows"), col("min_bal"), col("max_bal"))
+      .groupBy(col("nation"), col("segment"))
       .agg(sum(col("n_rows")).as("n_rows"), count(lit(1)).as("n_groups"),
         min(col("min_bal")).as("min_bal"), max(col("max_bal")).as("max_bal"))
-      .select(lit("*").as("nation"), lit("*").as("segment"),
-        col("n_rows"), col("n_groups"), col("min_bal"), col("max_bal"))
-      .filter(col("n_groups") > 0) // emit the catch-all only if anything was suppressed
-    kept.unionByName(suppressed).orderBy(col("nation"), col("segment"))
+      .orderBy(col("nation"), col("segment"))
   }
 
   val q47KanonSql: String =
     """WITH g AS (
       |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
       |         min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
-      |  FROM customer GROUP BY 1, 2)
-      |SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS segment,
-      |       n_rows, CAST(1 AS BIGINT) AS n_groups, min_bal, max_bal
-      |FROM g WHERE n_rows >= 10
-      |UNION ALL
-      |SELECT '*', '*', CAST(sum(n_rows) AS BIGINT),
-      |       CAST(count(*) AS BIGINT), min(min_bal), max(max_bal)
-      |FROM g WHERE n_rows < 10 HAVING count(*) > 0
-      |ORDER BY nation, segment""".stripMargin
+      |  FROM customer GROUP BY 1, 2),
+      |x AS (
+      |  SELECT CASE WHEN n_rows < 10 THEN '*'
+      |              ELSE CAST(c_nationkey AS VARCHAR) END AS nation,
+      |         CASE WHEN n_rows < 10 THEN '*'
+      |              ELSE c_mktsegment END AS segment,
+      |         n_rows, min_bal, max_bal
+      |  FROM g)
+      |SELECT nation, segment, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       min(min_bal) AS min_bal, max(max_bal) AS max_bal
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --- Q15f: partitioned quantile binning (ntile) --------------------------
   // Quartile bins of order value WITHIN each priority class — the feature-

@@ -27,22 +27,20 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
 
-  /** Q43c twin: hourly OHLC bars on the live stream — the SAME single-agg
-    * min_by/max_by-over-ordinal shape as the batch lane
-    * (Analytics.q43Ohlc), so a backfilled bar and a live bar can never
-    * disagree. Append-mode: a bar emits once the watermark passes its
-    * hour. Requires an `event_id`-bearing events frame (the ordinal is
-    * (ts, event_id), identical to batch). */
+  /** Q43c twin: hourly OHLC bars on the live stream — the SAME aggregate
+    * expressions as the batch lane (Analytics.q43Ohlc), so a backfilled
+    * bar and a live bar can never disagree. Append-mode: a bar emits once
+    * the watermark passes its hour. Requires an `event_id`-bearing events
+    * frame (the ordinal is (ts, event_id), identical to batch). */
   def hourlyOhlc(events: DataFrame): DataFrame = {
-    val ord = struct(col("ts"), col("event_id"))
+    // ONE shared aggregate definition with the batch lane (custom
+    // argmin2/argmax2 — see Analytics.ohlcAggs for why not min_by)
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val aggs = graft.queries.Analytics.ohlcAggs
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(min_by(col("value"), ord).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), ord).as("close"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("event_type"), col("window.start").as("h"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
   }
