@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg (local iteration only; the driver always passes 2):
+    // comma-separated lane names to dump, e.g. "q48_incr_agg,q25_pq_adc".
+    val (sfDir, outDir, only) = args match {
+      case Array(sf, out)        => (sf, out, None)
+      case Array(sf, out, lanes) => (sf, out, Some(lanes.split(',').toSet))
+    }
     val spark = GraftSession.build(defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
     // Spark TimestampType is instant-semantics and lands in parquet as
@@ -15,7 +20,9 @@ object Verify {
     import org.apache.spark.sql.types.TimestampType
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Hard guard (round-1 regression): the driver canonicalizes rows
@@ -62,6 +69,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

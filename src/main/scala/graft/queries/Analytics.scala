@@ -454,7 +454,73 @@ object Analytics {
       |FROM a JOIN o USING (event_type, h) JOIN c USING (event_type, h)
       |ORDER BY a.event_type, a.h""".stripMargin
 
+  // --- Q48: incremental aggregate maintenance (partial-agg merge) ----------
+  // The materialized-view staple: a daily rollup is kept as MERGEABLE
+  // partial aggregates (n, Σv, min, max — every one a commutative monoid),
+  // and each refresh folds only the NEW time slice in, never rescanning
+  // history. The lane realizes one refresh cycle: `state` = partials over
+  // events before the cutoff, `delta` = partials over the tail slice, and
+  // the published view = merge(state ∪ delta) finalized (avg derived at
+  // read time from Σv/n — never stored, so it stays mergeable). Both
+  // branches read through `Tables.eventsRanged`, so each bound reaches the
+  // parquet scan (PushedFilters): at 100 TB the delta pass touches only
+  // the new day's partitions — refresh cost scales with the DELTA plus the
+  // aggregate's cardinality, not with history. Σv is an exact
+  // DECIMAL(12,4) sum (the q44 pattern): partial sums are associative and
+  // bit-exact under ANY slice topology, which is what licenses the oracle
+  // to recompute from scratch — merge(partials over any split) ≡ full
+  // aggregate, the identity IncrAggSpec property-tests over adversarial
+  // splits (including re-slicing the delta into per-day micro-batches).
+  // min/max of double are PICKED, never summed. The avg division is the
+  // identical expression tree in both engines.
+  private val incrCutoff = "2024-01-25 00:00:00"
+
+  /** Per-(type, day) mergeable partial state — the stored MV rows. */
+  // `day` is date_trunc (timestamp), not a DATE cast: the repo convention
+  // (q34_retention, q43_ohlc) — DuckDB's DATE lands as datetime64 in the
+  // driver's pandas frame and would dtype-mismatch a true date column.
+  private[graft] def dailyPartials(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(value AS DECIMAL(12,4))")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+
+  /** Fold any collection of partial states down to one row per key —
+    * the refresh operator. Associative/commutative by construction. */
+  private[graft] def mergePartials(parts: DataFrame): DataFrame =
+    parts.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Finalize partials into the published view (shared by lane and spec). */
+  private[graft] def finalizeView(parts: DataFrame): DataFrame =
+    parts
+      .select(col("event_type"), col("day"),
+        col("n").cast("long").as("n"),
+        col("sv").cast("double").as("sum_v"),
+        (col("sv").cast("double") / col("n").cast("double")).as("avg_v"),
+        col("mn").as("min_v"), col("mx").as("max_v"))
+      .orderBy(col("event_type"), col("day"))
+
+  def q48IncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = ("2000-01-01 00:00:00", "2100-01-01 00:00:00")
+    val state = dailyPartials(Tables.eventsRanged(spark, dir, lo, incrCutoff))
+    val delta = dailyPartials(Tables.eventsRanged(spark, dir, incrCutoff, hi))
+    finalizeView(mergePartials(state.unionByName(delta)))
+  }
+
+  /** Oracle = the from-scratch recompute the incremental path must equal. */
+  val q48IncrAggSql: String =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_v,
+      |       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_v,
+      |       min(value) AS min_v, max(value) AS max_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_incr_agg"    -> (q48IncrAgg _),
     "q34_sessionize"  -> (q34Sessionize _),
     "q43_ohlc"        -> (q43Ohlc _),
     "q36_asof_snapshot" -> (q36AsofSnapshot _),
@@ -469,6 +535,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q48_incr_agg"    -> q48IncrAggSql,
     "q34_sessionize"  -> q34SessionizeSql,
     "q43_ohlc"        -> q43OhlcSql,
     "q36_asof_snapshot" -> q36AsofSnapshotSql,

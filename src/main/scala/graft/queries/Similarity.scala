@@ -1602,7 +1602,131 @@ object Similarity {
       .orderBy(col("iter"))
   }
 
+  // --- Q25i: product quantization (PQ) + ADC search ------------------------
+  // The third leg of the vector-compression stool (after q25_quantize's
+  // int8 scalar quantization and the IVF lanes' coarse partitioning): each
+  // 64-dim vector is cut into M=8 8-dim subvectors, each quantized to one
+  // of KS=16 codewords trained by the distributed Lloyd loop
+  // (core.KMeans.refine — one aggregation pass per iteration, per
+  // subspace). A vector is then EIGHT 4-bit codes: 4 B vs 256 B of float32,
+  // a 64× compression with per-subspace (not per-vector) error.
+  //
+  // Search is ADC (asymmetric distance computation): for a query q the
+  // driver builds a LUT of ‖q_j − c_{j,k}‖² (M·KS = 128 doubles per query,
+  // broadcast), and each candidate's approximate distance is EIGHT array
+  // lookups + 7 adds — no float math against the raw vectors at all. The
+  // 100 TB shape is the whole point: the scan that ranks 10¹¹ vectors
+  // reads ONLY the 4 code columns (columnar pruning leaves the 256 B
+  // embedding on disk), the LUT join is a broadcast, the per-query top-k
+  // is a rank-1..k window over the code stream, and the raw vectors are
+  // touched again only for the |shortlist| = 50 re-rank rows per query
+  // (at scale: a semi-join on vec_id against the shortlist, i.e. point
+  // reads, not a scan). Codebook training cost is PqIters aggregation
+  // passes regardless of corpus size.
+  //
+  // Rows-only by design (like q25_kmeans / q25_ivf_scale): the Lloyd loop
+  // is iterative driver-held state a DuckDB oracle cannot replay in one
+  // SQL statement. Quality + determinism are spec-pinned instead
+  // (PqAdcSpec: ADC≡reconstructed-distance identity, partitioning
+  // invariance, recall floors vs the exact top-10).
+  private[graft] val PqM = 8; private[graft] val PqDim = 8
+  private val PqKs = 16
+  private val PqIters = 3
+  private val PqNQ = 8     // vec_id < 8 are the held-out query set
+  private val PqShort = 50 // ADC shortlist size for the re-rank pass
+
+  private def pqSubExpr(j: Int): String = s"slice(embedding, ${j * PqDim + 1}, $PqDim)"
+
+  /** M per-subspace codebooks, trained on the DB side only (queries held
+    * out) — driver-held like the IVF coarse quantizer: 4·16·16 doubles =
+    * 8 KiB. */
+  private[graft] def pqCodebooks(db: DataFrame): IndexedSeq[IndexedSeq[Array[Double]]] =
+    (0 until PqM).map { j =>
+      graft.core.KMeans.refine(
+        db.withColumn("sub", expr(pqSubExpr(j))), "vec_id", "sub", PqKs, PqIters).centroids
+    }
+
+  /** Encode: one narrow pass, M codegen'd exact-argmin assignments
+    * (KMeans.euclidAssign over the broadcast-literal codebook). */
+  private[graft] def pqEncode(db: DataFrame,
+                              books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
+    db.select(col("vec_id") +: (0 until PqM).map(j =>
+      graft.core.KMeans.euclidAssign(expr(pqSubExpr(j)), books(j)).as(s"c$j")): _*)
+
+  /** Per-query ADC lookup tables ‖q_j − c_{j,k}‖², driver-built. */
+  private[graft] def pqLuts(spark: SparkSession,
+                            qvecs: Seq[(Long, Array[Double])],
+                            books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    qvecs.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = (0 until PqM).map { j =>
+        books(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < PqDim) { val d = qv(j * PqDim + i) - c(i); s += d * d; i += 1 }
+          s
+        }.toSeq
+      }
+      (qid, lut)
+    }.toDF("q_id", "lut")
+  }
+
+  /** ADC distance column over an encoded row joined with its query LUT:
+    * M element_at lookups + (M−1) adds — the entire per-candidate cost. */
+  private[graft] def pqAdcDist: Column =
+    (0 until PqM).map(j =>
+      element_at(element_at(col("lut"), j + 1), col(s"c$j").cast("int") + 1))
+      .reduce(_ + _)
+
+  def q25PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val db = e.filter(col("vec_id") >= PqNQ)
+    val books = pqCodebooks(db)
+    val codes = pqEncode(db, books)
+    val qvecs = e.filter(col("vec_id") < PqNQ)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val luts = pqLuts(spark, qvecs, books)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val adcRanked = codes.crossJoin(broadcast(luts))
+      .withColumn("adc", pqAdcDist)
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= PqShort)
+      .select(col("q_id"), col("vec_id"), col("rn"))
+    // Exact audit (‖x−q‖² via the dot identity) — the tiny broadcast side
+    // is the 8-row query set; at 100 TB this audit runs on a sample.
+    val queries = e.filter(col("vec_id") < PqNQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    def exactD2(v: Column, q: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, q) + dot(q, q)
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exact10 = db.crossJoin(broadcast(queries))
+      .withColumn("d2", exactD2(col("embedding"), col("qvec")))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    // Re-rank: exact distance on the ADC shortlist only (point reads at
+    // scale — the shortlist semi-join is the only raw-vector touch).
+    val rerank10 = adcRanked.select(col("q_id"), col("vec_id"))
+      .join(db.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("d2", exactD2(col("embedding"), col("qvec")))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    val adc10 = adcRanked.filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    def hits(sel: DataFrame, name: String): DataFrame =
+      exact10.join(sel, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    luts.select(col("q_id"))
+      .join(hits(adc10, "n_adc"), Seq("q_id"), "left")
+      .join(hits(rerank10, "n_rr"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_adc"), lit(0L)).cast("double") / 10.0).as("recall_adc"),
+        (coalesce(col("n_rr"), lit(0L)).cast("double") / 10.0).as("recall_rerank"))
+      .orderBy(col("q_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_pq_adc"        -> (q25PqAdc _), // rows-only: iterative driver-held Lloyd codebooks (see scaladoc)
     "q25_kmeans"        -> (q25Kmeans _), // rows-only: iterative + order-dependent float sums (see scaladoc)
     "q26_incr_neardup"  -> (q26IncrNeardup _),
     "q29_neardup_batch" -> (q29NeardupBatch _),
