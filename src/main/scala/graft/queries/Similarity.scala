@@ -1638,13 +1638,12 @@ object Similarity {
   private def pqSubExpr(j: Int): String = s"slice(embedding, ${j * PqDim + 1}, $PqDim)"
 
   /** M per-subspace codebooks, trained on the DB side only (queries held
-    * out) — driver-held like the IVF coarse quantizer: 4·16·16 doubles =
-    * 8 KiB. */
+    * out) — driver-held like the IVF coarse quantizer: 8·16·8 doubles =
+    * 8 KiB. Joint training (KMeans.refineSubspaces): one aggregation job
+    * per Lloyd iteration covers all M subspaces. */
   private[graft] def pqCodebooks(db: DataFrame): IndexedSeq[IndexedSeq[Array[Double]]] =
-    (0 until PqM).map { j =>
-      graft.core.KMeans.refine(
-        db.withColumn("sub", expr(pqSubExpr(j))), "vec_id", "sub", PqKs, PqIters).centroids
-    }
+    graft.core.KMeans.refineSubspaces(db, "vec_id", "embedding",
+      PqM, PqDim, PqKs, PqIters)
 
   /** Encode: one narrow pass, M codegen'd exact-argmin assignments
     * (KMeans.euclidAssign over the broadcast-literal codebook). */

@@ -103,4 +103,26 @@ class KMeansSpec extends SparkSpec {
     assert(out.last.getAs[Double]("improvement_vs_seed") > 0.0,
       s"training bought nothing: ${out.last}")
   }
+
+  test("refineSubspaces equals per-subspace refine (the PQ-trainer identity)") {
+    // 24-dim vectors, m = 3 subspaces of 8 dims: the joint one-job-per-
+    // iteration trainer must land on the same codebooks as three separate
+    // refine() loops over slice(embedding, j*8+1, 8). Equality is within
+    // 1e-9 per component, not bitwise: the two plans aggregate the same
+    // groups but may order vec_avg's float partial sums differently.
+    val rows = (0L until 120L).map { id =>
+      (id, Array.tabulate(24)(d => noise(id * 7 + 1, d) * 50f))
+    }
+    val df = vecsDF(rows)
+    val joint = KMeans.refineSubspaces(df, "vec_id", "embedding",
+      m = 3, dim = 8, k = 4, iters = 2)
+    val separate = (0 until 3).map { j =>
+      KMeans.refine(
+        df.withColumn("sub", expr(s"slice(embedding, ${j * 8 + 1}, 8)")),
+        "vec_id", "sub", k = 4, iters = 2).centroids
+    }
+    for (j <- 0 until 3; c <- 0 until 4; d <- 0 until 8)
+      assert(math.abs(joint(j)(c)(d) - separate(j)(c)(d)) <= 1e-9,
+        s"subspace $j centroid $c dim $d: ${joint(j)(c)(d)} vs ${separate(j)(c)(d)}")
+  }
 }
