@@ -357,6 +357,72 @@ object Analytics {
       |FROM grid g LEFT JOIN hourly USING (event_type, h)
       |ORDER BY 1, 2""".stripMargin
 
+  // --- Q43d: exponential smoothing (EWMA) over the gap-filled grid ---------
+  // The trend-model staple: y_i = α·x_i + (1−α)·y_{i−1} (y_1 = x_1) per
+  // event type over the zero-filled hourly counts. EWMA is an inherently
+  // SEQUENTIAL per-series recurrence, and this lane takes the honest
+  // 100 TB position: run it on the DOWNSAMPLED grid — whose length is a
+  // function of the TIME SPAN, never of event volume (the q43_gapfill
+  // argument) — with parallelism ACROSS series. One events shuffle builds
+  // the hourly agg; the recurrence itself runs inside an `aggregate`
+  // higher-order fold over each series' sort_array'd (hour, n) structs —
+  // per-key memory = grid length, time-bounded. (A volume-bound sequence
+  // would need the two-level affine-scan decomposition — each segment
+  // reduces to y ↦ A·y + B and carries compose — but composing the affine
+  // maps REASSOCIATES the float ops, so that variant trades bit-for-bit
+  // sequential equality for parallel depth; this lane keeps the exact
+  // sequential chain, which is what lets a recursive-CTE oracle replay it
+  // bit-identically.) α = 0.25: exactly representable in binary, so both
+  // engines fold the literal identical chain 0.25·x + 0.75·y — hash-exact
+  // with no rounding shim.
+  def q43Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val series = grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("vs"))
+    series
+      .withColumn("ys", expr(
+        """aggregate(vs, CAST(array() AS ARRAY<DOUBLE>),
+          |  (acc, v) -> IF(size(acc) = 0,
+          |    array(CAST(v.n AS DOUBLE)),
+          |    concat(acc, array(0.25D * CAST(v.n AS DOUBLE)
+          |                      + 0.75D * element_at(acc, -1)))))""".stripMargin))
+      .select(col("event_type"), explode(arrays_zip(col("vs"), col("ys"))).as("z"))
+      .select(col("event_type"), col("z.vs.h").as("h"),
+        col("z.vs.n").as("n"), col("z.ys").as("ewma"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** Oracle: the recursive CTE replays the identical sequential chain —
+    * rn joins advance one grid row per recursion step. */
+  val q43EwmaSql: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      |grid0 AS (SELECT event_type,
+      |                 unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      |          FROM spans),
+      |grid AS (
+      |  SELECT g.event_type, g.h, CAST(coalesce(n, 0) AS BIGINT) AS n,
+      |         row_number() OVER (PARTITION BY g.event_type ORDER BY g.h) AS rn
+      |  FROM grid0 g LEFT JOIN hourly USING (event_type, h)),
+      |r AS (
+      |  SELECT event_type, h, n, rn, CAST(n AS DOUBLE) AS ewma
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.h, g.n, g.rn, 0.25 * CAST(g.n AS DOUBLE) + 0.75 * r.ewma
+      |  FROM grid g JOIN r ON g.event_type = r.event_type AND g.rn = r.rn + 1)
+      |SELECT event_type, h, n, ewma FROM r ORDER BY 1, 2""".stripMargin
+
   // --- Q34g: BATCH sessionization via session_window -----------------------
   // The batch twin of the streaming session job (StreamingJobs.scala:42):
   // the SAME built-in `session_window` operator, so batch backfill and the
@@ -521,6 +587,7 @@ object Analytics {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_incr_agg"    -> (q48IncrAgg _),
+    "q43_ewma"        -> (q43Ewma _),
     "q34_sessionize"  -> (q34Sessionize _),
     "q43_ohlc"        -> (q43Ohlc _),
     "q36_asof_snapshot" -> (q36AsofSnapshot _),
@@ -536,6 +603,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q48_incr_agg"    -> q48IncrAggSql,
+    "q43_ewma"        -> q43EwmaSql,
     "q34_sessionize"  -> q34SessionizeSql,
     "q43_ohlc"        -> q43OhlcSql,
     "q36_asof_snapshot" -> q36AsofSnapshotSql,

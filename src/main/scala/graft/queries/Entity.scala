@@ -140,15 +140,106 @@ object Entity {
       |      FROM orders)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- Q49: data-quality constraint gate -----------------------------------
+  // The dbt-test / Deequ-style expectation suite a warehouse runs before
+  // publishing a load: uniqueness, referential integrity, null/range, and
+  // cross-column consistency, emitted as one constraint-result table
+  // (name, n_rows, n_violations, passed). Two probes are EXPECTED to fail
+  // on this corpus (lineitem's order key is per-order, not per-line —
+  // 45 k / 14 k violations at sf0.01): the gate's job is detection, and a
+  // suite that only ever passes proves nothing. Shapes, per family:
+  // uniqueness = ONE agg per table (both lineitem probes share a single
+  // scan — count + two countDistincts — and explode into their two result
+  // rows); FK = one left join + conditional count (broadcastable dim /
+  // AQE-shuffle at 100 TB); null/range/consistency = row-local predicates
+  // under a conditional sum, map-side combining. The exact COUNT(DISTINCT)
+  // Expand is the sf-scale choice; at 10¹² rows the approx swap is
+  // approx_count_distinct, licensed by the q13_hll_merge proof exactly as
+  // q37_profile_approx does. Counts are integers — hash-exact.
+  def q49Dq(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    def one(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("constraint_name"),
+        col("n_rows").cast("long"), col("n_violations").cast("long"))
+    val ordersUnique = one("orders.o_orderkey unique",
+      o.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations")))
+    // both lineitem uniqueness probes ride ONE scan and explode to rows
+    val liUnique = l
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("d1"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("d2"))
+      .select(explode(array(
+        struct(lit("lineitem.l_orderkey unique").as("constraint_name"),
+          col("n").as("n_rows"), (col("n") - col("d1")).as("n_violations")),
+        struct(lit("lineitem.(l_orderkey,l_linenumber) unique").as("constraint_name"),
+          col("n").as("n_rows"), (col("n") - col("d2")).as("n_violations")))).as("r"))
+      .select(col("r.constraint_name"), col("r.n_rows"), col("r.n_violations"))
+    val fk = one("lineitem.l_orderkey fk orders",
+      l.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations")))
+    val evRange = one("events.value non_negative",
+      ev.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull || col("value") < 0, 1L)
+          .otherwise(0L)).as("n_violations")))
+    val docConsist = one("documents.n_chars matches text",
+      docs.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("n_chars").isNull || col("text").isNull ||
+            col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("n_violations")))
+    Seq(ordersUnique, liUnique, fk, evRange, docConsist)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("constraint_name"))
+  }
+
+  val q49DqSql: String =
+    """SELECT constraint_name, n_rows, n_violations, n_violations = 0 AS passed
+      |FROM (
+      |  SELECT 'orders.o_orderkey unique' AS constraint_name,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey unique', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.(l_orderkey,l_linenumber) unique', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey fk orders', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'events.value non_negative', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'documents.n_chars matches text', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN n_chars IS NULL OR text IS NULL
+      |                            OR n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM documents
+      |)
+      |ORDER BY constraint_name""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_linkage"    -> (q47Linkage _),
     "q47_kanon"      -> (q47Kanon _),
     "q15_ntile_bins" -> (q15NtileBins _),
+    "q49_dq"         -> (q49Dq _),
   )
 
   val oracle: Map[String, String] = Map(
     "q47_linkage"    -> q47LinkageSql,
     "q47_kanon"      -> q47KanonSql,
     "q15_ntile_bins" -> q15NtileBinsSql,
+    "q49_dq"         -> q49DqSql,
   )
 }

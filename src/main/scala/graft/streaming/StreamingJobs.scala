@@ -235,4 +235,48 @@ object StreamingJobs {
         })(Encoders.product[BandState], Encoders.product[NearDupHit])
       .toDF()
   }
+
+  /** Q45b: STREAMING MERGE — a CDC change stream applied to a keyed
+    * parquet target through the SAME applyChanges operator as the batch
+    * q45_upsert lane (one merge definition; live apply cannot drift from
+    * backfill). Each micro-batch commits a NEW immutable version
+    * directory `v=<batchId>` derived from the latest version BELOW its
+    * own id: a batch replayed after crash-and-restart (foreachBatch's
+    * at-least-once contract) re-reads the same base and overwrites its
+    * own version — idempotent by construction, and a partial write from
+    * the crashed attempt is simply overwritten, never read as base.
+    * Retained versions double as time travel (the q36_asof_snapshot
+    * story at the storage layer); a production deployment vacuums old
+    * versions or swaps this scheme for a transactional table format's
+    * MERGE. Scale shape: identical to batch q45 — one shuffle per side
+    * on the key, the change batch broadcastable when small. */
+  def applyCdcBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = listVersions(targetDir).filter(_ < batchId).sorted.lastOption
+    val target = base match {
+      case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+      case None =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("o_orderkey", LongType),
+            StructField("price", DoubleType), StructField("status", StringType))))
+    }
+    graft.queries.Relational3.applyChanges(target, batch)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$targetDir/v=$batchId")
+  }
+
+  def listVersions(targetDir: String): Seq[Long] = {
+    val d = new java.io.File(targetDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles.toSeq.filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+  }
+
+  def cdcApply(changes: DataFrame, targetDir: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCdcBatch(batch.toDF(), targetDir, batchId)
+    }
 }
