@@ -624,7 +624,147 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --- Q32g: image near-dup via aHash fingerprints (multimodal dedup) ------
+  // The dedup family's multimodal leg: every doc's PNG plus a PERTURBED
+  // twin (packed RGB of pixel (0,0) incremented mod 2²⁴ — the
+  // re-encoded-asset / one-pixel-watermark shape image dedup exists to
+  // catch) go through the REAL ImageIO decode, each decoded raster is
+  // fingerprinted with an average-hash (luminance-vs-window-mean bits over
+  // the top-left ≤8×8 window, row-major bit y·8+x), and candidate pairs
+  // come from a 4×16-bit BANDED equi-join on the hash — the q24_simhash
+  // shape on image content. Verified pairs are hamming ≤ 3; on this corpus
+  // that is exactly the 500 planted twins (nearest impostor measured at
+  // hamming 5). Scale shape: decode+hash is row-local in the 64-row codec
+  // batch slot; the join shuffles each image once on its band keys; a
+  // viral band (all-black thumbnails at 100 TB) would route through the
+  // same splitHotBuckets/grid machinery as the text lanes. Oracle: PNG
+  // losslessness makes the decoded raster reproducible from the pixel
+  // arithmetic, so DuckDB replays hash → bands → pairs bit-exactly
+  // (bit 63 spelled as Long.MinValue — DuckDB refuses the 1<<63 shift;
+  // band extraction is shift-then-mask, so arithmetic sign-extension
+  // cancels on both engines).
+  final case class ImgHash(img_id: Long, ahash: Long)
+  private[graft] val TwinOff = 10000000L
+
+  /** Base raster with pixel (0,0)'s packed RGB +1 (mod 2²⁴), encoded
+    * through the same real codec. */
+  private[graft] def encodePngPerturbed(baseId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(baseId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelRgb(baseId, x, y)); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, (pixelRgb(baseId, 0, 0) + 1) & 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Average-hash of a DECODED raster: bit y·8+x set iff the pixel's
+    * r+g+b luminance strictly exceeds the window mean (L·N > S — integer
+    * comparison, no division). None = quarantine, like decodePng. */
+  private[graft] def ahashOf(bytes: Array[Byte]): Option[Long] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val ww = math.min(img.getWidth, 8); val hh = math.min(img.getHeight, 8)
+        val lum = Array.ofDim[Long](ww * hh)
+        var s = 0L
+        var y = 0
+        while (y < hh) {
+          var x = 0
+          while (x < ww) {
+            val rgb = img.getRGB(x, y)
+            val l = ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            lum(y * ww + x) = l; s += l; x += 1
+          }
+          y += 1
+        }
+        val n = (ww * hh).toLong
+        var a = 0L
+        y = 0
+        while (y < hh) {
+          var x = 0
+          while (x < ww) {
+            if (lum(y * ww + x) * n > s) a |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        a
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def q32PhashDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cpus = spark.sparkContext.defaultParallelism
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .repartition(cpus)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(64).flatMap(_.flatMap { id =>
+          Seq(id -> encodePng(id), (id + TwinOff) -> encodePngPerturbed(id))
+            .flatMap { case (imgId, png) => ahashOf(png).map(a => ImgHash(imgId, a)) }
+        })
+      }
+      .toDF()
+    val bands = hashes
+      .withColumn("band_id", explode(expr("sequence(0, 3)")))
+      .withColumn("bk", expr("shiftright(ahash, 16 * band_id) & 65535"))
+    val a = bands.select(col("band_id"), col("bk"),
+      col("img_id").as("img_a"), col("ahash").as("ha"))
+    val b = bands.select(col("band_id"), col("bk"),
+      col("img_id").as("img_b"), col("ahash").as("hb"))
+    a.join(b, Seq("band_id", "bk"))
+      .filter(col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("img_a"), col("img_b"))
+  }
+
+  val q32PhashDupSql: String = {
+    val hh = h60d("base::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR")
+    val bit = "CASE WHEN i.y * 8 + i.x = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+      "ELSE CAST(1 AS BIGINT) << (i.y * 8 + i.x) END"
+    s"""WITH dims AS (SELECT doc_id AS base, 4 + (doc_id % 13) AS w, 4 + (doc_id % 11) AS h
+       |              FROM documents),
+       |win AS (SELECT base, least(w, 8) AS ww, least(h, 8) AS hh FROM dims),
+       |px AS (SELECT base, ww, hh, unnest(generate_series(0, ww - 1)) AS x FROM win),
+       |pxy AS (SELECT base, ww, hh, x, unnest(generate_series(0, hh - 1)) AS y FROM px),
+       |lums0 AS (SELECT base, x, y,
+       |            ($hh) % 256 AS r, (($hh) // 256) % 256 AS g, (($hh) // 65536) % 256 AS b
+       |          FROM pxy),
+       |imgs AS (
+       |  SELECT base AS img_id, x, y, r + g + b AS lum FROM lums0
+       |  UNION ALL
+       |  SELECT base + 10000000, x, y,
+       |         CASE WHEN x = 0 AND y = 0 THEN
+       |           ((r * 65536 + g * 256 + b + 1) % 16777216) // 65536 % 256
+       |           + ((r * 65536 + g * 256 + b + 1) % 16777216) // 256 % 256
+       |           + ((r * 65536 + g * 256 + b + 1) % 16777216) % 256
+       |         ELSE r + g + b END
+       |  FROM lums0),
+       |sums AS (SELECT img_id, sum(lum) AS S, count(*) AS N FROM imgs GROUP BY 1),
+       |ah AS (SELECT i.img_id,
+       |         bit_or(CASE WHEN i.lum * s.N > s.S THEN $bit ELSE 0 END) AS ahash
+       |       FROM imgs i JOIN sums s USING (img_id) GROUP BY 1),
+       |bk AS (SELECT img_id, ahash, band_id, (ahash >> (16 * band_id)) & 65535 AS k
+       |       FROM (SELECT img_id, ahash, unnest(generate_series(0, 3)) AS band_id FROM ah))
+       |SELECT DISTINCT a.img_id AS img_a, b2.img_id AS img_b,
+       |       CAST(bit_count(xor(a.ahash, b2.ahash)) AS INT) AS hamming
+       |FROM bk a JOIN bk b2 ON a.band_id = b2.band_id AND a.k = b2.k AND a.img_id < b2.img_id
+       |WHERE bit_count(xor(a.ahash, b2.ahash)) <= 3
+       |ORDER BY img_a, img_b""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_phash_dup"    -> (q32PhashDup _),
     "q32_media_meta"   -> (q32MediaMeta _),
     "q32_frame_sample" -> (q32FrameSample _),
     "q32_embed_stub"   -> (q32EmbedStub _),
@@ -636,6 +776,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_phash_dup"    -> q32PhashDupSql,
     "q32_video_frames" -> q32VideoFramesSql,
     "q32_media_meta"   -> q32MediaMetaSql,
     "q32_frame_sample" -> q32FrameSampleSql,
