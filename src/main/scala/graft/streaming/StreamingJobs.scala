@@ -121,8 +121,14 @@ object StreamingJobs {
     * size at all via shuffle — but then the stream shuffles per batch;
     * broadcast is the scale shape for dims). Left join: an event with no
     * dimension row survives with segment 'UNKNOWN' — enrichment must never
-    * drop facts. Static side is re-resolved per batch, so a dim table
-    * replaced between batches is picked up without restart. */
+    * drop facts. Refresh caveat (measured — StaticRefreshSpec): the
+    * static side's EXECUTION reruns per batch, but a parquet frame's
+    * file listing is resolved when the frame is BUILT, so an overwrite
+    * that replaces the files behind a pre-built dim frame fails the next
+    * batch (FAILED_READ_FILE.FILE_NOT_EXIST), it does not refresh. A
+    * dim that changes mid-stream must be re-read inside foreachBatch —
+    * fresh listing, fresh broadcast, every batch (the spec pins that
+    * recipe picking up a between-batches overwrite). */
   def enrichStatic(events: DataFrame, dims: DataFrame): DataFrame =
     events.join(
         broadcast(dims.select(col("c_custkey"), col("c_mktsegment"))),
