@@ -712,6 +712,11 @@ object Multimodal {
         })
       }
       .toDF()
+      // lazy cache: both sides of the band self-join (and the distinct)
+      // read this frame — without it the real codec encodes+decodes the
+      // corpus once per side. Lane-level cache hygiene (Bench/Verify/
+      // QTime) drops it after the query, the repo convention.
+      .persist()
     val bands = hashes
       .withColumn("band_id", explode(expr("sequence(0, 3)")))
       .withColumn("bk", expr("shiftright(ahash, 16 * band_id) & 65535"))
