@@ -1686,9 +1686,22 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val luts = pqLuts(spark, qvecs, books)
+    // Salted two-level top-k: a window partitioned by q_id alone would
+    // sort each query's ENTIRE candidate stream in one task (8 giant
+    // partitions at 100 TB). Level 1 ranks within (q_id, salt) — 64-way
+    // parallel, each slice keeps its local top-PqShort — and level 2
+    // ranks the 64·PqShort survivors per query (tiny). The global
+    // top-PqShort is a subset of the union of per-salt top-PqShorts, and
+    // the (adc, vec_id) ordinal is unique, so the result is identical to
+    // the single-window formulation row for row.
+    val wLocal = Window.partitionBy(col("q_id"), col("salt"))
+      .orderBy(col("adc"), col("vec_id"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val adcRanked = codes.crossJoin(broadcast(luts))
       .withColumn("adc", pqAdcDist)
+      .withColumn("salt", pmod(col("vec_id"), lit(64)))
+      .withColumn("rn1", row_number().over(wLocal))
+      .filter(col("rn1") <= PqShort)
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= PqShort)
       .select(col("q_id"), col("vec_id"), col("rn"))
