@@ -633,6 +633,63 @@ object Relational3 {
   // z layout vs a partkey-sorted layout: the z layout prunes BOTH probe
   // dimensions; the linear layout prunes only its sort key. The lane
   // itself probes l_suppkey — the key the linear layout cannot serve.
+  // --- Q39e: parquet AGGREGATE pushdown (footer-served COUNT/MIN/MAX) ------
+  // The fifth pruning lever, and the most extreme: under the V2 parquet
+  // source with spark.sql.parquet.aggregatePushdown=true, an unfiltered
+  // COUNT/MIN/MAX compiles to `PushedAggregation: [COUNT(*), MIN(..),
+  // MAX(..)]` on the BatchScan — answered from row-group FOOTER statistics
+  // with zero data pages read. At 100 TB that is the difference between a
+  // petabyte scan and kilobytes per file for the table-stats pass every
+  // pipeline runs (profiling, freshness checks, load validation). The
+  // lever is narrow by design — no filters, no grouping on data columns,
+  // no nulls-in-stats surprises (parquet footers count nulls separately;
+  // MIN/MAX are over non-null values, exactly the SQL semantics) — so the
+  // lane keeps the shape the pushdown accepts and AggPushdownSpec
+  // plan-asserts the PushedAggregation is actually there (and that the
+  // footer-served numbers equal a full-scan recompute).
+  //
+  // Conf hygiene: the V2-source + pushdown confs are session-global, and
+  // a lazily-returned frame would be OPTIMIZED after this function
+  // restores them (no pushdown) — while leaking them would silently flip
+  // every later lane's parquet source to V2. So the lane executes its
+  // three footer scans EAGERLY inside the conf window (the q25_ivf_scale
+  // precedent for eager audit rows) and returns the materialized rows.
+  def q39AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown").getOrElse("false")
+    val rows = try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      Seq(
+        ("lineitem", "l_quantity"),
+        ("orders", "o_totalprice"),
+        ("events", "value")).map { case (t, c) =>
+        val r = spark.read.parquet(s"$dir/$t.parquet")
+          .agg(count(lit(1)), min(col(c)), max(col(c))).head()
+        (t, c, r.getLong(0), r.getDouble(1), r.getDouble(2))
+      }
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+    rows.toDF("table_name", "stat_col", "n_rows", "min_v", "max_v")
+      .orderBy(col("table_name"))
+  }
+
+  val q39AggPushdownSql: String =
+    """SELECT * FROM (
+      |  SELECT 'events' AS table_name, 'value' AS stat_col,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(value) AS min_v, max(value) AS max_v FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_quantity', CAST(count(*) AS BIGINT),
+      |         min(l_quantity), max(l_quantity) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', 'o_totalprice', CAST(count(*) AS BIGINT),
+      |         min(o_totalprice), max(o_totalprice) FROM orders
+      |) ORDER BY table_name""".stripMargin
+
   def q39Zorder(spark: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(18, 4)
     val out = zorderSlot(spark, dir)
@@ -831,6 +888,7 @@ object Relational3 {
     "q38_xml"        -> (q38Xml _),
     "q38_text"       -> (q38Text _),
     "q39_partition_prune" -> (q39PartitionPrune _),
+    "q39_agg_pushdown" -> (q39AggPushdown _),
     "q39_dynamic_prune"   -> (q39DynamicPrune _),
     "q39_sort_skip"       -> (q39SortSkip _),
     "q39_zorder"          -> (q39Zorder _),
@@ -852,6 +910,7 @@ object Relational3 {
     "q38_xml"        -> q38XmlSql,
     "q38_text"       -> q38TextSql,
     "q39_partition_prune" -> q39PartitionPruneSql,
+    "q39_agg_pushdown" -> q39AggPushdownSql,
     "q39_dynamic_prune"   -> q39DynamicPruneSql,
     "q39_sort_skip"       -> q39SortSkipSql,
     "q39_zorder"          -> q39ZorderSql,
