@@ -174,14 +174,19 @@ object GraftFunctions {
   *   --conf spark.sql.extensions=graft.functions.GraftExtensions // submit
   * }}}
   * makes `dotf` available to every session (including pure `spark.sql`)
-  * without any imperative register call. No planner rules are injected —
-  * the engine's whole surface plans through stock Catalyst (SURVEY §4);
-  * expressions are the only custom Catalyst artifacts.
+  * without any imperative register call. One optimizer rule is injected —
+  * [[graft.plans.ApproxDistinctRule]], the conf-gated (default OFF)
+  * COUNT(DISTINCT)→HLL policy rewrite; with the flag unset the engine's
+  * whole surface plans through stock Catalyst (SURVEY §4), expressions
+  * being the only custom Catalyst artifacts on the default path.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // the injectOptimizerRule leg: the opt-in COUNT(DISTINCT)->HLL policy
+    // rewrite (graft.plans.ApproxDistinctRule; default OFF, conf-gated)
+    e.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRule)
     e.injectFunction((
       FunctionIdentifier("dotf"),
       new ExpressionInfo(classOf[DotF].getName, "dotf"),

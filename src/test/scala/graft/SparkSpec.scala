@@ -37,11 +37,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // withExtensions mirrors GraftSession (production parity): the injected
+  // functions coexist with the specs' imperative GraftFunctions.register
+  // calls, and the one injected optimizer rule (ApproxDistinctRule) is
+  // conf-gated default-OFF, so the default test path is unchanged.
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
