@@ -187,6 +187,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the injectOptimizerRule leg: the opt-in COUNT(DISTINCT)->HLL policy
     // rewrite (graft.plans.ApproxDistinctRule; default OFF, conf-gated)
     e.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRule)
+    // the injectPlannerStrategy leg: the TopKPerKey whole-operator plan
+    // (graft.plans.TopKStrategy; matches only the custom logical node, so
+    // every other plan is untouched)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((
       FunctionIdentifier("dotf"),
       new ExpressionInfo(classOf[DotF].getName, "dotf"),

@@ -386,6 +386,28 @@ object Relational {
       |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  // --- Q50: q15_rank_topk's result through the CUSTOM PHYSICAL OPERATOR —
+  // the injectPlannerStrategy leg (graft.plans.TopKPerKey): bounded-heap
+  // partial → hash exchange → bounded-heap final, no full per-key sort and
+  // at most k rows per key per partition on the wire (the window-rank twin
+  // shuffles and sorts EVERY row). Same deterministic row set (o_orderkey
+  // tiebreak), so one DuckDB oracle covers both plans. ---------------------
+  def q50TopkPhys(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GraftPlans.topKPerKey(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        keys = Seq("o_custkey"),
+        orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
+  val q50TopkPhysSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // --- Q15b: running sum per group (DECIMAL lane: windowed double sums are
   // segment-tree-reassociated in some engines; decimal is associative) -----
   def q15Running(spark: SparkSession, dir: String): DataFrame = {
@@ -611,6 +633,7 @@ object Relational {
     "q15_running_sum"         -> (q15Running _),
     "q15_lag_lead"            -> (q15LagLead _),
     "q16_global_topk"         -> (q16 _),
+    "q50_topk_phys"           -> (q50TopkPhys _),
     "q17_set_ops"             -> (q17 _),
     "q18_string_funcs"        -> (q18 _),
     "q19_datetime_funcs"      -> (q19 _),
@@ -640,6 +663,7 @@ object Relational {
     "q15_running_sum"         -> q15RunningSql,
     "q15_lag_lead"            -> q15LagLeadSql,
     "q16_global_topk"         -> q16Sql,
+    "q50_topk_phys"           -> q50TopkPhysSql,
     "q17_set_ops"             -> q17Sql,
     "q18_string_funcs"        -> q18Sql,
     "q19_datetime_funcs"      -> q19Sql,

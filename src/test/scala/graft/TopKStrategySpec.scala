@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.{GraftPlans, TopKPerKeyExec}
+
+/** The injectPlannerStrategy leg end-to-end: graft.plans.TopKPerKey
+  * (logical node → TopKStrategy → partial/final TopKPerKeyExec pair).
+  * Pins: (1) row-set equality with the window-rank twin; (2) the physical
+  * shape — both phases present, exactly ONE shuffle, NO Sort/Window node;
+  * (3) the scale claim — the partial phase's output metric is bounded by
+  * k·keys·partitions and far under the input row count; (4) k ≥ group size
+  * keeps whole groups; (5) EnsureRequirements ELIDES the exchange when the
+  * child is already hash-partitioned on the keys (the co-location path a
+  * 100 TB plan rides when top-k follows an aggregate on the same keys). */
+class TopKStrategySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def orders = graft.core.Tables.orders(spark, dir)
+    .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+
+  // Unwraps the AQE containers (AdaptiveSparkPlanExec, the QueryStageExec
+  // leaves that hide materialized subtrees) so assertions see real operators.
+  private def collectPhysical(plan: SparkPlan): Seq[SparkPlan] = plan match {
+    case a: AdaptiveSparkPlanExec => collectPhysical(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan).flatMap(collectPhysical)
+    case p => p +: p.children.flatMap(collectPhysical)
+  }
+
+  test("row set equals the window-rank twin; plan is heap pair + one shuffle, no sort") {
+    val custom = GraftPlans.topKPerKey(
+      orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val twin = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val got = custom.collect().map(key).toSet
+    val want = twin.collect().map(key).toSet
+    assert(got == want, s"diff: missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty)
+
+    custom.collect() // ensure final plan + metrics are populated
+    val nodes = collectPhysical(custom.queryExecution.executedPlan)
+    val topks = nodes.collect { case t: TopKPerKeyExec => t }
+    assert(topks.map(_.partial).sorted == Seq(false, true),
+      s"expected one partial + one final, got ${topks.map(_.nodeName)}")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+      "exactly one exchange between the phases")
+    val names = nodes.map(_.nodeName)
+    assert(!names.exists(n => n.contains("Sort") || n.contains("Window")),
+      s"no sort/window may appear: $names")
+  }
+
+  test("partial phase bounds the exchange: ≤ k rows per key per input partition") {
+    val df = GraftPlans.topKPerKey(
+      orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    df.collect()
+    val nodes = collectPhysical(df.queryExecution.executedPlan)
+    val partial = nodes.collect { case t: TopKPerKeyExec if t.partial => t }.head
+    val shuffled = partial.metrics("numOutputRows").value
+    val nInput = orders.count()
+    val nKeys = orders.select("o_custkey").distinct().count()
+    val nParts = orders.rdd.getNumPartitions
+    assert(shuffled <= 3L * nKeys * nParts, s"$shuffled rows left the partial phase")
+    assert(shuffled < nInput,
+      s"partial must shrink the exchange: $shuffled !< $nInput input rows")
+  }
+
+  test("k >= group size keeps whole groups (and never duplicates)") {
+    val df = GraftPlans.topKPerKey(
+      orders, Seq("o_custkey"), Seq(("o_totalprice", false)), 1000000)
+    assert(df.count() == orders.count())
+  }
+
+  test("exchange elided when the child is already clustered on the keys") {
+    val pre = orders.repartition(4, col("o_custkey"))
+    val df = GraftPlans.topKPerKey(
+      pre, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    df.collect()
+    val nodes = collectPhysical(df.queryExecution.executedPlan)
+    // the only exchange is the explicit repartition — none between the phases
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+      s"expected the repartition exchange only: ${nodes.map(_.nodeName)}")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
+
+  test("composes downstream: aggregate over the custom node") {
+    val df = GraftPlans.topKPerKey(
+        orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    assert(df.filter(col("n") > 3).count() == 0)
+    assert(df.count() == orders.select("o_custkey").distinct().count())
+  }
+}
