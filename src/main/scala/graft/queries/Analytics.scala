@@ -575,6 +575,79 @@ object Analytics {
     finalizeView(mergePartials(state.unionByName(delta)))
   }
 
+  // --- Q51: KEYLESS range join via graft.core.RangeJoin — the inequality
+  // join Spark would plan as BroadcastNestedLoopJoin (quadratic, broadcast-
+  // bound) rewritten as bin-explode + shuffled equi-join + residual filter.
+  // Scenario: incident attribution. Hot hours (count > 1.25× the overall
+  // hourly mean — data-derived, sf-invariant) merge into variable-length
+  // incident islands (gaps-and-islands), extended ±30 min for ramp-up /
+  // cooldown — the margin makes membership genuinely range-based, NOT
+  // derivable from the hourly rollup. Every event (no key!) is then
+  // attributed to the incident window containing it and each incident
+  // reports its traffic. Margins never overlap (islands are ≥ 1 cold hour
+  // apart, half-open bounds), so attribution is unique. All arithmetic is
+  // exact int64 micros (unix_micros, not float epoch seconds); the global
+  // island window orders ≤ #hours rows — the TIME-bounded dimension
+  // (q43_gapfill argument), not a volume-bound one.
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    // scalar threshold as a broadcast one-row frame (repo convention);
+    // division spelled sum/count in DOUBLE so DuckDB replays it bit-exact
+    val thr = hourly.agg(
+      (lit(1.25) * (sum(col("n")).cast("double") / count(lit(1)).cast("double")))
+        .as("thr"))
+    val islands = hourly.crossJoin(broadcast(thr))
+      .filter(col("n") > col("thr"))
+      .withColumn("grp",
+        (unix_micros(col("hr")) / lit(3600000000L)).cast("long")
+          - row_number().over(Window.orderBy(col("hr"))))
+      .groupBy(col("grp"))
+      .agg(min(col("hr")).as("island_start"), max(col("hr")).as("island_end_hr"))
+      .select(
+        (unix_micros(col("island_start")) - lit(1800000000L)).as("start_us"),
+        (unix_micros(col("island_end_hr")) + lit(3600000000L) + lit(1800000000L))
+          .as("end_us"))
+    val points = ev.select(
+      unix_micros(col("ts")).as("pt_us"), col("user_id"), col("value"))
+    graft.core.RangeJoin
+      .pointInInterval(points, "pt_us", islands, "start_us", "end_us",
+        binWidth = 3600000000L)
+      .groupBy(col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(value AS DECIMAL(12,4))")).cast("double").as("sum_v"))
+      .select(
+        timestamp_micros(col("start_us")).as("w_start"),
+        timestamp_micros(col("end_us")).as("w_end"),
+        col("n_events"), col("n_users"), col("sum_v"))
+      .orderBy(col("w_start"))
+  }
+
+  /** Oracle = the same derivation with the range join spelled as the raw
+    * inequality join DuckDB executes natively (IEJoin). */
+  val q51RangeJoinSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1),
+      |thr AS (
+      |  SELECT 1.25 * (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS t
+      |  FROM hourly),
+      |hot AS (
+      |  SELECT hr, epoch_us(hr) // 3600000000 - row_number() OVER (ORDER BY hr) AS grp
+      |  FROM hourly, thr WHERE n > t),
+      |isl AS (
+      |  SELECT min(hr) - INTERVAL 30 MINUTE AS ws,
+      |         max(hr) + INTERVAL 90 MINUTE AS we
+      |  FROM hot GROUP BY grp)
+      |SELECT isl.ws AS w_start, isl.we AS w_end,
+      |       count(*) AS n_events,
+      |       count(DISTINCT e.user_id) AS n_users,
+      |       CAST(sum(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS sum_v
+      |FROM events e JOIN isl ON e.ts >= isl.ws AND e.ts < isl.we
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Oracle = the from-scratch recompute the incremental path must equal. */
   val q48IncrAggSql: String =
     """SELECT event_type, date_trunc('day', ts) AS day,
@@ -587,6 +660,7 @@ object Analytics {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_incr_agg"    -> (q48IncrAgg _),
+    "q51_range_join"  -> (q51RangeJoin _),
     "q43_ewma"        -> (q43Ewma _),
     "q34_sessionize"  -> (q34Sessionize _),
     "q43_ohlc"        -> (q43Ohlc _),
@@ -603,6 +677,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q48_incr_agg"    -> q48IncrAggSql,
+    "q51_range_join"  -> q51RangeJoinSql,
     "q43_ewma"        -> q43EwmaSql,
     "q34_sessionize"  -> q34SessionizeSql,
     "q43_ohlc"        -> q43OhlcSql,
