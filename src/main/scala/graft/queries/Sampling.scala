@@ -85,7 +85,7 @@ object Sampling {
       "element_at(toks, i+2), element_at(toks, i+3), element_at(toks, i+4)))), " +
       "CAST(array() AS ARRAY<STRING>))"
 
-  private val sh5Duck: String =
+  private[graft] val sh5Duck: String =
     "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))"
 

@@ -53,7 +53,7 @@ object TextOps {
   // Real lang-ID is a model; the engine-level operator is the deterministic
   // n-gram/marker scoring pass (argmax over per-lang hit counts, branch-order
   // tie-break, 'und' when nothing matches).
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "de" -> Seq("der", "die", "das"),
     "es" -> Seq("el", "la", "que"),
@@ -411,13 +411,13 @@ object TextOps {
   // default step −1 when start > stop), so a doc with < n tokens would hit
   // element_at(toks, 0) → INVALID_INDEX_OF_ZERO and kill the whole query
   // (DuckDB's generate_series(1, 0) is empty — crash + oracle divergence).
-  private def ngramExpr(n: Int): String = {
+  private[queries] def ngramExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")
     s"IF(size(toks) >= $n, transform(sequence(1, size(toks) - ${n - 1}), " +
       s"i -> concat_ws(' ', $parts)), CAST(array() AS ARRAY<STRING>))"
   }
 
-  private def ngramDuck(n: Int): String = {
+  private[queries] def ngramDuck(n: Int): String = {
     val parts = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"list_transform(generate_series(1, greatest(len(toks) - ${n - 1}, 0)), i -> $parts)"
   }
