@@ -67,4 +67,45 @@ object RangeJoin {
           col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__graft_pbin", "__graft_ibin")
   }
+
+  /** Join every `left` interval `[lStart, lEnd)` to every `right` interval
+    * `[rStart, rEnd)` they OVERLAP (`lStart < rEnd && rStart < lEnd`) —
+    * the genomics/session-attribution shape. Both sides explode to their
+    * touched bins, but a pair sharing many bins must still match ONCE:
+    * the join takes a pair only in its OWNERSHIP bin, the bin of
+    * `greatest(lStart, rStart)` (the overlap's first instant), which both
+    * sides provably touch — `floor` is monotone, and overlap bounds
+    * `max(lStart, rStart) ≤ min(lEnd, rEnd) - 1` put that bin inside both
+    * bin ranges. No dedup pass, exactly like the point form.
+    *
+    * Cost note: each side inflates by ~avg-span/w. UNBOUNDED intervals
+    * (open-ended validity, `valid_to IS NULL`) must be CLAMPED by the
+    * caller to the data's horizon before binning — an open end explodes
+    * to every bin to infinity. Clamping to (max end of the other side)
+    * never changes the overlap verdict. */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlapCols")
+
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    def binned(df: DataFrame, s: String, e: String, out: String): DataFrame =
+      df.filter(col(s) < col(e))
+        .withColumn(out, explode(sequence(bin(col(s)), bin(col(e) - lit(1L)))))
+    val lb = binned(left, lStart, lEnd, "__graft_lbin")
+    val rb = binned(right, rStart, rEnd, "__graft_rbin")
+    lb.join(rb,
+        lb("__graft_lbin") === rb("__graft_rbin") &&
+          lb("__graft_lbin") === bin(greatest(col(lStart), col(rStart))) &&
+          col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .drop("__graft_lbin", "__graft_rbin")
+  }
 }

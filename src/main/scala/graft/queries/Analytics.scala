@@ -589,9 +589,11 @@ object Analytics {
   // exact int64 micros (unix_micros, not float epoch seconds); the global
   // island window orders ≤ #hours rows — the TIME-bounded dimension
   // (q43_gapfill argument), not a volume-bound one.
-  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val hourly = ev
+  /** The q51 incident-window builder (start_us, end_us), shared with the
+    * q53 overlap lane so the two range-join lanes attribute against the
+    * SAME windows. */
+  private[queries] def incidentWindows(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
     // scalar threshold as a broadcast one-row frame (repo convention);
@@ -599,7 +601,7 @@ object Analytics {
     val thr = hourly.agg(
       (lit(1.25) * (sum(col("n")).cast("double") / count(lit(1)).cast("double")))
         .as("thr"))
-    val islands = hourly.crossJoin(broadcast(thr))
+    hourly.crossJoin(broadcast(thr))
       .filter(col("n") > col("thr"))
       .withColumn("grp",
         (unix_micros(col("hr")) / lit(3600000000L)).cast("long")
@@ -610,6 +612,11 @@ object Analytics {
         (unix_micros(col("island_start")) - lit(1800000000L)).as("start_us"),
         (unix_micros(col("island_end_hr")) + lit(3600000000L) + lit(1800000000L))
           .as("end_us"))
+  }
+
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val islands = incidentWindows(spark, dir)
     val points = ev.select(
       unix_micros(col("ts")).as("pt_us"), col("user_id"), col("value"))
     graft.core.RangeJoin
@@ -628,8 +635,11 @@ object Analytics {
 
   /** Oracle = the same derivation with the range join spelled as the raw
     * inequality join DuckDB executes natively (IEJoin). */
-  val q51RangeJoinSql: String =
-    """WITH hourly AS (
+  /** The DuckDB twin of [[incidentWindows]] as a CTE chain ending in
+    * `isl(ws, we)` — shared by the q51 and q53 oracles (one definition,
+    * no drift between the two range-join lanes). */
+  private[queries] val islandsDuck: String =
+    """hourly AS (
       |  SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1),
       |thr AS (
       |  SELECT 1.25 * (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS t
@@ -640,12 +650,68 @@ object Analytics {
       |isl AS (
       |  SELECT min(hr) - INTERVAL 30 MINUTE AS ws,
       |         max(hr) + INTERVAL 90 MINUTE AS we
-      |  FROM hot GROUP BY grp)
+      |  FROM hot GROUP BY grp)""".stripMargin
+
+  val q51RangeJoinSql: String =
+    s"""WITH $islandsDuck
       |SELECT isl.ws AS w_start, isl.we AS w_end,
       |       count(*) AS n_events,
       |       count(DISTINCT e.user_id) AS n_users,
       |       CAST(sum(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS sum_v
       |FROM events e JOIN isl ON e.ts >= isl.ws AND e.ts < isl.we
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // --- Q53: interval-OVERLAP range join (RangeJoin.intervalOverlap) — the
+  // two-sided form of q51: which SCD2 user-state versions (q36's validity
+  // intervals) were LIVE at any point during each incident window. Both
+  // sides are interval sets with no equi key; the ownership-bin trick
+  // (join only in the bin of greatest(starts)) keeps every overlapping
+  // pair exactly once with no dedup. Open-ended current versions
+  // (valid_to IS NULL) are CLAMPED to the windows' horizon before binning
+  // (the operator's documented requirement — an open end would explode to
+  // every bin); clamping to max(window end) provably never changes an
+  // overlap verdict against those windows. ---------------------------------
+  def q53OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val windows = incidentWindows(spark, dir)
+    val horizon = windows.agg(max(col("end_us")).as("h"))
+    val validity = scd2Frame(spark, dir)
+      .select(col("user_id"), col("version"),
+        unix_micros(col("valid_from")).as("v_from"), col("valid_to"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("version"), col("v_from"),
+        least(coalesce(unix_micros(col("valid_to")), col("h")), col("h")).as("v_to"))
+    graft.core.RangeJoin
+      .intervalOverlap(validity, "v_from", "v_to",
+        windows, "start_us", "end_us", binWidth = 3600000000L)
+      .groupBy(col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n_versions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        timestamp_micros(col("start_us")).as("w_start"),
+        timestamp_micros(col("end_us")).as("w_end"),
+        col("n_versions"), col("n_users"))
+      .orderBy(col("w_start"))
+  }
+
+  /** Oracle: the same windows (shared islandsDuck CTE) overlap-joined
+    * against the same SCD2 validity intervals via DuckDB's native
+    * inequality join, with the identical horizon clamp. */
+  val q53OverlapJoinSql: String =
+    s"""WITH $islandsDuck,
+      |scd AS (
+      |  SELECT user_id, ts AS valid_from, lead(ts) OVER w AS valid_to
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |horizon AS (SELECT max(we) AS h FROM isl),
+      |iv AS (
+      |  SELECT user_id, valid_from,
+      |         least(coalesce(valid_to, h), h) AS valid_to2
+      |  FROM scd, horizon)
+      |SELECT isl.ws AS w_start, isl.we AS w_end,
+      |       CAST(count(*) AS BIGINT) AS n_versions,
+      |       CAST(count(DISTINCT iv.user_id) AS BIGINT) AS n_users
+      |FROM iv JOIN isl
+      |  ON iv.valid_from < isl.we AND isl.ws < iv.valid_to2
+      |     AND iv.valid_from < iv.valid_to2
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   /** Oracle = the from-scratch recompute the incremental path must equal. */
@@ -661,6 +727,7 @@ object Analytics {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_incr_agg"    -> (q48IncrAgg _),
     "q51_range_join"  -> (q51RangeJoin _),
+    "q53_overlap_join" -> (q53OverlapJoin _),
     "q43_ewma"        -> (q43Ewma _),
     "q34_sessionize"  -> (q34Sessionize _),
     "q43_ohlc"        -> (q43Ohlc _),
@@ -678,6 +745,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q48_incr_agg"    -> q48IncrAggSql,
     "q51_range_join"  -> q51RangeJoinSql,
+    "q53_overlap_join" -> q53OverlapJoinSql,
     "q43_ewma"        -> q43EwmaSql,
     "q34_sessionize"  -> q34SessionizeSql,
     "q43_ohlc"        -> q43OhlcSql,

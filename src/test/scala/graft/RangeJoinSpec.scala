@@ -80,6 +80,61 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq(-10L, -5L), s"got $got")
   }
 
+  // ---- intervalOverlap: the ownership-bin exactly-once form ----
+
+  // spans from 1 unit to 500 units: nested, containing, touching, disjoint
+  private def leftIv = Seq(
+    (0L, 500L, 1L), (10L, 20L, 2L), (19L, 21L, 3L), (100L, 101L, 4L),
+    (200L, 300L, 5L), (300L, 310L, 6L), (700L, 700L, 7L)
+  ).toDF("ls", "le", "lid")
+  private def rightIv = Seq(
+    (15L, 25L, 11L), (20L, 30L, 12L), (0L, 1000L, 13L), (99L, 100L, 14L),
+    (299L, 301L, 15L), (650L, 800L, 16L)
+  ).toDF("rs", "re", "rid")
+
+  // the raw predicate assumes non-empty intervals — an empty [s, s) would
+  // satisfy it against any container, so the naive reference filters them
+  // exactly as the operator's guard does (an empty set overlaps nothing)
+  private def naiveOverlap = leftIv.filter(col("ls") < col("le"))
+    .join(rightIv.filter(col("rs") < col("re")),
+      col("ls") < col("re") && col("rs") < col("le"))
+    .select(col("lid"), col("rid")).collect()
+    .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("overlap pair multiset equals the naive join; exactly once despite shared bins") {
+    val got = RangeJoin.intervalOverlap(leftIv, "ls", "le", rightIv, "rs", "re", 10L)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == naiveOverlap.sorted.toSeq,
+      s"got ${got.sorted.toSeq}\nwant ${naiveOverlap.sorted.toSeq}")
+    // (1,13) share 50 bins at w=10 — must appear exactly once
+    assert(got.distinct.length == got.length, "duplicate overlap pair")
+    // touching-not-overlapping: [10,20) vs [20,30) must NOT match
+    assert(!got.contains((2L, 12L)))
+    // empty interval [700,700) matches nothing even inside [650,800)
+    assert(!got.exists(_._1 == 7L))
+  }
+
+  test("overlap bin width invariance") {
+    val w10 = RangeJoin.intervalOverlap(leftIv, "ls", "le", rightIv, "rs", "re", 10L)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (w <- Seq(1L, 3L, 64L, 100000L)) {
+      val got = RangeJoin.intervalOverlap(leftIv, "ls", "le", rightIv, "rs", "re", w)
+        .select(col("lid"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == w10, s"binWidth=$w diverged")
+    }
+  }
+
+  test("overlap plan is an equi-join, never BNLJ/cartesian") {
+    val df = RangeJoin.intervalOverlap(leftIv, "ls", "le", rightIv, "rs", "re", 10L)
+    df.collect()
+    val names = collectPhysical(df.queryExecution.executedPlan).map(_.nodeName)
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("Cartesian")),
+      s"quadratic join shape: $names")
+  }
+
   test("disjoint-name and positive-width guards") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, "pt", intervals.withColumnRenamed("s", "pt"), "pt", "e", 10L)
