@@ -153,9 +153,18 @@ object Entity {
   // rows); FK = one left join + conditional count (broadcastable dim /
   // AQE-shuffle at 100 TB); null/range/consistency = row-local predicates
   // under a conditional sum, map-side combining. The exact COUNT(DISTINCT)
-  // Expand is the sf-scale choice; at 10¹² rows the approx swap is
-  // approx_count_distinct, licensed by the q13_hll_merge proof exactly as
-  // q37_profile_approx does. Counts are integers — hash-exact.
+  // Expand is the sf-scale choice. At 10¹² rows the approx swap
+  // (approx_count_distinct, mergeable per q13_hll_merge) needs ONE extra
+  // guard that q37_profile_approx does not: a uniqueness VIOLATION count
+  // is n − distinct, a difference of two large near-equal numbers, so
+  // sketch noise (±rsd·n) swamps small true violation counts and can even
+  // go NEGATIVE, flipping a passing verdict — MEASURED at 32× via the
+  // ApproxDistinctRule flag (tools/DqScale): orders.o_orderkey reported
+  // −272 667 "violations" on a perfectly-unique 4.8 M-key column. The
+  // sound approx gate is therefore thresholded: passed = violations ≤
+  // rsd·n (detects gross duplication, never certifies exact uniqueness);
+  // columns needing an EXACT verdict keep the exact branch. Counts here
+  // are integers — hash-exact.
   def q49Dq(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
