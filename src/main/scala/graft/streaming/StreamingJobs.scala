@@ -252,9 +252,10 @@ object StreamingJobs {
     * own version — idempotent by construction, and a partial write from
     * the crashed attempt is simply overwritten, never read as base.
     * Retained versions double as time travel (the q36_asof_snapshot
-    * story at the storage layer); a production deployment vacuums old
-    * versions or swaps this scheme for a transactional table format's
-    * MERGE. Scale shape: identical to batch q45 — one shuffle per side
+    * story at the storage layer); [[vacuumVersions]] is the matching
+    * retention operator (keep-last floor of 2 so the replay base always
+    * survives); a transactional table format's MERGE subsumes the scheme
+    * when one is available. Scale shape: identical to batch q45 — one shuffle per side
     * on the key, the change batch broadcastable when small. */
   def applyCdcBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -277,6 +278,33 @@ object StreamingJobs {
     if (!d.isDirectory) Seq.empty
     else d.listFiles.toSeq.filter(_.isDirectory).map(_.getName)
       .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+  }
+
+  /** Retention for the `v=` version scheme — the vacuum the cdcApply
+    * scaladoc promises. Keeps the newest `keepLast` versions, deletes the
+    * rest, returns the deleted ids (ascending).
+    *
+    * `keepLast >= 2` is a CORRECTNESS floor, not a convenience default:
+    * foreachBatch's at-least-once contract replays at most the LATEST
+    * batch after a crash, and applyCdcBatch re-derives that batch from
+    * the newest version BELOW its id — so the latest version's base must
+    * survive vacuum or a replay would rebuild from empty and lose the
+    * table. (keepLast = 1 would be safe only after the checkpoint commits
+    * the last batch, a race this API refuses to encode.) Vacuum itself is
+    * crash-tolerant: deletion is oldest-first and a torn run leaves only
+    * extra versions, never a missing base — re-running finishes the job. */
+  def vacuumVersions(targetDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 2,
+      s"keepLast must be >= 2 (latest version + its replay base), got $keepLast")
+    val doomed = listVersions(targetDir).sorted.dropRight(keepLast)
+    doomed.foreach { v =>
+      val root = java.nio.file.Paths.get(s"$targetDir/v=$v")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount) // children before parents
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    doomed
   }
 
   def cdcApply(changes: DataFrame, targetDir: String)
