@@ -280,6 +280,52 @@ object StreamingJobs {
       .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
   }
 
+  /** Q51 twin: LIVE incident detection. The batch lane
+    * (Analytics.incidentWindows) derives its threshold from the full
+    * corpus — a two-pass read no stream can do — so the live form takes
+    * the threshold as input (computed from history, the alerting
+    * convention) and chains TWO stateful stages in one query:
+    *   1. hourly tumbling counts, watermarked — a hot hour emits once the
+    *      watermark passes it;
+    *   2. session_window over the emitted hot hours with a 61-minute gap —
+    *      adjacent hot hours chain into one incident, any cold hour
+    *      breaks the chain (61 > 60 so exact adjacency chains, a full
+    *      missing hour does not).
+    * Emits one row per CLOSED incident: the ±30 min margined window
+    * (identical arithmetic to the batch islands) + hot-hour count.
+    * Chained stateful operators need the stage-1 `window` column kept as
+    * the stage-2 event-time (Spark's multiple-stateful-operator support,
+    * 3.5+); IncidentStreamSpec pins streamed ≡ batch islands at the same
+    * threshold. */
+  def incidentDetect(events: DataFrame, threshold: Long): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+      // Spark refuses a GLOBAL session aggregation in streaming, and a
+      // literal key is folded away by RemoveLiteralFromGroupExpressions
+      // (probed — the check fires again). pmod(n, 1) is constant 0 but
+      // NOT foldable, so it survives as a real grouping key. Single-key
+      // state is fine HERE by construction: stage 2's input is hot HOURS
+      // (time-bounded — ~720 rows/month at any event volume), not events.
+      .groupBy(pmod(col("n"), lit(1L)).as("g"),
+        session_window(col("window"), "61 minutes"))
+      .agg(count(lit(1)).as("n_hot_hours"))
+      .select(
+        // Chained-session event-time fact (measured, spec-pinned): a row
+        // produced by the upstream window aggregation carries event time
+        // `window.end - 1 microsecond`, so session bounds sit 1 h - 1 µs
+        // after the hot hour STARTS the batch arithmetic uses. Rebuild
+        // the batch islands' ±30 min margined window exactly:
+        //   w_start = first_hot_start - 30 min = session.start - 90 min + 1 µs
+        //   w_end   = last_hot_start + 90 min  = session.end - 31 min + 1 µs
+        (col("session_window.start") - expr("INTERVAL 90 MINUTES")
+          + expr("INTERVAL 1 MICROSECOND")).as("w_start"),
+        (col("session_window.end") - expr("INTERVAL 31 MINUTES")
+          + expr("INTERVAL 1 MICROSECOND")).as("w_end"),
+        col("n_hot_hours"))
+
   /** Retention for the `v=` version scheme — the vacuum the cdcApply
     * scaladoc promises. Keeps the newest `keepLast` versions, deletes the
     * rest, returns the deleted ids (ascending).
