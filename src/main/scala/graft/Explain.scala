@@ -20,7 +20,7 @@ object Explain {
         "q25_ivf_topk", "q26_cc_clusters", "q26_semantic_dedup", "q35_pack",
         "q36_scd2", "q33_decontam_bloom", "q37_profile", "q07_outer_join",
         "q14_unpivot", "q29_neardup_batch", "q25_ivf_scale", "q13_hll_merge",
-        "q24_lsh_est")
+        "q24_lsh_est", "q50_topk_phys", "q51_range_join", "q53_overlap_join")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
