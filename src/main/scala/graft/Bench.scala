@@ -97,6 +97,8 @@ object Bench {
         System.gc()
       } catch { case _: Throwable => () }
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val noopTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failedNoop = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // TWO passes per query, report the second: pass 1 pays the query's
       // OWN codegen + plan compilation (the generic warmup above cannot
@@ -130,6 +132,23 @@ object Bench {
           val retry = once(scratch)
           if (scratch.isEmpty) retry else warm0
         } else warm0
+      // THIRD pass, full materialization (noop sink): count()-based timing
+      // lets Catalyst PRUNE columns the count does not need — for most
+      // lanes the heavy work decides cardinality and survives, but a lane
+      // whose cost lives in non-cardinality columns (q52's flag pipeline,
+      // pure-projection lanes like q23_fingerprint) benches a hollowed
+      // plan. Measured round-9: q52_curate_e2e 0.53 s counted vs ~20 s
+      // fully materialized (pre-barrier). `queries` stays the historical
+      // count-based contract (round-over-round comparability);
+      // `queries_noop` is the every-column truth the Verify gate pays.
+      val tN = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failedNoop += name
+        System.err.println(s"[bench] $name noop FAILED: ${e.getMessage}")
+      }
+      noopTimes(name) = (System.nanoTime() - tN) / 1e9
+      hygiene()
       name -> warm
     }
 
@@ -183,6 +202,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsCold = coldTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsNoop = noopTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val noopTotal = noopTimes.collect { case (k, v) if !failedNoop(k) => v }.sum
+    val failedNoopJson = failedNoop.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline total = WARM passes of queries whose WARM pass succeeded; a
     // failed query's near-zero dt would silently understate the total (r5
     // ADVICE), but a cold-only failure leaves the warm number valid (r6)
@@ -197,6 +219,7 @@ object Bench {
     // cold-at-the-tail layout caused a false-regression scare.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_dict":"queries",""" +
       s""""queries_cold":$qsCold,""" +
+      s""""queries_noop":$qsNoop,"noop_total":$noopTotal,"failed_noop":$failedNoopJson,""" +
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
       s""""ingest_reps_rows_per_sec":${ingestRepsRps.mkString("[", ",", "]")},""" +
       s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
@@ -229,7 +252,8 @@ object Bench {
       s""""warm_p50":${r3(pctl(0.5))},"warm_p95":${r3(pctl(0.95))},"warm_max":${r3(pctl(1.0))},""" +
       s""""ingest_rows_per_sec":${math.rint(ingestRps)},"stream_rows_per_sec":${math.rint(streamRps)},""" +
       s""""stream_warm_rows_per_sec":${math.rint(streamWarmRps)},""" +
-      s""""failed":$failedJson,"failed_cold":$failedColdJson,"queries":$slowest,""" +
+      s""""failed":$failedJson,"failed_cold":$failedColdJson,"failed_noop":$failedNoopJson,""" +
+      s""""noop_total":${r3(noopTotal)},"queries":$slowest,""" +
       s""""queries_note":"15 slowest warm lanes; full dict in bench_result.json","sf":"$sfDir"}"""
     spark.stop()
     // Print again AFTER spark.stop so the bare JSON lines are the process's

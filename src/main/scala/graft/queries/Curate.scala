@@ -81,25 +81,36 @@ object Curate {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+    // Materialization barrier (the q33_decontam_bloom precedent): the flag
+    // pipeline above is md5/regex-heavy, and THREE consumers read it
+    // (dedup winners, the decontam explode's winner set, the final agg) —
+    // without the barrier each branch re-executes the whole pipeline
+    // (measured at 32×: ~23 s warm; with it the flags run once). Only the
+    // SCALAR columns checkpoint — the heavy arrays stay out of the
+    // materialized frame, and the decontam branch re-derives shingles for
+    // the (small) winner subset from the raw docs.
+    val flagsSlim = flagged
+      .select(col("doc_id"), col("lang"), col("predicted"), col("lang_ok"),
+        col("keep_q"), col("fp"), col("bpe_toks"), col("n_chars"))
+      .localCheckpoint()
+
     // s3: exact-dedup winners among quality survivors (one fp shuffle)
-    val s2 = flagged.filter(col("lang_ok") && col("keep_q"))
-    val winners = s2.groupBy(col("fp"))
+    val winners = flagsSlim.filter(col("lang_ok") && col("keep_q"))
+      .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_win"))
 
     // s4: contamination — any 5-gram shared with the RAW test split
     val testSh = docs.filter(col("bucket") >= 90)
       .select(explode(expr(Sampling.sh5Spark)).as("s")).distinct()
-    val contaminated = s2
+    val contaminated = docs
       .join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(expr(Sampling.sh5Spark)).as("s"))
       .join(testSh, Seq("s"))
       .select(col("doc_id")).distinct()
       .withColumn("is_cont", lit(true))
 
-    flagged
-      .select(col("doc_id"), col("lang"), col("predicted"), col("lang_ok"),
-        col("keep_q"), col("bpe_toks"), col("n_chars"))
+    flagsSlim
       .join(winners, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("is_final", col("is_win").isNotNull && col("is_cont").isNull)

@@ -90,10 +90,18 @@ object Sampling {
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))"
 
   def q33Decontam(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized ONCE (localCheckpoint) — the same barrier the Bloom
+    // variant has always carried: THREE consumers read the doc-shingle
+    // frame (train explode, test explode, the final test projection), and
+    // without it each branch re-runs the split+shingle pipeline. Exposed
+    // by the round-9 full-materialization bench metric: 12.4 s noop vs
+    // the checkpointed Bloom twin's 1.77 s on the IDENTICAL answer.
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(sh5Spark))
       .withColumn("bucket", expr(s"${h60("CAST(doc_id AS STRING)")} % 100"))
+      .select(col("doc_id"), col("lang"), col("sh"), col("bucket"))
+      .localCheckpoint()
     val train = docs.filter(col("bucket") < 80)
       .select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n_train_docs"))
