@@ -95,6 +95,24 @@ class TopKStrategySpec extends SparkSpec {
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
 
+  test("null keys and null ordering values follow the window twin exactly") {
+    import spark.implicits._
+    // null key -> its own group (UnsafeRow null-aware equality); null order
+    // values follow SortOrder's default null ordering, same as the window
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (1L, 1L, 10.0), (1L, 2L, null), (1L, 3L, 30.0), (1L, 4L, 20.0),
+      (null, 5L, 50.0), (null, 6L, null), (null, 7L, 70.0),
+      (2L, 8L, null), (2L, 9L, null)
+    ).toDF("k", "id", "v")
+    val custom = GraftPlans.topKPerKey(rows, Seq("k"), Seq(("v", false), ("id", true)), 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val twin = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(custom == twin, s"custom $custom vs window $twin")
+    assert(custom.intersect(Set(5L, 7L)) == Set(5L, 7L), "null key group must survive")
+  }
+
   test("composes downstream: aggregate over the custom node") {
     val df = GraftPlans.topKPerKey(
         orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
