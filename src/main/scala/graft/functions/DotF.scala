@@ -191,6 +191,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // (graft.plans.TopKStrategy; matches only the custom logical node, so
     // every other plan is untouched)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // the injectParser leg: the GRAFT VACUUM VERSIONS maintenance command
+    // (graft.plans.GraftSqlParser; everything else delegates verbatim)
+    e.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     e.injectFunction((
       FunctionIdentifier("dotf"),
       new ExpressionInfo(classOf[DotF].getName, "dotf"),

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** The `injectParser` leg of SparkSessionExtensions — with it, all FOUR
+  * extension hooks the engine can use are exercised (functions, optimizer
+  * rule, planner strategy, parser). The canonical use of a parser
+  * extension is a maintenance COMMAND grammar (Delta's VACUUM/OPTIMIZE
+  * shape), so this parser adds exactly that for the engine's CDC version
+  * store:
+  *
+  * {{{ GRAFT VACUUM VERSIONS '<targetDir>' KEEP <n> }}}
+  *
+  * → [[GraftVacuumCommand]] → `StreamingJobs.vacuumVersions(dir, n)`,
+  * returning one `deleted_version` row per removed version. Everything
+  * that is not this statement delegates verbatim to the session's parser
+  * — stock SQL (and its error messages) are untouched, and the keepLast
+  * floor (≥ 2, the replay-base invariant) is enforced by the operator,
+  * surfacing through SQL like any command error. */
+case class GraftVacuumCommand(dir: String, keep: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.streaming.StreamingJobs.vacuumVersions(dir, keep).map(Row(_))
+}
+
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private val Vacuum =
+    """(?is)\s*GRAFT\s+VACUUM\s+VERSIONS\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Vacuum(dir, keep) => GraftVacuumCommand(dir, keep.toInt)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingJobs
+
+/** The injectParser leg end-to-end: `GRAFT VACUUM VERSIONS '<dir>' KEEP n`
+  * through plain `spark.sql`. Pins: (1) the command parses, runs the
+  * vacuum, and returns the deleted versions; (2) retained versions remain
+  * readable; (3) the operator's keepLast floor surfaces as the SQL error;
+  * (4) everything else — stock SQL and stock parse errors — delegates
+  * verbatim to the session parser. */
+class GraftParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlvac").toString
+    (0 to 3).foreach { i =>
+      val b = Seq(Chg(i.toLong + 1, "insert", i * 1.0, "A", in_chg = true))
+      StreamingJobs.applyCdcBatch(b.toDF(), dir, i.toLong)
+    }
+    dir
+  }
+
+  test("GRAFT VACUUM VERSIONS runs through spark.sql and reports deletions") {
+    val dir = seed()
+    val deleted = spark.sql(s"GRAFT VACUUM VERSIONS '$dir' KEEP 2")
+      .select(col("deleted_version")).as[Long].collect().sorted.toSeq
+    assert(deleted == Seq(0L, 1L))
+    assert(StreamingJobs.listVersions(dir).sorted == Seq(2L, 3L))
+    assert(spark.read.parquet(s"$dir/v=3").count() > 0)
+    // case-insensitive, trailing semicolon, idempotent re-run
+    assert(spark.sql(s"graft vacuum versions '$dir' keep 2;").count() == 0)
+  }
+
+  test("the keepLast floor surfaces as the SQL error") {
+    val dir = seed()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT VACUUM VERSIONS '$dir' KEEP 1").collect()
+    }
+    assert(e.getMessage.contains("keepLast"))
+  }
+
+  test("everything else delegates verbatim to the stock parser") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("GRAFT VACUUM nonsense")
+    }
+  }
+}
