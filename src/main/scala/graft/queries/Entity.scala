@@ -238,7 +238,68 @@ object Entity {
       |)
       |ORDER BY constraint_name""".stripMargin
 
+  // --- Q55: graph centrality (fixed-point PageRank) ------------------------
+  // The corpus-curation quality signal web-scale pipelines compute over the
+  // link graph (Common Crawl ranks hosts by centrality before sampling);
+  // here the graph is the bipartite customer↔supplier purchase graph (edge
+  // weight = lineitem count via orders), made symmetric with both edge
+  // directions so no node dangles. Ten damped iterations in int64
+  // FIXED-POINT units (core/PageRank.scala) — every step is BIGINT
+  // arithmetic, so the ranks are bit-identical at any parallelism and the
+  // DuckDB oracle replays all ten iterations exactly (chained CTEs — a
+  // recursive CTE with aggregation in the recursive term is not portable
+  // SQL, an unrolled fixed-iteration chain is). Scale shape: edges+out-
+  // weights persisted once; each superstep = one join of the small rank
+  // frame onto the edge partitioning + one map-side-combining sum on dst,
+  // rank lineage truncated per superstep (the ConnectedComponents
+  // discipline).
+  private val PrIters = 10
+  private val PrR0 = 1000000000000L
+
+  def q55PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+    val cNode = concat(lit("C"), col("o_custkey").cast("string"))
+    val sNode = concat(lit("S"), col("l_suppkey").cast("string"))
+    val edges = pairs.select(cNode.as("src"), sNode.as("dst"), col("w"))
+      .union(pairs.select(sNode.as("src"), cNode.as("dst"), col("w")))
+    graft.core.PageRank.run(edges, PrIters, PrR0)
+      .orderBy(col("node"))
+  }
+
+  val q55PageRankSql: String = {
+    val teleport = (15L * PrR0) / 100L
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  $teleport + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT eo.dst AS node,
+         |           CAST(sum(eo.w * (r${i - 1}.rank // eo.outw)) AS BIGINT) AS contrib
+         |    FROM eo JOIN r${i - 1} ON eo.src = r${i - 1}.node
+         |    GROUP BY eo.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT 'C' || o_custkey AS csrc, 'S' || l_suppkey AS sdst,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT csrc AS src, sdst AS dst, w FROM p
+       |      UNION ALL SELECT sdst, csrc, w FROM p),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src)),
+       |n AS (SELECT DISTINCT node FROM (
+       |        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node, CAST($PrR0 AS BIGINT) AS rank FROM n),
+       |$iterCtes
+       |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_pagerank"   -> (q55PageRank _),
     "q47_linkage"    -> (q47Linkage _),
     "q47_kanon"      -> (q47Kanon _),
     "q15_ntile_bins" -> (q15NtileBins _),
@@ -246,6 +307,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_pagerank"   -> q55PageRankSql,
     "q47_linkage"    -> q47LinkageSql,
     "q47_kanon"      -> q47KanonSql,
     "q15_ntile_bins" -> q15NtileBinsSql,

@@ -375,7 +375,74 @@ object Sampling {
       |        FROM tf JOIN dfreq USING (tok) CROSS JOIN n))
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // --- Q54: probability-proportional-to-size SYSTEMATIC sampling ----------
+  // The "build an epoch" staple the rate lanes (q33_resample) cannot do:
+  // draw EXACTLY k units per source with inclusion probability proportional
+  // to each doc's token count (big docs must be seen proportionally more
+  // often when an epoch is token-budgeted, not doc-budgeted). Classic
+  // systematic PPS: lay docs end-to-end on the per-source token line
+  // (the q35_pack prefix-sum layout), drop k equally spaced lattice points
+  // at positions (2i+1)·W/(2k), i∈[0,k); a doc's sample multiplicity is the
+  // number of lattice points inside its token interval [a, b). A doc longer
+  // than W/k tokens can legitimately draw multiplicity ≥ 2 (sampling WITH
+  // replacement in the PPS sense); Σ multiplicity = k per source ALWAYS —
+  // the lattice has exactly k points and intervals tile [0, W).
+  //
+  // Every comparison is integer: lattice point i sits at rational
+  // (2i+1)W/2k, and "point in [a,b)" ⟺ odd m = 2i+1 with 2k·a ≤ m·W < 2k·b,
+  // so m ranges over the odd integers in [ceilDiv(2k·a, W), (2k·b−1) div W]
+  // and multiplicity = (hi+1) div 2 − lo div 2 — BIGINT div only, no
+  // floats, so the draw is bit-identical on any engine, any partitioning,
+  // any run (the reproducibility bar all q33 lanes hold). Bounds: the
+  // arithmetic needs 2k·W < 2⁶³ — at k=50 that allows ~9·10¹⁶ tokens per
+  // source, far past 100 TB of text.
+  //
+  // Scale shape: ONE shuffle (the per-source window for the running token
+  // sum — same partitioning as q35_pack), W joined back as a broadcast
+  // one-row-per-source frame, then row-local integer arithmetic. At 100 TB
+  // the window key becomes (source, shard) with per-shard lattice budgets,
+  // identical plan.
+  private val PpsK = 50L
+
+  def q54PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    val withCum = docs
+      .withColumn("b", sum(col("n_toks")).over(w))
+      .withColumn("a", col("b") - col("n_toks"))
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("w_total"))
+    withCum.join(broadcast(totals), "source")
+      .withColumn("lo", expr(s"(2 * $PpsK * a + w_total - 1) DIV w_total"))
+      .withColumn("hi", expr(s"(2 * $PpsK * b - 1) DIV w_total"))
+      .withColumn("mult", greatest(lit(0L),
+        expr("(hi + 1) DIV 2 - lo DIV 2")))
+      .filter(col("mult") >= 1)
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        col("a").as("tok_offset"), col("mult"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q54PpsSampleSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks FROM documents),
+       |c AS (SELECT doc_id, source, n_toks,
+       |        CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS b FROM t),
+       |tot AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS w_total FROM t GROUP BY source),
+       |m AS (SELECT c.source, c.doc_id, c.n_toks, c.b - c.n_toks AS a,
+       |        (2 * $PpsK * (c.b - c.n_toks) + tot.w_total - 1) // tot.w_total AS lo,
+       |        (2 * $PpsK * c.b - 1) // tot.w_total AS hi
+       |      FROM c JOIN tot USING (source))
+       |SELECT source, doc_id, n_toks, a AS tok_offset,
+       |       greatest(0, (hi + 1) // 2 - lo // 2) AS mult
+       |FROM m WHERE greatest(0, (hi + 1) // 2 - lo // 2) >= 1
+       |ORDER BY source, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_pps_sample"   -> (q54PpsSample _),
     "q33_hash_sample"  -> (q33HashSample _),
     "q33_split_assign" -> (q33SplitAssign _),
     "q33_balanced_cap" -> (q33BalancedCap _),
@@ -388,6 +455,7 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q54_pps_sample"   -> q54PpsSampleSql,
     "q33_hash_sample"  -> q33HashSampleSql,
     "q33_split_assign" -> q33SplitAssignSql,
     "q33_balanced_cap" -> q33BalancedCapSql,
