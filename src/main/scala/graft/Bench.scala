@@ -99,7 +99,13 @@ object Bench {
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val noopTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failedNoop = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration knob only (driver never sets it): comma-separated
+    // lane-name prefixes restrict the run, e.g. SPARK_GRAFT_ONLY=q20,q24
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       // TWO passes per query, report the second: pass 1 pays the query's
       // OWN codegen + plan compilation (the generic warmup above cannot
       // pre-compile 100+ distinct plans), which is one-time cost a
