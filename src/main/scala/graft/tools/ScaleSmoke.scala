@@ -26,7 +26,8 @@ object ScaleSmoke {
     // already widened this copies× (big rehearsals chunk their lane lists
     // across invocations; rebuilding 100+ copies each chunk wastes minutes)
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-      new java.io.File(s"$out/events.parquet/_SUCCESS").exists()
+      new java.io.File(s"$out/events.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()
     if (!reuse) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
@@ -44,6 +45,22 @@ object ScaleSmoke {
     (0 until copies).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    // orders + lineitem, with cust/supp keys ALSO offset per copy: the
+    // q55_pagerank graph then scales in NODES (copies× customers and
+    // suppliers, disjoint per copy), not just edge weights — the dimension
+    // that stresses the superstep joins
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    (0 until copies).map(i => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val lin = spark.read.parquet(s"$sf/lineitem.parquet")
+    (0 until copies).map(i => lin
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
     println(s"[scale$copies] corpus ${if (reuse) "reused" else "ready"}: " +
       s"${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")

@@ -48,6 +48,20 @@ class PageRankSpec extends SparkSpec {
     assert(got("b") > got("c"))
   }
 
+  test("gate boundary: distributed supersteps ≡ fused single task") {
+    // force the >gate path on the hand graphs (gateEdges = 0) and compare
+    // with the default single-task path — same integer recurrence, so the
+    // two strategies must agree bit-for-bit (the CC gate-boundary shape)
+    for (g <- Seq(star, Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L)))) {
+      val fused = graft.core.PageRank.run(g.toDF("src", "dst", "w"), 6, 1000000L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val dist = graft.core.PageRank.run(g.toDF("src", "dst", "w"), 6, 1000000L,
+          gateEdges = 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(fused === dist)
+    }
+  }
+
   test("bit-determinism: any partitioning yields identical ranks") {
     val base = graft.core.PageRank.run(star.toDF("src", "dst", "w"), 5, 1000000L)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
