@@ -1737,7 +1737,78 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  // --- Q56: Johnson–Lindenstrauss sparse sign projection -------------------
+  // Embedding COMPRESSION for the vector pipeline: project 64-dim float
+  // vectors to k=16 dims with the Achlioptas sparse sign matrix
+  // (P(+1)=P(−1)=1/6, P(0)=2/3, scaled by √(3/k)) — the JL transform that
+  // preserves pairwise distances in expectation while reading only ⅓ of
+  // the input coordinates. The matrix is NOT random at run time: entry
+  // (i,j) derives from the shared 60-bit md5 hash (Hash60(s"$i:$j") mod 6),
+  // so the projection is a pure function of nothing but (i,j) —
+  // reproducible across engines, runs, and partitionings, exactly like
+  // the q33 hash-split membership. Both engines evaluate the IDENTICAL
+  // signed addition chain per output dim (same nonzero terms, same
+  // left-assoc order, float→double casts pinned, √(3/k) is IEEE-exact and
+  // round-trips through its shortest decimal), so the lane is hash-exact.
+  // Scale shape: entirely row-local whole-stage codegen — no shuffle at
+  // all before the final ORDER BY; at 100 TB this is a map-only pass, and
+  // k·D literal coefficients stay in the plan (no broadcast needed).
+  private val JlK = 16
+  private val JlD = 64
+  private val JlScale = math.sqrt(3.0 / JlK) // IEEE sqrt: exactly rounded
+
+  /** Signed chain per output dim, shared by the Spark expr and the DuckDB
+    * oracle modulo element-access syntax. Returns None for an all-zero
+    * column (probability (2/3)^64 ≈ 1e-12 — guarded anyway). */
+  private def jlChain(j: Int, elem: Int => String): Option[String] = {
+    val terms = (0 until JlD).flatMap { i =>
+      graft.functions.Hash60(s"$i:$j") % 6 match {
+        case 0 => Some(1 -> elem(i))
+        case 1 => Some(-1 -> elem(i))
+        case _ => None
+      }
+    }
+    if (terms.isEmpty) None
+    else Some(terms.zipWithIndex.map { case ((sgn, e), idx) =>
+      if (idx == 0) { if (sgn > 0) e else s"(- $e)" }
+      else { if (sgn > 0) s"+ $e" else s"- $e" }
+    }.mkString(" "))
+  }
+
+  def q56JlProject(spark: SparkSession, dir: String): DataFrame = {
+    val proj = (0 until JlK).map { j =>
+      // the scale rides in as a STRING cast: decimal-literal typing rules
+      // differ per engine, but string→double parsing of the shortest
+      // round-trip decimal is exact in both
+      jlChain(j, i => s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)")
+        .map(ch => expr(s"CAST('$JlScale' AS DOUBLE) * ($ch)"))
+        .getOrElse(lit(0.0))
+        .as(f"p$j%02d")
+    }
+    val names = (0 until JlK).map(j => f"p$j%02d")
+    val norm2 = names.map(n => s"$n * $n").mkString(" + ")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: col("label") +: proj: _*)
+      .withColumn("norm2", expr(norm2))
+      .orderBy(col("vec_id"))
+  }
+
+  val q56JlProjectSql: String = {
+    val proj = (0 until JlK).map { j =>
+      val ch = jlChain(j, i => s"CAST(embedding[${i + 1}] AS DOUBLE)")
+        .getOrElse("0.0")
+      f"  CAST('$JlScale%s' AS DOUBLE) * ($ch) AS p$j%02d"
+    }.mkString(",\n")
+    val norm2 = (0 until JlK).map(j => f"p$j%02d * p$j%02d").mkString(" + ")
+    s"""SELECT vec_id, label, $norm2 AS norm2, * EXCLUDE (vec_id, label)
+       |FROM (SELECT vec_id, label,
+       |$proj
+       |FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_jl_project"    -> (q56JlProject _),
     "q25_pq_adc"        -> (q25PqAdc _), // rows-only: iterative driver-held Lloyd codebooks (see scaladoc)
     "q25_kmeans"        -> (q25Kmeans _), // rows-only: iterative + order-dependent float sums (see scaladoc)
     "q26_incr_neardup"  -> (q26IncrNeardup _),
@@ -1764,6 +1835,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_jl_project"    -> q56JlProjectSql,
     "q26_incr_neardup"  -> q26IncrNeardupSql,
     "q29_neardup_batch" -> q29NeardupBatchSql,
     "q33_decontam_fuzzy" -> q33DecontamFuzzySql,

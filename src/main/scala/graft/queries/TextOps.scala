@@ -765,7 +765,115 @@ object TextOps {
       |     LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
       |ORDER BY doc_id, pos""".stripMargin
 
+  // --- Q57: BPE vocabulary induction (merge rounds) ------------------------
+  // The tokenizer-training step itself, Spark-first: classic byte-pair
+  // encoding over the word-frequency table — count adjacent symbol pairs
+  // weighted by word frequency, take the best pair (max count, then
+  // lexicographic (a, b) tie-break — ASCII corpus, so Spark/DuckDB binary
+  // string orders agree), merge its non-overlapping occurrences in every
+  // word (two-pass replace semantics below: on an odd self-pair chain the
+  // merge count equals greedy's but alternate occurrences fuse — a pinned,
+  // engine-identical order), repeat. Three rounds unrolled so the DuckDB
+  // oracle can replay the whole induction as chained CTEs, hash-exact.
+  //
+  // Pair counting is the NAIVE adjacent count (overlapping occurrences of
+  // a self-pair like (a,a) in "aaa" count twice) — the original BPE
+  // formulation; the contract both engines replay.
+  //
+  // The greedy merge runs in STRING space: symbols joined with chr(1)
+  // sentinels and the pattern chr(1)·a·chr(1)·b·chr(1) replaced TWICE —
+  // replace() consumes the shared trailing sentinel of adjacent
+  // occurrences, so one pass merges alternate occurrences of a chain and
+  // the second pass catches the now-isolated rest (two passes always
+  // suffice: after pass one every remaining occurrence is flanked by
+  // merged symbols or chain ends). Both engines' replace() is literal,
+  // non-overlapping, left-to-right — probe-confirmed identical. Sentinel
+  // flanking makes multi-char symbols unambiguous (no false sub-symbol
+  // matches), with no regex lookbehind — DuckDB's RE2 has none.
+  //
+  // Scale shape: ONE corpus pass builds the word-frequency table (the
+  // only big shuffle); every round then runs over DISTINCT WORDS (vocab-
+  // sized, ~10⁵ even at 100 TB — Heaps' law), with the best pair as a
+  // one-row driver scalar (the single-row-agg allowance). Rounds are
+  // sequential by nature (each merge depends on the last) — the
+  // parallelism that matters is inside the round, and it's a plain agg.
+  private val BpeRounds = 3
+
+  /** Factored core: docs(text) → (round, sym_a, sym_b, merged, pair_count),
+    * one row per merge round. */
+  private[graft] def bpeMergesFrom(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("s", expr(
+        "concat(chr(1), array_join(transform(sequence(1, length(w)), " +
+          "i -> substr(w, i, 1)), chr(1)), chr(1))"))
+      .select(col("s"), col("wc"))
+      .persist()
+    val out = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+    try {
+      var cur: DataFrame = words
+      for (r <- 1 to rounds) {
+        val best = cur
+          .withColumn("syms", expr("filter(split(s, chr(1)), x -> x <> '')"))
+          .filter(size(col("syms")) >= 2)
+          .withColumn("i", explode(expr("sequence(1, size(syms) - 1)")))
+          .select(expr("element_at(syms, i)").as("a"),
+            expr("element_at(syms, i + 1)").as("b"), col("wc"))
+          .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .head()
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        out += ((r, a, b, a + b, cnt))
+        val pat = "\u0001" + a + "\u0001" + b + "\u0001"
+        val rep = "\u0001" + a + b + "\u0001"
+        cur = cur.withColumn("s",
+          call_function("replace",
+            call_function("replace", col("s"), lit(pat), lit(rep)),
+            lit(pat), lit(rep)))
+      }
+    } finally words.unpersist()
+    out.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  def q57BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(Tables.documents(spark, dir), BpeRounds)
+
+  val q57BpeMergesSql: String = {
+    val base =
+      """wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |      WHERE length(w) >= 2 GROUP BY w),
+        |s0 AS (SELECT chr(1) || array_to_string(list_transform(
+        |           generate_series(1, length(w)), i -> substr(w, i, 1)), chr(1))
+        |         || chr(1) AS s, wc FROM wf)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS syms, wc
+         |              FROM s$p) WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (SELECT replace(replace(s0x.s,
+         |          chr(1) || b$r.a || chr(1) || b$r.b || chr(1),
+         |          chr(1) || b$r.a || b$r.b || chr(1)),
+         |          chr(1) || b$r.a || chr(1) || b$r.b || chr(1),
+         |          chr(1) || b$r.a || b$r.b || chr(1)) AS s, s0x.wc
+         |        FROM s$p s0x, b$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map { r =>
+      s"SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n$rounds\n$sel\nORDER BY round"
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_bpe_merges"  -> (q57BpeMerges _),
     "q23_tokens_pos"  -> (q23TokensPos _),
     "q23_compress"    -> (q23Compress _),
     "q23_redact"      -> (q23Redact _),
@@ -787,6 +895,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q57_bpe_merges"      -> q57BpeMergesSql,
     "q23_tokens_pos"      -> q23TokensPosSql,
     "q23_redact"          -> q23RedactSql,
     "q23_wordfreq"        -> q23WordFreqSql,
