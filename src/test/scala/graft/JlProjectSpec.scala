@@ -43,6 +43,19 @@ class JlProjectSpec extends SparkSpec {
       "more than 15% of pairs outside the 60% distortion band")
   }
 
+  test("plan shape: map-only — no hash exchange, whole-stage codegen") {
+    val plan = graft.queries.Similarity.q56JlProject(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+    // map-only: one scan, pure Projects, no agg/window/join anywhere
+    // (the AQE pre-execution string carries no codegen markers, so the
+    // operator inventory is the check)
+    assert(!plan.contains("Aggregate") && !plan.contains("Window") &&
+      !plan.contains("Join"), s"non-map operator leaked in:\n$plan")
+    assert("FileScan parquet".r.findAllMatchIn(plan).size === 1)
+  }
+
   test("norm2 equals the exact sum of squared projections; deterministic") {
     val out = graft.queries.Similarity.q56JlProject(spark, sf001)
     val cols = (0 until 16).map(j => f"p$j%02d")

@@ -57,6 +57,16 @@ class PpsSampleSpec extends SparkSpec {
     assert(must.exceptAll(sampled).count() === 0L)
   }
 
+  test("plan shape: one window shuffle + broadcast totals only") {
+    val plan = graft.queries.Sampling.q54PpsSample(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"totals should broadcast:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(hashEx <= 2, // the source-window shuffle + the totals agg
+      s"unexpected hash exchanges ($hashEx):\n$plan")
+  }
+
   test("deterministic across runs") {
     val a = graft.queries.Sampling.q54PpsSample(spark, sf001).collect().toSeq
     val b = graft.queries.Sampling.q54PpsSample(spark, sf001).collect().toSeq
