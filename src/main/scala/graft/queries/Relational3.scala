@@ -879,7 +879,60 @@ object Relational3 {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // --- Q58: content-addressed dataset fingerprint (Merkle-bucket hash) ----
+  // Snapshot equality / diff for 100 TB tables WITHOUT moving data: every
+  // row hashes its canonical content columns (exact-typed only — integer
+  // keys and strings; both engines render BIGINT→string identically, so
+  // the row hash is engine-portable), rows land in 256 hash buckets, and
+  // each bucket aggregates ORDER-INDEPENDENT summaries: row count,
+  // bit_xor of row hashes, and a 31-bit wrap-safe sum. Two snapshots are
+  // equal iff all bucket rows match; a localized edit flips exactly its
+  // bucket's row — the per-bucket (count, xor, sum) triple is what makes
+  // a 100 TB diff a 256-row comparison, and re-hashing is one map-side-
+  // combining agg (the cheapest possible full-table pass). XOR alone
+  // cancels duplicate pairs; the count and the sum column close that hole
+  // for fingerprint purposes (documented, not cryptographic). The
+  // 31-bit sum bounds: 2³¹·rows/bucket < 2⁶³ holds to ~10¹² rows/bucket.
+  private val FpTables: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey"),
+    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_suppkey"),
+    "documents" -> Seq("doc_id", "source", "text"))
+
+  def q58DatasetHash(spark: SparkSession, dir: String): DataFrame = {
+    val perTable = FpTables.map { case (t, cols) =>
+      val rowH = TextOps.h60(
+        s"concat_ws(chr(1), ${cols.map(c => s"CAST($c AS STRING)").mkString(", ")})")
+      Tables.table(spark, dir, t)
+        .select(lit(t).as("table_name"), expr(rowH).as("rh"))
+    }
+    perTable.reduce(_ unionByName _)
+      .withColumn("bucket", expr("rh % 256"))
+      .groupBy(col("table_name"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("xhash"),
+        sum(expr("rh % 2147483648")).as("sum31"))
+      .orderBy(col("table_name"), col("bucket"))
+  }
+
+  val q58DatasetHashSql: String = {
+    val selects = FpTables.map { case (t, cols) =>
+      val rowH = TextOps.h60d(
+        s"concat_ws(chr(1), ${cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")})")
+      s"SELECT '$t' AS table_name, $rowH AS rh FROM $t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH rows_h AS (
+       |$selects
+       |)
+       |SELECT table_name, rh % 256 AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(rh) AS BIGINT) AS xhash,
+       |       CAST(sum(rh % 2147483648) AS BIGINT) AS sum31
+       |FROM rows_h GROUP BY 1, 2 ORDER BY table_name, bucket""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_dataset_hash" -> (q58DatasetHash _),
     "q07_outer_join" -> (q07OuterJoin _),
     "q14_unpivot"    -> (q14Unpivot _),
     "q14_grouping_sets" -> (q14GroupingSets _),
@@ -903,6 +956,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q58_dataset_hash" -> q58DatasetHashSql,
     "q07_outer_join" -> q07OuterJoinSql,
     "q14_unpivot"    -> q14UnpivotSql,
     "q14_grouping_sets" -> q14GroupingSetsSql,

@@ -404,10 +404,14 @@ object Sampling {
   // identical plan.
   private val PpsK = 50L
 
-  def q54PpsSample(spark: SparkSession, dir: String): DataFrame = {
+  def q54PpsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSampleFrom(Tables.documents(spark, dir))
+
+  /** Factored core (lane + property spec): docs(source, doc_id, text). */
+  private[graft] def ppsSampleFrom(docsIn: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val docs = Tables.documents(spark, dir)
+    val docs = docsIn
       .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
     val withCum = docs
       .withColumn("b", sum(col("n_toks")).over(w))

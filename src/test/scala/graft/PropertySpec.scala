@@ -125,4 +125,66 @@ class PropertySpec extends AnyFunSuite {
           once.select($"id").except(base.select($"id")).count() == 0
     }, n = 20)
   }
+
+  test("pps sampling: Σ mult = k per source and replica-exact on random corpora") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val K = 50L
+    val docGen = Gen.nonEmptyListOf(for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.choose(1, 40)
+    } yield (src, n))
+    check(Prop.forAll(docGen) { specs =>
+      val docs = specs.zipWithIndex.map { case ((src, n), i) =>
+        (src, i.toLong, Seq.fill(n)("w").mkString(" "))
+      }
+      val got = graft.queries.Sampling.ppsSampleFrom(
+          docs.toDF("source", "doc_id", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // replica of the lattice arithmetic
+      val expected = docs.map { case (s, id, t) => (s, id, t.split(" ").length.toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+          val ordered = rows.sortBy(_._2); val w = ordered.map(_._3).sum
+          var cum = 0L
+          ordered.flatMap { case (_, id, n) =>
+            val a = cum; val b = cum + n; cum = b
+            val lo = (2 * K * a + w - 1) / w; val hi = (2 * K * b - 1) / w
+            val m = math.max(0L, (hi + 1) / 2 - lo / 2)
+            if (m >= 1) Some((src, id, n, a, m)) else None
+          }
+        }
+      val sums = got.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+      got.toSet == expected.toSet && sums.values.forall(_ == K)
+    }, n = 15)
+  }
+
+  test("pagerank: distributed result equals the integer replica on random graphs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0, 5); b <- Gen.choose(0, 5) if a != b
+      w <- Gen.choose(1L, 5L)
+    } yield (s"n$a", s"n$b", w))
+    check(Prop.forAll(edgeGen) { half =>
+      // bidirectional (no dangling nodes), duplicate edges summed first so
+      // the replica and the engine see the identical multigraph-as-graph
+      val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+        .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).sum) }
+        .toSeq
+      val got = graft.core.PageRank.run(edges.toDF("src", "dst", "w"), 5, 1000000L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // driver replica (same recurrence as PageRankSpec.replica)
+      val teleport = (15L * 1000000L) / 100L
+      val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var ranks = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 5) {
+        val contrib = edges.map { case (s, d, w) => d -> w * (ranks(s) / outw(s)) }
+          .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+        ranks = nodes.map(n => n -> (teleport + (85L * contrib.getOrElse(n, 0L)) / 100L)).toMap
+      }
+      got == ranks
+    }, n = 10)
+  }
 }
