@@ -872,7 +872,60 @@ object TextOps {
     s"WITH $base,\n$rounds\n$sel\nORDER BY round"
   }
 
+  // --- Q59: bigram-LM fluency scoring --------------------------------------
+  // The perplexity-style quality signal with the transcendentals removed:
+  // train a corpus bigram model (conditional frequencies c(a,b)/c(a,·)) and
+  // score every doc by its mean bigram probability. log-perplexity would
+  // need ln (last-ulp divergent across libm implementations — the q23_tfidf
+  // finding), so the checked score is the MEAN of the conditional
+  // probabilities, each pinned as INTEGER basis points —
+  // (c_ab·10⁴) DIV c_a — so the per-doc sum is a BIGINT (order-free,
+  // engine-exact, no decimal-rounding-mode parity question) and only the
+  // final mean is one double division. Monotone enough for filtering: doc
+  // text made of common continuations scores high, unseen-junk low.
+  // Scale shape: two map-side-combining aggs build the model; scoring joins
+  // the exploded bigram stream back on (a, b) and (a) — linear equi-joins,
+  // AQE-skew-splittable (stopword prefixes are the hot keys); no n².
+  // Overflow: c_ab·10⁴ < 2⁶³ holds to ~9·10¹⁴ occurrences of one bigram.
+  def q59BigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmFrom(Tables.documents(spark, dir))
+
+  /** Factored core (lane + hand-corpus spec): docs(doc_id, text). */
+  private[graft] def bigramLmFrom(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("i", explode(expr("sequence(1, size(t) - 1)")))
+      .select(col("doc_id"), expr("element_at(t, i)").as("a"),
+        expr("element_at(t, i + 1)").as("b"))
+    val bg = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val pre = bigrams.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    bigrams.join(bg, Seq("a", "b")).join(pre, Seq("a"))
+      .withColumn("r_bp", expr("(c_ab * 10000) DIV c_a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r_bp")).as("rs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("rs").cast("double") /
+          (col("n_bigrams") * 10000L).cast("double")).as("fluency"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59BigramLmSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bgr AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |              FROM tk WHERE len(t) >= 2)),
+      |bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bgr GROUP BY 1, 2),
+      |pre AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bgr GROUP BY 1),
+      |r AS (SELECT doc_id, (c_ab * 10000) // c_a AS r_bp
+      |      FROM bgr JOIN bg USING (a, b) JOIN pre USING (a))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(CAST(sum(r_bp) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) * 10000 AS DOUBLE) AS fluency
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_bigram_lm"   -> (q59BigramLm _),
     "q57_bpe_merges"  -> (q57BpeMerges _),
     "q23_tokens_pos"  -> (q23TokensPos _),
     "q23_compress"    -> (q23Compress _),
@@ -895,6 +948,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q59_bigram_lm"       -> q59BigramLmSql,
     "q57_bpe_merges"      -> q57BpeMergesSql,
     "q23_tokens_pos"      -> q23TokensPosSql,
     "q23_redact"          -> q23RedactSql,
