@@ -816,7 +816,9 @@ object TextOps {
     val out = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
     try {
       var cur: DataFrame = words
-      for (r <- 1 to rounds) {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
         val best = cur
           .withColumn("syms", expr("filter(split(s, chr(1)), x -> x <> '')"))
           .filter(size(col("syms")) >= 2)
@@ -825,15 +827,24 @@ object TextOps {
             expr("element_at(syms, i + 1)").as("b"), col("wc"))
           .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .head()
-        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        out += ((r, a, b, a + b, cnt))
-        val pat = "\u0001" + a + "\u0001" + b + "\u0001"
-        val rep = "\u0001" + a + b + "\u0001"
-        cur = cur.withColumn("s",
-          call_function("replace",
-            call_function("replace", col("s"), lit(pat), lit(rep)),
-            lit(pat), lit(rep)))
+          .collect()
+        if (best.isEmpty) {
+          // every word fully merged — the oracle's later b_r CTEs are empty
+          // (LIMIT 1 of nothing, cross-joined forward), so its UNION ALL
+          // also stops emitting rows: the engines agree on the short output
+          exhausted = true
+        } else {
+          val (a, b, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += ((r, a, b, a + b, cnt))
+          val pat = "\u0001" + a + "\u0001" + b + "\u0001"
+          val rep = "\u0001" + a + b + "\u0001"
+          cur = cur.withColumn("s",
+            call_function("replace",
+              call_function("replace", col("s"), lit(pat), lit(rep)),
+              lit(pat), lit(rep)))
+          r += 1
+        }
       }
     } finally words.unpersist()
     out.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_count")

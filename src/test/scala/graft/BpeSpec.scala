@@ -49,6 +49,12 @@ class BpeSpec extends SparkSpec {
     assert(out(1) === ((2, "x", "ab", "xab", 3L)))
   }
 
+  test("exhaustion: fewer merges than rounds when every word fully fuses") {
+    // single 2-char word: round 1 merges it whole; rounds 2-3 find no pairs
+    val out = merges(Seq("ab ab"), 3)
+    assert(out === Seq((1, "a", "b", "ab", 2L)))
+  }
+
   test("deterministic across runs and partitionings") {
     val texts = Seq("the cat sat on the mat", "the bat and the rat", "cat bat mat")
     val a = merges(texts, 3)
