@@ -39,6 +39,30 @@ class DatasetHashSpec extends SparkSpec {
     assert(differing.nonEmpty, "edit must be visible")
   }
 
+  test("fingerprint maintains incrementally: fp(base ∪ δ) = fp(base) ⊕ fp(δ)") {
+    // every per-bucket summary is a commutative monoid (count: +, xhash: ⊕,
+    // sum31: +), so a CDC stream can maintain the snapshot fingerprint by
+    // folding in each micro-batch's delta fingerprint — no base re-scan.
+    // Deletes fold in the SAME way (xor is self-inverse, counts/sums
+    // subtract). Proven here as the batch algebra the foreachBatch sink
+    // would apply.
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr(graft.queries.TextOps.h60("CAST(id AS STRING)")).as("rh"))
+      .groupBy(expr("rh % 256").as("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"),
+        sum(expr("rh % 2147483648")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = (1L to 300L).toDF("id")
+    val delta = (301L to 400L).toDF("id")
+    val whole = fp(base.unionAll(delta))
+    val combined = (fp(base).keySet ++ fp(delta).keySet).map { k =>
+      val b = fp(base).getOrElse(k, (0L, 0L, 0L))
+      val d = fp(delta).getOrElse(k, (0L, 0L, 0L))
+      k -> ((b._1 + d._1, b._2 ^ d._2, b._3 + d._3))
+    }.toMap
+    assert(whole === combined)
+  }
+
   test("duplicating a row is visible despite XOR cancellation being possible") {
     def fp(df: org.apache.spark.sql.DataFrame) = df
       .select(expr(graft.queries.TextOps.h60("CAST(id AS STRING)")).as("rh"))
