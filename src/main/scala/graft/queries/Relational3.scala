@@ -931,7 +931,43 @@ object Relational3 {
        |FROM rows_h GROUP BY 1, 2 ORDER BY table_name, bucket""".stripMargin
   }
 
+  // --- Q60: recursive CTE (hierarchy traversal through plain spark.sql) ---
+  // Spark 4 finally ships WITH RECURSIVE (UnionLoop execution), so the
+  // engine's SQL surface covers the hierarchy/graph-walk class natively —
+  // here the part-category ancestry chain (parent = key DIV 10, the
+  // decimal-digit category tree over p_partkey): every part emits its full
+  // ancestor path with depth. The recursion is data-bounded (depth =
+  // digit count, ≤ 12 levels at 10¹² parts) and each step is a narrow
+  // map over the previous frontier — the 100 TB cost is Σ|frontier| =
+  // rows·depth, embarrassingly parallel per step. The DuckDB oracle runs
+  // the structurally identical recursive CTE (`//` for DIV), hash-exact —
+  // cross-engine recursive-CTE parity is itself the point of the lane.
+  def q60RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q60_part")
+    spark.sql(
+      """WITH RECURSIVE anc(p_partkey, anc, depth, path) AS (
+        |  SELECT p_partkey, p_partkey, 0, CAST(p_partkey AS STRING)
+        |  FROM graft_q60_part
+        |  UNION ALL
+        |  SELECT p_partkey, anc DIV 10, depth + 1,
+        |         CAST(anc DIV 10 AS STRING) || '/' || path
+        |  FROM anc WHERE anc >= 10)
+        |SELECT p_partkey, anc, depth, path FROM anc
+        |ORDER BY p_partkey, depth""".stripMargin)
+  }
+
+  val q60RecursiveCteSql: String =
+    """WITH RECURSIVE anc(p_partkey, anc, depth, path) AS (
+      |  SELECT p_partkey, p_partkey, 0, CAST(p_partkey AS STRING) FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, anc // 10, depth + 1,
+      |         CAST(anc // 10 AS STRING) || '/' || path
+      |  FROM anc WHERE anc >= 10)
+      |SELECT p_partkey, anc, depth, path FROM anc
+      |ORDER BY p_partkey, depth""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_recursive_cte" -> (q60RecursiveCte _),
     "q58_dataset_hash" -> (q58DatasetHash _),
     "q07_outer_join" -> (q07OuterJoin _),
     "q14_unpivot"    -> (q14Unpivot _),
@@ -956,6 +992,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q60_recursive_cte" -> q60RecursiveCteSql,
     "q58_dataset_hash" -> q58DatasetHashSql,
     "q07_outer_join" -> q07OuterJoinSql,
     "q14_unpivot"    -> q14UnpivotSql,
