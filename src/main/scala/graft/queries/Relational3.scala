@@ -931,6 +931,82 @@ object Relational3 {
        |FROM rows_h GROUP BY 1, 2 ORDER BY table_name, bucket""".stripMargin
   }
 
+  // --- Q61: fingerprint-pruned snapshot diff -------------------------------
+  // The operational flow q58 exists for: given two snapshots, compare the
+  // 256-bucket fingerprints first, then fetch actual row differences ONLY
+  // inside the buckets whose (count, xor, sum) triple moved — at 100 TB
+  // with a localized change, that prunes the row-level anti-join to ~1/256
+  // of the table per touched bucket (and the fingerprint pass itself reads
+  // each side once, map-side combining). The lane builds snapshot B from
+  // snapshot A deterministically (every customer whose h60(c_custkey) lands
+  // in a 1%-slice gets its name edited — ~1% of rows, hash-chosen, engine-
+  // portable), diffs the fingerprints, and emits the recovered changed keys
+  // with a per-bucket verdict — proving the pruned diff finds EXACTLY the
+  // edited rows. Oracle replays both snapshots and the whole flow.
+  def q61SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val rowH = TextOps.h60(
+      "concat_ws(chr(1), CAST(c_custkey AS STRING), CAST(c_name AS STRING), CAST(c_nationkey AS STRING))")
+    val editPred = s"${TextOps.h60("CAST(c_custkey AS STRING)")} % 100 = 7"
+    val a = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val b = a.withColumn("c_name",
+      when(expr(editPred), concat(col("c_name"), lit("-v2")))
+        .otherwise(col("c_name")))
+    def fp(df: DataFrame) = df
+      .withColumn("rh", expr(rowH))
+      .withColumn("bucket", expr("rh % 256"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"),
+        sum(expr("rh % 2147483648")).as("s"))
+    val changed = fp(a).alias("fa")
+      .join(fp(b).alias("fb"), Seq("bucket"), "full_outer")
+      .filter(!(col("fa.n") <=> col("fb.n")) || !(col("fa.x") <=> col("fb.x")) ||
+        !(col("fa.s") <=> col("fb.s")))
+      .select(col("bucket"))
+    // row-level diff restricted to changed buckets: anti-join both ways
+    val aB = a.withColumn("bucket", expr(s"($rowH) % 256"))
+      .join(broadcast(changed), "bucket")
+    val bB = b.withColumn("bucket", expr(s"($rowH) % 256"))
+      .join(broadcast(changed), "bucket")
+    val removed = aB.join(bB, Seq("bucket", "c_custkey", "c_name", "c_nationkey"), "left_anti")
+      .select(col("bucket"), col("c_custkey"), lit("removed").as("side"))
+    val added = bB.join(aB, Seq("bucket", "c_custkey", "c_name", "c_nationkey"), "left_anti")
+      .select(col("bucket"), col("c_custkey"), lit("added").as("side"))
+    removed.unionByName(added)
+      .orderBy(col("c_custkey"), col("side"))
+  }
+
+  val q61SnapshotDiffSql: String = {
+    val rowH = TextOps.h60d(
+      "concat_ws(chr(1), CAST(c_custkey AS VARCHAR), CAST(c_name AS VARCHAR), CAST(c_nationkey AS VARCHAR))")
+    val editPred = s"${TextOps.h60d("CAST(c_custkey AS VARCHAR)")} % 100 = 7"
+    s"""WITH a AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+       |b AS (SELECT c_custkey,
+       |        CASE WHEN $editPred THEN c_name || '-v2' ELSE c_name END AS c_name,
+       |        c_nationkey FROM a),
+       |fa AS (SELECT ($rowH) % 256 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(bit_xor($rowH) AS BIGINT) AS x,
+       |         CAST(sum(($rowH) % 2147483648) AS BIGINT) AS s
+       |       FROM a GROUP BY 1),
+       |fb AS (SELECT ($rowH) % 256 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(bit_xor($rowH) AS BIGINT) AS x,
+       |         CAST(sum(($rowH) % 2147483648) AS BIGINT) AS s
+       |       FROM b GROUP BY 1),
+       |chg AS (SELECT COALESCE(fa.bucket, fb.bucket) AS bucket
+       |        FROM fa FULL OUTER JOIN fb USING (bucket)
+       |        WHERE fa.n IS DISTINCT FROM fb.n OR fa.x IS DISTINCT FROM fb.x
+       |           OR fa.s IS DISTINCT FROM fb.s),
+       |ab AS (SELECT a.*, ($rowH) % 256 AS bucket FROM a JOIN chg ON ($rowH) % 256 = chg.bucket),
+       |bb AS (SELECT b.*, ($rowH) % 256 AS bucket FROM b JOIN chg ON ($rowH) % 256 = chg.bucket)
+       |SELECT bucket, c_custkey, side FROM (
+       |  SELECT ab.bucket, ab.c_custkey, 'removed' AS side FROM ab
+       |  ANTI JOIN bb USING (bucket, c_custkey, c_name, c_nationkey)
+       |  UNION ALL
+       |  SELECT bb.bucket, bb.c_custkey, 'added' FROM bb
+       |  ANTI JOIN ab USING (bucket, c_custkey, c_name, c_nationkey))
+       |ORDER BY c_custkey, side""".stripMargin
+  }
+
   // --- Q60: recursive CTE (hierarchy traversal through plain spark.sql) ---
   // Spark 4 finally ships WITH RECURSIVE (UnionLoop execution), so the
   // engine's SQL surface covers the hierarchy/graph-walk class natively —
@@ -967,6 +1043,7 @@ object Relational3 {
       |ORDER BY p_partkey, depth""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_snapshot_diff" -> (q61SnapshotDiff _),
     "q60_recursive_cte" -> (q60RecursiveCte _),
     "q58_dataset_hash" -> (q58DatasetHash _),
     "q07_outer_join" -> (q07OuterJoin _),
@@ -992,6 +1069,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q61_snapshot_diff" -> q61SnapshotDiffSql,
     "q60_recursive_cte" -> q60RecursiveCteSql,
     "q58_dataset_hash" -> q58DatasetHashSql,
     "q07_outer_join" -> q07OuterJoinSql,

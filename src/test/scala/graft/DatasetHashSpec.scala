@@ -63,6 +63,24 @@ class DatasetHashSpec extends SparkSpec {
     assert(whole === combined)
   }
 
+  test("q61 pruned diff recovers exactly the hash-chosen edits, both sides") {
+    // sf0.01: the 1% hash slice of 150 sf0.001 customers can be empty by
+    // chance; 1500 customers make the edit set reliably non-trivial
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.queries.Relational3.q61SnapshotDiff(spark, sf01)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val edited = graft.core.Tables.customer(spark, sf01)
+      .filter(expr(s"${graft.queries.TextOps.h60("CAST(c_custkey AS STRING)")} % 100 = 7"))
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    assert(edited.nonEmpty)
+    assert(out.filter(_._2 == "removed").map(_._1).toSet === edited)
+    assert(out.filter(_._2 == "added").map(_._1).toSet === edited)
+    // pruning really prunes: changed buckets ≤ edits (each edit moves ≤ 2)
+    val buckets = graft.queries.Relational3.q61SnapshotDiff(spark, sf01)
+      .select(col("bucket")).distinct().count()
+    assert(buckets <= 2L * edited.size && buckets < 256)
+  }
+
   test("duplicating a row is visible despite XOR cancellation being possible") {
     def fp(df: org.apache.spark.sql.DataFrame) = df
       .select(expr(graft.queries.TextOps.h60("CAST(id AS STRING)")).as("rh"))
