@@ -359,4 +359,47 @@ object StreamingJobs {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyCdcBatch(batch.toDF(), targetDir, batchId)
     }
+
+  /** Q58b: LIVE snapshot-fingerprint maintenance. The q58 Merkle-bucket
+    * fingerprint is a per-bucket commutative monoid — count (+), bit_xor
+    * (⊕), 31-bit sum (+) — the law DatasetHashSpec proves as
+    * fp(base ∪ δ) = fp(base) ⊕ fp(δ). So an append stream keeps the
+    * fingerprint current by folding each micro-batch's 256-row delta into
+    * the maintained bucket table: NO base re-scan, ever — the property
+    * that makes a 100 TB snapshot's fingerprint maintainable at ingest
+    * cost. Crash-safety mirrors [[applyCdcBatch]]'s versioned scheme:
+    * each batch derives from the latest version BELOW its id and
+    * overwrites its own `v=<batchId>` dir, so foreachBatch's
+    * at-least-once replay is idempotent and partial writes are never
+    * read as base. `keyHashExpr` is the row-content hash (the q58 h60
+    * shape), evaluated batch-side. */
+  def applyFingerprintBatch(batch: DataFrame, keyHashExpr: String,
+                            targetDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.select(expr(keyHashExpr).as("rh"))
+      .groupBy(expr("rh % 256").as("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"),
+        sum(expr("rh % 2147483648")).as("s"))
+    val base = listVersions(targetDir).filter(_ < batchId).sorted.lastOption
+    val merged = base match {
+      case Some(v) =>
+        spark.read.parquet(s"$targetDir/v=$v").alias("b")
+          .join(delta.alias("d"), Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+            coalesce(col("b.x"), lit(0L))
+              .bitwiseXOR(coalesce(col("d.x"), lit(0L))).as("x"),
+            (coalesce(col("b.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"))
+      case None => delta
+    }
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$targetDir/v=$batchId")
+  }
+
+  def fingerprintMaintain(rows: DataFrame, keyHashExpr: String, targetDir: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyFingerprintBatch(batch.toDF(), keyHashExpr, targetDir, batchId)
+    }
 }
