@@ -1018,18 +1018,36 @@ object Relational3 {
   // rows·depth, embarrassingly parallel per step. The DuckDB oracle runs
   // the structurally identical recursive CTE (`//` for DIV), hash-exact —
   // cross-engine recursive-CTE parity is itself the point of the lane.
+  // Conf hygiene: Spark guards recursive CTEs with a 1 M cumulative-row
+  // safety valve (spark.sql.cteRecursionRowLimit) — correct as a default,
+  // but an operational knob that must scale with the data (total rows =
+  // parts × digit-depth; the 32× rehearsal tripped it at 640 k parts). The
+  // lane sizes the limit from the table's row count (a footer-served count)
+  // and EAGERLY materializes inside the conf window (the q39_agg_pushdown
+  // discipline: a lazily-returned frame would execute after the conf is
+  // restored — or leak the raised limit to every later query).
   def q60RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
-    Tables.part(spark, dir).createOrReplaceTempView("graft_q60_part")
-    spark.sql(
-      """WITH RECURSIVE anc(p_partkey, anc, depth, path) AS (
-        |  SELECT p_partkey, p_partkey, 0, CAST(p_partkey AS STRING)
-        |  FROM graft_q60_part
-        |  UNION ALL
-        |  SELECT p_partkey, anc DIV 10, depth + 1,
-        |         CAST(anc DIV 10 AS STRING) || '/' || path
-        |  FROM anc WHERE anc >= 10)
-        |SELECT p_partkey, anc, depth, path FROM anc
-        |ORDER BY p_partkey, depth""".stripMargin)
+    val part = Tables.part(spark, dir)
+    part.createOrReplaceTempView("graft_q60_part")
+    val needed = math.max(1000000L, part.count() * 20L)
+    val prev = spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+    try {
+      spark.conf.set("spark.sql.cteRecursionRowLimit", needed.toString)
+      spark.sql(
+        """WITH RECURSIVE anc(p_partkey, anc, depth, path) AS (
+          |  SELECT p_partkey, p_partkey, 0, CAST(p_partkey AS STRING)
+          |  FROM graft_q60_part
+          |  UNION ALL
+          |  SELECT p_partkey, anc DIV 10, depth + 1,
+          |         CAST(anc DIV 10 AS STRING) || '/' || path
+          |  FROM anc WHERE anc >= 10)
+          |SELECT p_partkey, anc, depth, path FROM anc
+          |ORDER BY p_partkey, depth""".stripMargin)
+        .localCheckpoint(true)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cteRecursionRowLimit", v)
+      case None    => spark.conf.unset("spark.sql.cteRecursionRowLimit")
+    }
   }
 
   val q60RecursiveCteSql: String =

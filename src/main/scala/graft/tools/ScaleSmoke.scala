@@ -27,7 +27,8 @@ object ScaleSmoke {
     // across invocations; rebuilding 100+ copies each chunk wastes minutes)
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
       new java.io.File(s"$out/events.parquet/_SUCCESS").exists() &&
-      new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()
+      new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$out/customer.parquet/_SUCCESS").exists()
     if (!reuse) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
@@ -61,6 +62,20 @@ object ScaleSmoke {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // customer with the SAME custkey offset as orders — FK-consistent,
+    // so the fingerprint/diff lanes (q58/q61) and any cust join scale too
+    val cst = spark.read.parquet(s"$sf/customer.parquet")
+    (0 until copies).map(i => cst
+        .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // part for the recursive-CTE lane (offset keeps keys distinct; digit
+    // depth grows with the offset — deeper recursion at scale, fine)
+    val prt = spark.read.parquet(s"$sf/part.parquet")
+    (0 until copies).map(i => prt
+        .withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/part.parquet")
     }
     println(s"[scale$copies] corpus ${if (reuse) "reused" else "ready"}: " +
       s"${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")
