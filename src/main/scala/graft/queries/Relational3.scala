@@ -958,16 +958,25 @@ object Relational3 {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"),
         sum(expr("rh % 2147483648")).as("s"))
+    // Barriers (the q52/q33 localCheckpoint discipline, found by the
+    // no-broadcast plan audit): without them each diff DIRECTION re-derives
+    // the fingerprint pipeline AND its bucket-restricted row set — four
+    // full-table scans instead of two. `changed` is ≤ 256 rows; aB/bB are
+    // the changed-bucket slices, bounded by diff locality (a diff touching
+    // most buckets is a full-diff anyway) — all three cheap to materialize.
     val changed = fp(a).alias("fa")
       .join(fp(b).alias("fb"), Seq("bucket"), "full_outer")
       .filter(!(col("fa.n") <=> col("fb.n")) || !(col("fa.x") <=> col("fb.x")) ||
         !(col("fa.s") <=> col("fb.s")))
       .select(col("bucket"))
+      .localCheckpoint(true)
     // row-level diff restricted to changed buckets: anti-join both ways
     val aB = a.withColumn("bucket", expr(s"($rowH) % 256"))
       .join(broadcast(changed), "bucket")
+      .localCheckpoint(true)
     val bB = b.withColumn("bucket", expr(s"($rowH) % 256"))
       .join(broadcast(changed), "bucket")
+      .localCheckpoint(true)
     val removed = aB.join(bB, Seq("bucket", "c_custkey", "c_name", "c_nationkey"), "left_anti")
       .select(col("bucket"), col("c_custkey"), lit("removed").as("side"))
     val added = bB.join(aB, Seq("bucket", "c_custkey", "c_name", "c_nationkey"), "left_anti")
