@@ -55,6 +55,54 @@ class BpeSpec extends SparkSpec {
     assert(out === Seq((1, "a", "b", "ab", 2L)))
   }
 
+  test("random corpora: engine equals a driver-side replica of the contract") {
+    // the merge contract IS java.lang.String.replace applied twice on the
+    // sentinel strings, so the replica is a direct transliteration — any
+    // divergence is an engine-side bug, not a modelling gap
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    def replica(texts: Seq[String], rounds: Int): Seq[(Int, String, String, String, Long)] = {
+      val S = "\u0001"
+      var words: Map[String, Long] = texts.flatMap(_.split(" "))
+        .filter(_.length >= 2)
+        .groupBy(identity).map { case (w, g) =>
+          (S + w.toCharArray.mkString(S) + S) -> g.size.toLong
+        }
+      val out = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((s, wc) <- words) {
+          val syms = s.split(S).filter(_.nonEmpty)
+          syms.indices.dropRight(1).foreach { i =>
+            counts((syms(i), syms(i + 1))) =
+              counts.getOrElse((syms(i), syms(i + 1)), 0L) + wc
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((r, a, b, a + b, cnt))
+          val pat = S + a + S + b + S; val rep = S + a + b + S
+          words = words.toSeq
+            .map { case (s, wc) => s.replace(pat, rep).replace(pat, rep) -> wc }
+            .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val word = Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val doc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, doc))
+    val res = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(corpus) { texts =>
+        merges(texts, 3) == replica(texts, 3)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("deterministic across runs and partitionings") {
     val texts = Seq("the cat sat on the mat", "the bat and the rat", "cat bat mat")
     val a = merges(texts, 3)
