@@ -939,14 +939,15 @@ object Relational3 {
   // of the table per touched bucket (and the fingerprint pass itself reads
   // each side once, map-side combining). The lane builds snapshot B from
   // snapshot A deterministically (every customer whose h60(c_custkey) lands
-  // in a 1%-slice gets its name edited — ~1% of rows, hash-chosen, engine-
-  // portable), diffs the fingerprints, and emits the recovered changed keys
+  // in a 5%-slice gets its name edited — hash-chosen, engine-portable, and
+  // dense enough to stay non-empty even on the 150-customer sf0.001 smoke
+  // corpus), diffs the fingerprints, and emits the recovered changed keys
   // with a per-bucket verdict — proving the pruned diff finds EXACTLY the
   // edited rows. Oracle replays both snapshots and the whole flow.
   def q61SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val rowH = TextOps.h60(
       "concat_ws(chr(1), CAST(c_custkey AS STRING), CAST(c_name AS STRING), CAST(c_nationkey AS STRING))")
-    val editPred = s"${TextOps.h60("CAST(c_custkey AS STRING)")} % 100 = 7"
+    val editPred = s"${TextOps.h60("CAST(c_custkey AS STRING)")} % 20 = 7"
     val a = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val b = a.withColumn("c_name",
@@ -988,7 +989,7 @@ object Relational3 {
   val q61SnapshotDiffSql: String = {
     val rowH = TextOps.h60d(
       "concat_ws(chr(1), CAST(c_custkey AS VARCHAR), CAST(c_name AS VARCHAR), CAST(c_nationkey AS VARCHAR))")
-    val editPred = s"${TextOps.h60d("CAST(c_custkey AS VARCHAR)")} % 100 = 7"
+    val editPred = s"${TextOps.h60d("CAST(c_custkey AS VARCHAR)")} % 20 = 7"
     s"""WITH a AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
        |b AS (SELECT c_custkey,
        |        CASE WHEN $editPred THEN c_name || '-v2' ELSE c_name END AS c_name,

@@ -64,13 +64,12 @@ class DatasetHashSpec extends SparkSpec {
   }
 
   test("q61 pruned diff recovers exactly the hash-chosen edits, both sides") {
-    // sf0.01: the 1% hash slice of 150 sf0.001 customers can be empty by
-    // chance; 1500 customers make the edit set reliably non-trivial
+    // sf0.01 for a non-trivial edit set (62 hash-chosen keys)
     val sf01 = "/root/testdata/sf0.01"
     val out = graft.queries.Relational3.q61SnapshotDiff(spark, sf01)
       .collect().map(r => (r.getLong(1), r.getString(2)))
     val edited = graft.core.Tables.customer(spark, sf01)
-      .filter(expr(s"${graft.queries.TextOps.h60("CAST(c_custkey AS STRING)")} % 100 = 7"))
+      .filter(expr(s"${graft.queries.TextOps.h60("CAST(c_custkey AS STRING)")} % 20 = 7"))
       .select($"c_custkey").collect().map(_.getLong(0)).toSet
     assert(edited.nonEmpty)
     assert(out.filter(_._2 == "removed").map(_._1).toSet === edited)
