@@ -30,12 +30,30 @@ case class GraftVacuumCommand(dir: String, keep: Int) extends LeafRunnableComman
     graft.streaming.StreamingJobs.vacuumVersions(dir, keep).map(Row(_))
 }
 
+/** `GRAFT DATASET HASH '<sfDir>'` — the second statement of the
+  * maintenance grammar: the q58 Merkle-bucket snapshot fingerprint as a
+  * SQL command (the operational "checksum this snapshot" verb an operator
+  * runs before/after a migration; pair two of them to diff — q61). */
+case class GraftDatasetHashCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_name", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("bucket", LongType, nullable = true)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("xhash", LongType, nullable = true)(),
+    AttributeReference("sum31", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.queries.Relational3.q58DatasetHash(spark, dir).collect().toSeq
+}
+
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+VERSIONS\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val DatasetHash =
+    """(?is)\s*GRAFT\s+DATASET\s+HASH\s+'([^']+)'\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(dir, keep) => GraftVacuumCommand(dir, keep.toInt)
+    case Vacuum(dir, keep)  => GraftVacuumCommand(dir, keep.toInt)
+    case DatasetHash(dir)   => GraftDatasetHashCommand(dir)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -40,6 +40,15 @@ class GraftParserSpec extends SparkSpec {
     assert(e.getMessage.contains("keepLast"))
   }
 
+  test("GRAFT DATASET HASH returns the q58 fingerprint through spark.sql") {
+    val viaSql = spark.sql(s"GRAFT DATASET HASH '$sf001'")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.queries.Relational3.q58DatasetHash(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === direct)
+    assert(viaSql.nonEmpty)
+  }
+
   test("everything else delegates verbatim to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
