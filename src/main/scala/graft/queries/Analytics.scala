@@ -724,7 +724,150 @@ object Analytics {
       |       min(value) AS min_v, max(value) AS max_v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- Q63: grouped OLS trend via exact integer sufficient statistics ------
+  // "Is this metric drifting, per segment?" — the per-group least-squares
+  // trend a monitoring pipeline fits over billions of rows. The distributed
+  // op IS the sufficient-statistics aggregation: one map-side-combining
+  // groupBy computing {n, Σx, Σy, Σx², Σxy, Σy²} as exact BIGINTs (x =
+  // epoch-hour index, y = integer cents — both engines round identically on
+  // non-negative values), then slope/intercept/R² are derived per GROUP
+  // (5 rows) from those integers with a fixed IEEE op order, so the doubles
+  // are bit-identical in Spark and DuckDB — the q43_ewma discipline:
+  // doubles may be COMPUTED, but only through a deterministic chain from
+  // exact integers. Raw epoch-hour sums would push n·Σx² past int64, so
+  // each group is REBASED to its min hour ALGEBRAICALLY after the agg
+  // (Σ(x−x₀) = Σx − n·x₀ etc.) — still one scan, no second pass, and the
+  // rebased magnitudes stay far inside int64 at sf0.1. At 1000× the same
+  // lane swaps the six sums to DECIMAL(38,0) (the q44_stats power-sum
+  // discipline) with an identical plan shape. Built-in regr_slope exists
+  // in both engines but sums DOUBLES — partition-order-dependent, never
+  // hash-exact; the integer route is the determinism-correct rewrite.
+  def q63Regression(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+    val sums = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), min(col("h")).as("h0"),
+      sum(col("h")).as("sh"), sum(col("y")).as("sy"),
+      sum(col("h") * col("h")).as("shh"),
+      sum(col("h") * col("y")).as("shy"),
+      sum(col("y") * col("y")).as("syy"))
+    val reb = sums.select(col("event_type"), col("n"),
+      (col("sh") - col("n") * col("h0")).as("sx"), col("sy"),
+      (col("shh") - lit(2L) * col("h0") * col("sh")
+        + col("n") * col("h0") * col("h0")).as("sxx"),
+      (col("shy") - col("h0") * col("sy")).as("sxy"), col("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val m   = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    reb.select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"),
+        (num / den).as("slope_cph"),
+        ((col("sy").cast("double") - (num / den) * col("sx").cast("double"))
+          / col("n").cast("double")).as("icept_c"),
+        ((num * num) / (den * m)).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q63RegressionSql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(h) AS h0,
+      |         CAST(sum(h) AS BIGINT) AS sh, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(h*h) AS BIGINT) AS shh,
+      |         CAST(sum(h*y) AS BIGINT) AS shy,
+      |         CAST(sum(y*y) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n, sh - n*h0 AS sx, sy,
+      |         shh - 2*h0*sh + n*h0*h0 AS sxx,
+      |         shy - h0*sy AS sxy, syy
+      |  FROM s)
+      |SELECT event_type, n, sx, sy, sxx, sxy, syy,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS slope_cph,
+      |  (CAST(sy AS DOUBLE)
+      |     - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept_c,
+      |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+      |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+      |    AS r2
+      |FROM r ORDER BY event_type""".stripMargin
+
+  // --- Q64: lag-k autocorrelation of the hourly series ----------------------
+  // The seasonality probe behind q43_ewma's smoothing and q34_gaps' alerts:
+  // Pearson correlation of the hourly-total series with itself at lag 1
+  // (persistence) and lag 24 (daily cycle). Series values are integer cents
+  // (hourly SUMS, not means — sums stay in ℤ so every sufficient statistic
+  // is an exact BIGINT); pairs are formed by an equi-join on h+lag, which
+  // pairs ONLY truly consecutive (or 24-apart) hours — gap hours simply
+  // produce no pair, the same explicit-grid discipline as q43_gapfill, and
+  // identical semantics in the oracle by construction rather than by
+  // accident. The lag dimension is a 2-row broadcast; the join keys on
+  // (event_type, h) so it shuffles the 720-row-per-type hourly frame, not
+  // events. ac is derived from the integer sums with one fixed IEEE chain
+  // (sqrt is correctly rounded in both engines) — bit-identical, hash-exact.
+  // At 100 TB the hourly pre-agg IS the reduction: events never join events.
+  def q64Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val lags = spark.range(1)
+      .select(explode(array(lit(1L), lit(24L))).as("lag"))
+    val pairs = hourly.as("t0").join(broadcast(lags))
+      .join(hourly.as("t1"),
+        col("t0.event_type") === col("t1.event_type") &&
+          col("t1.h") === col("t0.h") + col("lag"))
+      .select(col("t0.event_type").as("event_type"), col("lag"),
+        col("t0.y").as("y0"), col("t1.y").as("y1"))
+    val s = pairs.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y0")).as("s1"), sum(col("y1")).as("s2"),
+      sum(col("y0") * col("y0")).as("s11"),
+      sum(col("y1") * col("y1")).as("s22"),
+      sum(col("y0") * col("y1")).as("s12"))
+    val num = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+    val d1 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
+    val d2 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+    s.select(col("event_type"), col("lag"), col("n"),
+        col("s1"), col("s2"), col("s11"), col("s22"), col("s12"),
+        (num / sqrt(d1 * d2)).as("ac"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val q64AutocorrSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT CAST(unnest([1, 24]) AS BIGINT) AS lag),
+      |pr AS (
+      |  SELECT t0.event_type, l.lag, t0.y AS y0, t1.y AS y1
+      |  FROM hourly t0 CROSS JOIN l
+      |  JOIN hourly t1
+      |    ON t1.event_type = t0.event_type AND t1.h = t0.h + l.lag),
+      |s AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y0) AS BIGINT) AS s1, CAST(sum(y1) AS BIGINT) AS s2,
+      |         CAST(sum(y0*y0) AS BIGINT) AS s11,
+      |         CAST(sum(y1*y1) AS BIGINT) AS s22,
+      |         CAST(sum(y0*y1) AS BIGINT) AS s12
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT event_type, lag, n, s1, s2, s11, s22, s12,
+      |  CAST(n*s12 - s1*s2 AS DOUBLE)
+      |    / sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)
+      |           * CAST(n*s22 - s2*s2 AS DOUBLE)) AS ac
+      |FROM s ORDER BY event_type, lag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_regression"  -> (q63Regression _),
+    "q64_autocorr"    -> (q64Autocorr _),
     "q48_incr_agg"    -> (q48IncrAgg _),
     "q51_range_join"  -> (q51RangeJoin _),
     "q53_overlap_join" -> (q53OverlapJoin _),
@@ -743,6 +886,8 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q63_regression"  -> q63RegressionSql,
+    "q64_autocorr"    -> q64AutocorrSql,
     "q48_incr_agg"    -> q48IncrAggSql,
     "q51_range_join"  -> q51RangeJoinSql,
     "q53_overlap_join" -> q53OverlapJoinSql,

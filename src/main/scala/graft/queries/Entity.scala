@@ -298,7 +298,57 @@ object Entity {
        |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
   }
 
+  // --- Q62: triangle counting (degree-oriented wedge join) ------------------
+  // Graph-analytics depth past centrality (q55) and components (q26_cc):
+  // triangle / clustering-coefficient signals are how web-scale curation
+  // separates organic community structure from spam link farms (farms are
+  // triangle-poor for their degree). The graph here: part CO-OCCURRENCE —
+  // edge {a,b} iff parts a and b appear in the same order. The per-order
+  // pair expansion is bounded by the max basket size (≤ 13 parts/order in
+  // this corpus ⇒ ≤ 78 pairs), so edge derivation is linear in lineitem at
+  // any SF. Triangle enumeration rides core/Triangles.nodeTriangles —
+  // degree orientation bounds wedge fan-out by arboricity, not hub degree
+  // (the "last reducer" fix; see that file's scale note). The DuckDB
+  // oracle counts the IDENTICAL triangle set with the orientation-free
+  // a<b<c three-way self-join: the oriented plan is pure execution
+  // strategy, set equality is what the hash checks. All outputs are
+  // integer counts — hash-exact by construction.
+  def q62Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    graft.core.Triangles.nodeTriangles(edges)
+      .select(col("node").as("part"), col("deg"), col("tri_cnt"))
+      .orderBy(col("part"))
+  }
+
+  val q62TrianglesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY node),
+      |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |      FROM e e1
+      |      JOIN e e2 ON e1.b = e2.a
+      |      JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+      |c AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+      |        SELECT u AS node FROM t
+      |        UNION ALL SELECT v FROM t
+      |        UNION ALL SELECT w FROM t)
+      |      GROUP BY node)
+      |SELECT deg.node AS part, deg.deg, COALESCE(c.tri_cnt, 0) AS tri_cnt
+      |FROM deg LEFT JOIN c USING (node)
+      |ORDER BY part""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_triangles"  -> (q62Triangles _),
     "q55_pagerank"   -> (q55PageRank _),
     "q47_linkage"    -> (q47Linkage _),
     "q47_kanon"      -> (q47Kanon _),
@@ -307,6 +357,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q62_triangles"  -> q62TrianglesSql,
     "q55_pagerank"   -> q55PageRankSql,
     "q47_linkage"    -> q47LinkageSql,
     "q47_kanon"      -> q47KanonSql,

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+/** q63 grouped OLS + q64 autocorrelation: closed-form fixtures where the
+  * statistics are exactly representable (perfect line → slope/intercept/R²
+  * exact; balanced alternating series → ac = −1; period-24 series →
+  * lag-24 ac = 1), plus the rebasing-algebra identity against a driver-side
+  * BigInt replica — the invariant that licenses computing rebased sums
+  * from raw epoch-hour sums in one scan.
+  */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hour-aligned base (seconds), as in GapfillPropertySpec
+  private val Base = 1699999200L
+
+  /** Write an events fixture: one row per (type, hourOffset, value). */
+  private def fixture(rows: Seq[(String, Int, Double)]): String = {
+    val dir = Files.createTempDirectory("graft_trend").toString
+    rows.zipWithIndex.map { case ((t, h, v), i) =>
+      (i.toLong, (Base + h * 3600L + 11L) * 1000000000L, 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q63: a perfect line recovers slope, intercept, and R² = 1 exactly") {
+    // y cents = 250 + 3·h over 48 hours
+    val dir = fixture((0 until 48).map(h => ("a", h, (250 + 3 * h) / 100.0)))
+    val r = Analytics.q63Regression(spark, dir)
+      .select($"slope_cph", $"icept_c", $"r2").head()
+    assert(r.getDouble(0) === 3.0)
+    assert(r.getDouble(1) === 250.0)
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  test("q63: rebased sums equal a direct driver-side BigInt computation") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 40).map(h => (h, 100 + rnd.nextInt(900)))
+    val dir = fixture(pts.map { case (h, c) => ("a", h, c / 100.0) })
+    val row = Analytics.q63Regression(spark, dir)
+      .select($"n", $"sx", $"sy", $"sxx", $"sxy", $"syy").head()
+    // replica on REBASED x directly (x = h − min h = h here), exact BigInt
+    val xs = pts.map(_._1.toLong); val ys = pts.map(_._2.toLong)
+    assert(row.getLong(0) === pts.size.toLong)
+    assert(row.getLong(1) === xs.sum)
+    assert(row.getLong(2) === ys.sum)
+    assert(row.getLong(3) === xs.map(x => x * x).sum)
+    assert(row.getLong(4) === xs.zip(ys).map { case (x, y) => x * y }.sum)
+    assert(row.getLong(5) === ys.map(y => y * y).sum)
+  }
+
+  test("q64: balanced alternating series has lag-1 ac = −1 exactly") {
+    // 49 hours alternating 1.00 / 3.00 → 48 lag-1 pairs, 24 each direction
+    val dir = fixture((0 until 49).map(h => ("a", h, if (h % 2 == 0) 1.0 else 3.0)))
+    val by = Analytics.q64Autocorr(spark, dir)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(by(1L).getAs[Double]("ac") === -1.0)
+    assert(by(1L).getAs[Long]("n") === 48L)
+  }
+
+  test("q64: period-24 series has lag-24 ac = 1 exactly") {
+    // 72 hours, y(h) = 1.00 + 0.50·(h mod 24) → lag-24 pairs are identical
+    val dir = fixture((0 until 72).map(h => ("a", h, 1.0 + 0.5 * (h % 24))))
+    val by = Analytics.q64Autocorr(spark, dir)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(by(24L).getAs[Double]("ac") === 1.0)
+    assert(by(24L).getAs[Long]("n") === 48L)
+  }
+
+  test("q64: a missing hour produces no pair (explicit-gap semantics)") {
+    val full = (0 until 30).map(h => ("a", h, 2.0 + (h % 3)))
+    val holed = full.filterNot(_._2 == 15)
+    val n = Analytics.q64Autocorr(spark, fixture(holed))
+      .filter($"lag" === 1L).select($"n").head().getLong(0)
+    // 28 present-consecutive pairs minus the two that straddle hour 15
+    assert(n === 27L)
+  }
+}
