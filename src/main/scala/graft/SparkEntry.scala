@@ -19,10 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++ TextOps.defs ++
       Similarity.defs ++ Multimodal.defs ++ Windowed.defs ++ Sampling.defs ++
-      Analytics.defs ++ Entity.defs ++ Curate.defs
+      Analytics.defs ++ Entity.defs ++ Curate.defs ++ Evaluation.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ TextOps.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ Windowed.oracle ++ Sampling.oracle ++
-      Analytics.oracle ++ Entity.oracle ++ Curate.oracle
+      Analytics.oracle ++ Entity.oracle ++ Curate.oracle ++ Evaluation.oracle
 }

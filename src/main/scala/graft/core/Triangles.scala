@@ -3,7 +3,8 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed triangle counting by degree-oriented wedge join.
+/** Distributed triangle counting by degree orientation + adjacency
+  * intersection.
   *
   * Input: an undirected simple graph as a DataFrame of edges `(a, b)` with
   * `a < b`, one row per edge (no duplicates, no self-loops). Output: one
@@ -29,9 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Edge-count gate below which the closing join broadcasts the adjacency
+    * frame (total broadcast payload ≈ m × 8 B ≤ 64 MB at the gate — the
+    * ConnectedComponents size-gate discipline). Above it, the closing join
+    * is a plain shuffle join on the node key — the 100 TB path. The gate
+    * exists because a localCheckpoint'ed frame reports no usable size
+    * stats, so AQE can never discover the broadcast on its own. */
+  private val BroadcastEdgeGate = 8L * 1000 * 1000
+
   /** Per-node triangle participation counts. `edges` must have integral
     * columns `a`, `b` with `a < b`, deduplicated. */
-  def nodeTriangles(edges: DataFrame): DataFrame = {
+  def nodeTriangles(edgesIn: DataFrame): DataFrame = {
+    // Barrier (the q61/q52 localCheckpoint discipline): the edge list feeds
+    // the degree agg, both orientation joins, and — through `oriented` —
+    // the adjacency build and the closing join. Catalyst does not share
+    // subplans across those branches, so an unbarriered edge frame is
+    // re-derived from source up to three times; two bounded barriers
+    // (edges: 2 longs/row; oriented: same) make every downstream branch a
+    // re-read instead of a re-compute.
+    val edges = edgesIn.localCheckpoint(true)
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -40,30 +57,46 @@ object Triangles {
     val rank = deg.select(col("node"),
       struct(col("deg"), col("node")).as("rk"))
 
-    val oriented = edges
+    // Orientation folds straight into the adjacency build (its only
+    // consumer): attach both endpoint ranks (a 1-row-per-node frame —
+    // broadcast at this scale, plain shuffle join at 100 TB), direct each
+    // edge low→high, and compact each node's out-neighbors into one sorted
+    // array. Orientation bounds the array length by arboricity ≈ √(2m),
+    // so a row is at most a few KB on ANY graph — a 10⁶-degree hub's
+    // edges all point INTO it and its own array stays short.
+    val adj = edges
       .join(rank.select(col("node").as("a"), col("rk").as("rka")), Seq("a"))
       .join(rank.select(col("node").as("b"), col("rk").as("rkb")), Seq("b"))
       .select(
         when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("u"),
-        when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("v"),
-        greatest(col("rka"), col("rkb")).as("rkv"))
+        when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("v"))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .localCheckpoint(true)
 
-    // Wedges at the low corner: pairs of out-neighbors, ordered by rank so
-    // each unordered pair appears once; closed by probing the oriented
-    // edge (v, w) — which, when it exists, is directed v→w because
-    // rk(v) < rk(w) by construction of the wedge.
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.rkv") < col("e2.rkv"))
-      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
-    val tris = wedges.join(
-        oriented.select(col("u").as("v"), col("v").as("w")).as("c"),
-        Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
-
-    val corners = tris.select(col("u").as("node"))
-      .unionAll(tris.select(col("v").as("node")))
-      .unionAll(tris.select(col("w").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+    // Close triangles by ADJACENCY INTERSECTION, not a materialized wedge
+    // join: a triangle (u,v,w) with rk(u)<rk(v)<rk(w) has oriented edges
+    // u→v, u→w, v→w, so w ∈ N⁺(u) ∩ N⁺(v) exactly. The oriented edge list
+    // is adj EXPLODED (carrying N⁺(u) along), so closing needs exactly ONE
+    // join — on v for N⁺(v) — and the intersect runs inside whole-stage
+    // codegen. The Σ C(outdeg,2) wedge population is never materialized or
+    // shuffled; it exists only as per-row array-scan work. Per-node counts
+    // fall out of the closing witnesses: edge (u,v) with k = |N⁺(u)∩N⁺(v)|
+    // contributes k to u and to v and 1 to each witness w.
+    val nvSide = adj.select(col("u").as("v"), col("nbrs").as("nv"))
+    val nvJoinable =
+      if (edges.count() <= BroadcastEdgeGate) broadcast(nvSide) else nvSide
+    val closed = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(nvJoinable, Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val corners = closed
+      .select(explode(array(col("u"), col("v"))).as("node"),
+        size(col("ws")).cast("long").as("c"))
+      .unionAll(closed.select(explode(col("ws")).as("node"), lit(1L).as("c")))
+      .groupBy(col("node")).agg(sum(col("c")).as("tri_cnt"))
 
     deg.join(corners, Seq("node"), "left")
       .select(col("node"), col("deg"),

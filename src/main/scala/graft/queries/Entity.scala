@@ -313,13 +313,18 @@ object Entity {
   // a<b<c three-way self-join: the oriented plan is pure execution
   // strategy, set equality is what the hash checks. All outputs are
   // integer counts — hash-exact by construction.
+  // Edge derivation: one combining groupBy collapses each order to its
+  // part set, then the compiled i<j expansion (functions.PairExpandIds,
+  // the LSH-bucket generator) emits the per-order pairs — no op⋈op
+  // self-join, no shuffle of the pair population before its distinct.
+  // Basket size caps the per-row fan-out (≤ 13 parts ⇒ ≤ 78 pairs here).
   def q62Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = op.as("x").join(op.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    val edges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .distinct()
     graft.core.Triangles.nodeTriangles(edges)
       .select(col("node").as("part"), col("deg"), col("tri_cnt"))

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Model/segment EVALUATION statistics at warehouse scale: exact AUC by the
+  * Mann-Whitney pair-counting identity and a chi-square homogeneity drift
+  * test — the two numbers a training pipeline watches between dataset
+  * versions ("did the score get better?", "did the distribution move?").
+  *
+  * Determinism discipline (the q59/q63 house rules): every aggregate is an
+  * exact integer; doubles appear only at the very end of a fixed IEEE
+  * chain, or not at all (chi-square contributions are integer basis points
+  * with documented DIV truncation).
+  */
+object Evaluation {
+
+  // --- Q65: exact grouped AUC (Mann-Whitney with ties) ----------------------
+  // AUC of `value` as a ranking score for "is this a purchase", per user
+  // cohort (user_id % 8). The scale move: AUC needs a GLOBAL rank pass in
+  // its textbook form — O(n log n) sort of 10¹² rows — but the pair-count
+  // identity U = #[score⁺ > score⁻] + ½·#[score⁺ = score⁻] only needs the
+  // BY-SCORE contingency table: one combining groupBy collapses the event
+  // stream to ≤ |score domain| rows per cohort (scores are integer cents,
+  // so the domain — not the row count — bounds the table), then a window
+  // cumsum over each cohort's score axis and one weighted sum finish it.
+  // 2·U stays integral (u2 = Σ pₛ·(2·cumNegBelow + negₛ)), so the ONLY
+  // double is the final u2 / (2·n⁺·n⁻) division — bit-identical in both
+  // engines. The window partitions by cohort and orders by the bounded
+  // score axis: its per-partition row count is domain-bounded at ANY data
+  // scale, which is what makes a window (single task per cohort) safe here.
+  def q65Auc(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = Tables.events(spark, dir)
+      .select((col("user_id") % 8).as("cohort"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cohort"), col("y"))
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = byScore
+      .withColumn("cumq", coalesce(sum(col("q")).over(w), lit(0L)))
+      .groupBy(col("cohort"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cumq") + col("q"))).as("u2"),
+        sum(col("p") * col("q")).as("tie_pairs"))
+    s.select(col("cohort"), col("n_pos"), col("n_neg"), col("u2"),
+        col("tie_pairs"),
+        (col("u2").cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+      .orderBy(col("cohort"))
+  }
+
+  val q65AucSql: String =
+    """WITH b AS (
+      |  SELECT user_id % 8 AS cohort,
+      |         CAST(round(value * 100) AS BIGINT) AS y,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |t AS (
+      |  SELECT cohort, y, CAST(sum(pos) AS BIGINT) AS p,
+      |         CAST(sum(1 - pos) AS BIGINT) AS q
+      |  FROM b GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort, y, p, q,
+      |         COALESCE(CAST(sum(q) OVER (PARTITION BY cohort ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |           0) AS cumq
+      |  FROM t),
+      |s AS (
+      |  SELECT cohort, CAST(sum(p) AS BIGINT) AS n_pos,
+      |         CAST(sum(q) AS BIGINT) AS n_neg,
+      |         CAST(sum(p * (2 * cumq + q)) AS BIGINT) AS u2,
+      |         CAST(sum(p * q) AS BIGINT) AS tie_pairs
+      |  FROM c GROUP BY 1)
+      |SELECT cohort, n_pos, n_neg, u2, tie_pairs,
+      |       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM s ORDER BY cohort""".stripMargin
+
+  // --- Q66: chi-square drift (event-type × week homogeneity) ---------------
+  // "Did the event mix move across the month?" — the contingency-table
+  // homogeneity test between time slices, the canonical distribution-drift
+  // gate between dataset versions. One combining groupBy builds the
+  // (type, week) cell counts; margins come from two tiny re-aggregations of
+  // the CELL table (≤ types × weeks rows — never a second pass over
+  // events), joined back broadcast-style. Per-cell contribution
+  // (O·N − R·C)² / (N·R·C) is emitted in INTEGER BASIS POINTS with pinned
+  // two-step DIV truncation ((dnum DIV (R·C)) ·10⁴ DIV N — the q59
+  // integer-basis-point discipline; (O·N − R·C)² ≤ ~10¹⁸ stays in int64 at
+  // sf0.1, the 1000× variant lifts dnum to DECIMAL(38,0) with the same
+  // shape) — no double is ever summed, so the statistic is hash-exact and
+  // the total is a plain integer sum of the per-cell rows.
+  def q66ChisqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(weekofyear(ts) AS BIGINT)").as("week"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("week")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val joined = cells.join(rowTot, Seq("event_type"))
+      .join(colTot, Seq("week"))
+      .crossJoin(broadcast(n))
+    joined
+      .withColumn("dnum", col("o") * col("n") - col("r") * col("c"))
+      .select(col("event_type"), col("week"), col("o"), col("r"),
+        col("c"), col("n"),
+        expr("((dnum * dnum) div (r * c)) * 10000 div n").as("contrib_bp"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  val q66ChisqDriftSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(weekofyear(ts) AS BIGINT) AS week,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT week, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.event_type, cells.week, o, r, c, n,
+      |       (((o*n - r*c) * (o*n - r*c)) // (r*c)) * 10000 // n AS contrib_bp
+      |FROM cells JOIN rt USING (event_type) JOIN ct USING (week) CROSS JOIN nt
+      |ORDER BY cells.event_type, cells.week""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_auc"         -> (q65Auc _),
+    "q66_chisq_drift" -> (q66ChisqDrift _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q65_auc"         -> q65AucSql,
+    "q66_chisq_drift" -> q66ChisqDriftSql,
+  )
+}

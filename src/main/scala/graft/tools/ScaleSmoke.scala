@@ -57,9 +57,13 @@ object ScaleSmoke {
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
     val lin = spark.read.parquet(s"$sf/lineitem.parquet")
+    // l_partkey offset matches part's p_partkey offset below — FK-consistent,
+    // and the q62 co-occurrence graph then scales in NODES (disjoint part
+    // universes per copy), not in density
     (0 until copies).map(i => lin
         .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L)))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // customer with the SAME custkey offset as orders — FK-consistent,

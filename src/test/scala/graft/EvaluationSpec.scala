@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.Evaluation
+
+/** q65 exact AUC + q66 chi-square drift: closed-form fixtures (perfect /
+  * inverted / coin-flip separation; zero-drift uniformity) and a brute-force
+  * pair-count replica — the identity 2U = Σp(2·cumq+q) the lane rides.
+  */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Base = 1699999200L
+
+  /** events fixture: (userId, value, isPurchase) rows, one per element. */
+  private def fixture(rows: Seq[(Long, Double, Boolean)]): String = {
+    val dir = Files.createTempDirectory("graft_eval").toString
+    rows.zipWithIndex.map { case ((u, v, pos), i) =>
+      (i.toLong, (Base + i * 60L) * 1000000000L, u,
+        if (pos) "purchase" else "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def aucOf(rows: Seq[(Long, Double, Boolean)]): Map[Long, Double] =
+    Evaluation.q65Auc(spark, fixture(rows))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("auc")).toMap
+
+  test("q65: perfect separation gives AUC 1, inversion gives 0, ties give 0.5") {
+    val perfect = (0 until 20).map(i => (0L, if (i < 10) 9.0 else 1.0, i < 10))
+    assert(aucOf(perfect)(0L) === 1.0)
+    val inverted = perfect.map { case (u, v, p) => (u, v, !p) }
+    assert(aucOf(inverted)(0L) === 0.0)
+    val allTies = (0 until 20).map(i => (0L, 5.0, i < 10))
+    assert(aucOf(allTies)(0L) === 0.5)
+  }
+
+  test("q65: u2 matches the brute-force pair count on a seeded random cohort") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 120).map(_ =>
+      (3L, (rnd.nextInt(20) + 1) / 10.0, rnd.nextBoolean()))
+    val got = Evaluation.q65Auc(spark, fixture(rows)).head()
+    val pos = rows.filter(_._3).map(r => math.round(r._2 * 100))
+    val neg = rows.filterNot(_._3).map(r => math.round(r._2 * 100))
+    val u2 = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    assert(got.getAs[Long]("u2") === u2)
+    assert(got.getAs[Long]("n_pos") === pos.size.toLong)
+    assert(got.getAs[Long]("n_neg") === neg.size.toLong)
+    assert(got.getAs[Double]("auc") ===
+      u2.toDouble / (2L * pos.size * neg.size).toDouble)
+  }
+
+  test("q65: cohorts are independent (per-group AUC, not global)") {
+    val rows = (0 until 20).map(i => (0L, if (i < 10) 9.0 else 1.0, i < 10)) ++
+      (0 until 20).map(i => (1L, if (i < 10) 9.0 else 1.0, i >= 10))
+    val by = aucOf(rows)
+    assert(by(0L) === 1.0 && by(1L) === 0.0)
+  }
+
+  test("q66: a homogeneous table has zero drift in every cell") {
+    // identical per-week mix → O·N = R·C exactly in every cell
+    val rows = for {
+      w <- 0 until 3; t <- Seq(true, false); i <- 0 until (if (t) 4 else 8)
+    } yield (w.toLong * 100 + i, 1.0, t)
+    // spread weeks: reuse fixture but override ts spacing to 7-day steps
+    val dir = Files.createTempDirectory("graft_eval").toString
+    rows.zipWithIndex.map { case ((u, v, pos), i) =>
+      val week = u / 100
+      (i.toLong, (Base + week * 7 * 86400L + (i % 100) * 60L) * 1000000000L,
+        u, if (pos) "purchase" else "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Evaluation.q66ChisqDrift(spark, dir).collect()
+    assert(out.length === 6) // 2 types × 3 weeks
+    out.foreach(r => assert(r.getAs[Long]("contrib_bp") === 0L))
+  }
+
+  test("q66: a shifted week produces positive drift contributions") {
+    val rows = (
+      (0 until 10).map(i => (i.toLong, 1.0, true)) ++      // week 0: 10/2
+      (0 until 2).map(i => (100L + i, 1.0, false)) ++
+      (0 until 2).map(i => (200L + i, 1.0, true)) ++       // week 1: 2/10
+      (0 until 10).map(i => (300L + i, 1.0, false)))
+    val dir = Files.createTempDirectory("graft_eval").toString
+    rows.zipWithIndex.map { case ((u, v, pos), i) =>
+      val week = u / 200
+      (i.toLong, (Base + week * 7 * 86400L + i * 60L) * 1000000000L,
+        u, if (pos) "purchase" else "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Evaluation.q66ChisqDrift(spark, dir).collect()
+    assert(out.forall(_.getAs[Long]("n") === 24L))
+    assert(out.count(_.getAs[Long]("contrib_bp") > 0L) === 4)
+  }
+}
