@@ -352,7 +352,67 @@ object Entity {
       |FROM deg LEFT JOIN c USING (node)
       |ORDER BY part""".stripMargin
 
+  // --- Q67: item-item co-occurrence similarity (bipartite projection) ------
+  // The collaborative-filtering prep: project the order↔part bipartite
+  // graph onto parts, weight each part pair by co-purchase count, normalize
+  // to cosine over order-incidence vectors (sim = |O_a∩O_b| / √(|O_a|·|O_b|)
+  // — all integers until one fixed √-and-divide IEEE chain), and keep each
+  // part's top-3 neighbors. Pair generation reuses the q62 shape (combining
+  // groupBy + compiled PairExpandIds — per-basket fan-out bounded by basket
+  // size); the top-k rides the CUSTOM PHYSICAL OPERATOR (q50's TopKPerKey:
+  // bounded-heap partial → exchange → final, ≤ k rows per key per partition
+  // on the wire — the window-rank twin would shuffle and sort every
+  // candidate edge). Ties broken by neighbor id, so the row set is
+  // deterministic and the DuckDB oracle (window-rank formulation) matches
+  // hash-exact. At 100 TB: weights are one combining count over basket
+  // pairs; candidate neighbors per part are bounded by co-occurrence
+  // sparsity, and a viral basket routes through the same capped-expansion
+  // discipline as the q24 hot buckets.
+  def q67CooccurSim(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrd = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs = op.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val sym = pairs.unionAll(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val sim = sym
+      .join(nOrd.select(col("pk").as("a"), col("cnt").as("na")), Seq("a"))
+      .join(nOrd.select(col("pk").as("b"), col("cnt").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("w"),
+        (col("w").cast("double")
+          / sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+    graft.plans.GraftPlans.topKPerKey(sim, keys = Seq("a"),
+        orderBy = Seq(("sim", false), ("b", true)), k = 3)
+      .orderBy(col("a"), col("sim").desc, col("b"))
+  }
+
+  val q67CooccurSimSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |n AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY 1),
+      |pr AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+      |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+      |       GROUP BY 1, 2),
+      |sym AS (SELECT a, b, w FROM pr UNION ALL SELECT b, a, w FROM pr),
+      |s AS (SELECT sym.a, sym.b, w,
+      |             CAST(w AS DOUBLE) / sqrt(CAST(na.cnt * nb.cnt AS DOUBLE))
+      |               AS sim
+      |      FROM sym JOIN n na ON sym.a = na.pk JOIN n nb ON sym.b = nb.pk),
+      |r AS (SELECT a, b, w, sim,
+      |             row_number() OVER (PARTITION BY a
+      |                                ORDER BY sim DESC, b) AS rn
+      |      FROM s)
+      |SELECT a, b, w, sim FROM r WHERE rn <= 3
+      |ORDER BY a, sim DESC, b""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_cooccur_sim" -> (q67CooccurSim _),
     "q62_triangles"  -> (q62Triangles _),
     "q55_pagerank"   -> (q55PageRank _),
     "q47_linkage"    -> (q47Linkage _),
@@ -362,6 +422,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q67_cooccur_sim" -> q67CooccurSimSql,
     "q62_triangles"  -> q62TrianglesSql,
     "q55_pagerank"   -> q55PageRankSql,
     "q47_linkage"    -> q47LinkageSql,
