@@ -125,13 +125,52 @@ object Evaluation {
       |FROM cells JOIN rt USING (event_type) JOIN ct USING (week) CROSS JOIN nt
       |ORDER BY cells.event_type, cells.week""".stripMargin
 
+  // --- Q68: calibration bins (the reliability diagram at scale) ------------
+  // The third leg of the eval trio (ranking = q65, drift = q66,
+  // calibration = here): bucket the score axis, compare each bucket's
+  // observed positive rate to its mean score. One combining groupBy over
+  // fixed-width integer bins — 10¹² rows collapse to ≤ |domain|/width
+  // rows, ECE/reliability curves derive from the lane's rows without
+  // another pass. Everything integral: rate and mean score are emitted in
+  // basis points via DIV (the q59/q66 discipline) — no doubles at all, so
+  // the lane is hash-exact by construction and the bin table is safely
+  // mergeable across data slices (integer sums).
+  def q68Calibration(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("y"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("y div 2000").as("bin")) // 2 000 cents per bin
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"),
+        sum(col("y")).as("sum_y"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("pos * 10000 div n").as("rate_bp"),
+        expr("sum_y div n").as("mean_cents"))
+      .orderBy(col("bin"))
+  }
+
+  val q68CalibrationSql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS y,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |g AS (
+      |  SELECT y // 2000 AS bin, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(pos) AS BIGINT) AS pos,
+      |         CAST(sum(y) AS BIGINT) AS sum_y
+      |  FROM b GROUP BY 1)
+      |SELECT bin, n, pos, pos * 10000 // n AS rate_bp,
+      |       sum_y // n AS mean_cents
+      |FROM g ORDER BY bin""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_auc"         -> (q65Auc _),
     "q66_chisq_drift" -> (q66ChisqDrift _),
+    "q68_calibration" -> (q68Calibration _),
   )
 
   val oracle: Map[String, String] = Map(
     "q65_auc"         -> q65AucSql,
     "q66_chisq_drift" -> q66ChisqDriftSql,
+    "q68_calibration" -> q68CalibrationSql,
   )
 }

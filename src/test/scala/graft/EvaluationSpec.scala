@@ -77,6 +77,24 @@ class EvaluationSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("contrib_bp") === 0L))
   }
 
+  test("q68: bin boundaries, rates, and mean scores are integer-exact") {
+    // bin 0: 20.00 (2000c = bin 1!) — use 19.99 → 1999c bin 0; bin 1: 20.01
+    val rows = Seq.fill(3)((0L, 19.99, true)) ++ Seq.fill(5)((0L, 19.99, false)) ++
+      Seq.fill(7)((0L, 20.01, true)) ++ Seq.fill(1)((0L, 20.01, false))
+    val out = Evaluation.q68Calibration(spark, fixture(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) === ((8L, 3L, 3750L, 1999L))) // 3/8 = 37.50%
+    assert(out(1L) === ((8L, 7L, 8750L, 2001L)))
+  }
+
+  test("q68: exact bin-edge cents land in the upper bin (floor division)") {
+    val rows = Seq((0L, 20.00, true), (0L, 39.99, false))
+    val out = Evaluation.q68Calibration(spark, fixture(rows)).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getLong(1) === 2L)
+  }
+
   test("q66: a shifted week produces positive drift contributions") {
     val rows = (
       (0 until 10).map(i => (i.toLong, 1.0, true)) ++      // week 0: 10/2
