@@ -865,7 +865,64 @@ object Analytics {
       |           * CAST(n*s22 - s2*s2 AS DOUBLE)) AS ac
       |FROM s ORDER BY event_type, lag""".stripMargin
 
+  // --- Q69: exact rolling 7-day distinct users (DAU/WAU) --------------------
+  // The engagement staple: per day, how many DISTINCT users were active in
+  // the trailing 7-day window. COUNT(DISTINCT) over a SLIDING window has no
+  // direct windowed form (distinct is not subtractable), and the textbook
+  // per-window self-join re-scans events 7×. The scale shape here: collapse
+  // events to the USER-DAY grain first (one combining distinct — 10¹²
+  // events → ≤ users×days rows), then each user-day row contributes itself
+  // to the 7 windows it falls in (a bounded explode — ×7, on the REDUCED
+  // grain), and one distinct+count per window finishes it. Windows ending
+  // past the observed range are cut by a one-row max-date broadcast (house
+  // scalar pattern). All counts integral — hash-exact. The approximate
+  // cousin at 10× window widths is HLL-merge over daily sketches
+  // (q13_hll_merge proves the union law); this lane is the exact anchor
+  // such a swap is audited against.
+  def q69RollingWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val mx = ud.agg(max(col("d")).as("mx"))
+    val wau = ud
+      .select(explode(expr("sequence(d, date_add(d, 6))")).as("w"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("w")).agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("d").as("w"))
+      .agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("w"), "left")
+      .crossJoin(broadcast(mx))
+      .filter(col("w") <= col("mx"))
+      // date → timestamp for dtype parity with the oracle (the q19/q36
+      // discipline: pandas reads DuckDB DATE as datetime64)
+      .select(col("w").cast("timestamp").as("w"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy(col("w"))
+  }
+
+  val q69RollingWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |mx AS (SELECT max(d) AS mx FROM ud),
+      |ex AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+      |           CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+      |           INTERVAL 1 DAY)) AS DATE) AS w,
+      |         user_id
+      |  FROM ud),
+      |wau AS (SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |        FROM ex GROUP BY 1),
+      |dau AS (SELECT d AS w, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM ud GROUP BY 1)
+      |SELECT CAST(wau.w AS TIMESTAMP) AS w, COALESCE(dau.dau, 0) AS dau,
+      |       wau.wau
+      |FROM wau LEFT JOIN dau USING (w) CROSS JOIN mx
+      |WHERE wau.w <= mx.mx
+      |ORDER BY w""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_rolling_wau" -> (q69RollingWau _),
     "q63_regression"  -> (q63Regression _),
     "q64_autocorr"    -> (q64Autocorr _),
     "q48_incr_agg"    -> (q48IncrAgg _),
@@ -886,6 +943,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_rolling_wau" -> q69RollingWauSql,
     "q63_regression"  -> q63RegressionSql,
     "q64_autocorr"    -> q64AutocorrSql,
     "q48_incr_agg"    -> q48IncrAggSql,

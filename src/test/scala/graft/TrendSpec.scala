@@ -71,6 +71,31 @@ class TrendSpec extends SparkSpec {
     assert(by(24L).getAs[Long]("n") === 48L)
   }
 
+  test("q69: rolling 7-day distinct users matches the hand-computed windows") {
+    // day offsets (hours = d*24): u1 on day 0; u2 on days 0 and 9; u3 on day 2
+    val rows = Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 2 * 24, 3L),
+      ("a", 9 * 24, 2L)).map { case (t, h, u) => (t, h, u, 1.0) }
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_wau").toString
+      rows.zipWithIndex.map { case ((t, h, u, v), i) =>
+        (i.toLong, (Base + h * 3600L + 11L) * 1000000000L, u, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val out = graft.queries.Analytics.q69RollingWau(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).toLocalDateTime.getDayOfMonth,
+        r.getLong(1), r.getLong(2)))
+    // Base = 2023-11-14; windows run Nov 14 .. Nov 23 (max observed day)
+    val byDay = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.length === 10)
+    assert(byDay(14) === ((2L, 2L))) // u1,u2 active; window {u1,u2}
+    assert(byDay(16) === ((1L, 3L))) // u3 active; window {u1,u2,u3}
+    assert(byDay(20) === ((0L, 3L))) // idle day; [14,20] still {u1,u2,u3}
+    assert(byDay(21) === ((0L, 1L))) // day-14 activity aged out; {u3}
+    assert(byDay(23) === ((1L, 1L))) // u2 returns; [17,23] = {u2}
+  }
+
   test("q64: a missing hour produces no pair (explicit-gap semantics)") {
     val full = (0 until 30).map(h => ("a", h, 2.0 + (h % 3)))
     val holed = full.filterNot(_._2 == 15)
