@@ -921,7 +921,62 @@ object Analytics {
       |WHERE wau.w <= mx.mx
       |ORDER BY w""".stripMargin
 
+  // --- Q70: forecast backtest (persistence vs seasonal-naive MAE) -----------
+  // The model-free forecasting audit every metrics pipeline runs before
+  // buying a forecaster: how well do "next hour = this hour" (lag 1) and
+  // "next hour = same hour yesterday" (lag 24) predict the hourly series?
+  // Shares q64's grain and pairing discipline (hourly integer-cent totals;
+  // pairs by equi-join on h+lag so gap hours simply drop; 2-row lag
+  // broadcast) but measures absolute error, not correlation. MAE stays
+  // integral: Σ|y−ŷ| is a BIGINT sum, the DIV by n is non-negative (the
+  // signed bias is emitted as a RAW sum — Spark `div` truncates toward
+  // zero while DuckDB `//` floors, so negative quotients are never taken).
+  // If mae@24 < mae@1 the series has exploitable daily structure — the
+  // decision this lane exists to make, cheaply, at any scale.
+  def q70Backtest(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val lags = spark.range(1)
+      .select(explode(array(lit(1L), lit(24L))).as("lag"))
+    hourly.as("t0").join(broadcast(lags))
+      .join(hourly.as("t1"),
+        col("t0.event_type") === col("t1.event_type") &&
+          col("t1.h") === col("t0.h") + col("lag"))
+      .select(col("t0.event_type").as("event_type"), col("lag"),
+        col("t0.y").as("yhat"), col("t1.y").as("y"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("y") - col("yhat"))).as("sum_abs_err"),
+        sum(col("y") - col("yhat")).as("sum_err"))
+      .select(col("event_type"), col("lag"), col("n"), col("sum_abs_err"),
+        expr("sum_abs_err div n").as("mae_cents"), col("sum_err"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val q70BacktestSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT CAST(unnest([1, 24]) AS BIGINT) AS lag),
+      |pr AS (
+      |  SELECT t0.event_type, l.lag, t0.y AS yhat, t1.y AS y
+      |  FROM hourly t0 CROSS JOIN l
+      |  JOIN hourly t1
+      |    ON t1.event_type = t0.event_type AND t1.h = t0.h + l.lag)
+      |SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(abs(y - yhat)) AS BIGINT) AS sum_abs_err,
+      |       CAST(sum(abs(y - yhat)) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |         AS mae_cents,
+      |       CAST(sum(y - yhat) AS BIGINT) AS sum_err
+      |FROM pr GROUP BY 1, 2
+      |ORDER BY event_type, lag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_backtest"    -> (q70Backtest _),
     "q69_rolling_wau" -> (q69RollingWau _),
     "q63_regression"  -> (q63Regression _),
     "q64_autocorr"    -> (q64Autocorr _),
@@ -943,6 +998,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_backtest"    -> q70BacktestSql,
     "q69_rolling_wau" -> q69RollingWauSql,
     "q63_regression"  -> q63RegressionSql,
     "q64_autocorr"    -> q64AutocorrSql,

@@ -96,6 +96,19 @@ class TrendSpec extends SparkSpec {
     assert(byDay(23) === ((1L, 1L))) // u2 returns; [17,23] = {u2}
   }
 
+  test("q70: seasonal-naive beats persistence exactly on a period-24 series") {
+    // 72 hours: 1.00 at the top of each day, 2.00 otherwise
+    val dir = fixture((0 until 72).map(h =>
+      ("a", h, if (h % 24 == 0) 1.0 else 2.0)))
+    val by = graft.queries.Analytics.q70Backtest(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // lag 24: every pair identical → zero error over 48 pairs
+    assert(by(24L) === ((48L, 0L, 0L, 0L)))
+    // lag 1: five 100-cent jumps over 71 pairs; telescoped bias = +100
+    assert(by(1L) === ((71L, 500L, 500L / 71L, 100L)))
+  }
+
   test("q64: a missing hour produces no pair (explicit-gap semantics)") {
     val full = (0 until 30).map(h => ("a", h, 2.0 + (h % 3)))
     val holed = full.filterNot(_._2 == 15)
