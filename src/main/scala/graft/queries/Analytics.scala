@@ -757,9 +757,16 @@ object Analytics {
       (col("shh") - lit(2L) * col("h0") * col("sh")
         + col("n") * col("h0") * col("h0")).as("sxx"),
       (col("shy") - col("h0") * col("sy")).as("sxy"), col("syy"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val m   = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // Derived products in DECIMAL(38,0): the SUM columns stay inside int64
+    // through 128× (bounds in the header note) but n·Σxy-style PRODUCTS
+    // cross 2⁶³ already at 128× (ANSI overflow, caught by the 128×
+    // rehearsal) — exact decimal arithmetic, then ONE cast to double;
+    // DuckDB mirrors with HUGEINT (both casts round-to-nearest).
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D)
+    val num = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double")
+    val den = (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double")
+    val m   = (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double")
     reb.select(col("event_type"), col("n"), col("sx"), col("sy"),
         col("sxx"), col("sxy"), col("syy"),
         (num / den).as("slope_cph"),
@@ -788,13 +795,17 @@ object Analytics {
       |         shy - h0*sy AS sxy, syy
       |  FROM s)
       |SELECT event_type, n, sx, sy, sxx, sxy, syy,
-      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |  CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
       |    AS slope_cph,
       |  (CAST(sy AS DOUBLE)
-      |     - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |     - (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+      |        / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
       |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept_c,
-      |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
-      |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+      |  (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+      |     * CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE))
+      |    / (CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+      |       * CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE))
       |    AS r2
       |FROM r ORDER BY event_type""".stripMargin
 
@@ -831,9 +842,14 @@ object Analytics {
       sum(col("y0") * col("y0")).as("s11"),
       sum(col("y1") * col("y1")).as("s22"),
       sum(col("y0") * col("y1")).as("s12"))
-    val num = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
-    val d1 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
-    val d2 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+    // products in DECIMAL(38,0) — same 128×-overflow fix as q63 (hourly
+    // totals scale with volume, so n·Σy² crosses 2⁶³ long before the
+    // emitted sums do); one cast to double at the end, HUGEINT in DuckDB
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D)
+    val num = (d(col("n")) * d(col("s12")) - d(col("s1")) * d(col("s2"))).cast("double")
+    val d1 = (d(col("n")) * d(col("s11")) - d(col("s1")) * d(col("s1"))).cast("double")
+    val d2 = (d(col("n")) * d(col("s22")) - d(col("s2")) * d(col("s2"))).cast("double")
     s.select(col("event_type"), col("lag"), col("n"),
         col("s1"), col("s2"), col("s11"), col("s22"), col("s12"),
         (num / sqrt(d1 * d2)).as("ac"))
@@ -860,9 +876,10 @@ object Analytics {
       |         CAST(sum(y0*y1) AS BIGINT) AS s12
       |  FROM pr GROUP BY 1, 2)
       |SELECT event_type, lag, n, s1, s2, s11, s22, s12,
-      |  CAST(n*s12 - s1*s2 AS DOUBLE)
-      |    / sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)
-      |           * CAST(n*s22 - s2*s2 AS DOUBLE)) AS ac
+      |  CAST(CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS DOUBLE)
+      |    / sqrt(CAST(CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)
+      |           * CAST(CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS DOUBLE))
+      |    AS ac
       |FROM s ORDER BY event_type, lag""".stripMargin
 
   // --- Q69: exact rolling 7-day distinct users (DAU/WAU) --------------------

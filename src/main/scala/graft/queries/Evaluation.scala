@@ -103,11 +103,17 @@ object Evaluation {
     val joined = cells.join(rowTot, Seq("event_type"))
       .join(colTot, Seq("week"))
       .crossJoin(broadcast(n))
+    // dnum² in DECIMAL(38,0): O·N−R·C fits int64 but its square crosses
+    // 2⁶³ already at 128× volume (128× rehearsal finding — ANSI overflow);
+    // the quotient re-enters int64 (≤ ~10¹³), div semantics unchanged
     joined
-      .withColumn("dnum", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("dnum",
+        (col("o") * col("n") - col("r") * col("c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .select(col("event_type"), col("week"), col("o"), col("r"),
         col("c"), col("n"),
-        expr("((dnum * dnum) div (r * c)) * 10000 div n").as("contrib_bp"))
+        expr("CAST((dnum * dnum) div (r * c) AS BIGINT) * 10000 div n")
+          .as("contrib_bp"))
       .orderBy(col("event_type"), col("week"))
   }
 
@@ -121,7 +127,8 @@ object Evaluation {
       |ct AS (SELECT week, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
       |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
       |SELECT cells.event_type, cells.week, o, r, c, n,
-      |       (((o*n - r*c) * (o*n - r*c)) // (r*c)) * 10000 // n AS contrib_bp
+      |       CAST((CAST(o*n - r*c AS HUGEINT) * CAST(o*n - r*c AS HUGEINT))
+      |            // (r*c) AS BIGINT) * 10000 // n AS contrib_bp
       |FROM cells JOIN rt USING (event_type) JOIN ct USING (week) CROSS JOIN nt
       |ORDER BY cells.event_type, cells.week""".stripMargin
 
@@ -135,18 +142,29 @@ object Evaluation {
   // basis points via DIV (the q59/q66 discipline) — no doubles at all, so
   // the lane is hash-exact by construction and the bin table is safely
   // mergeable across data slices (integer sums).
-  def q68Calibration(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+  /** ONE bin-grain reduction shared by the batch lane and the streaming
+    * maintenance (StreamingJobs.calibrationMaintain) — the fingerprint
+    * discipline: the live table can only stay equal to the batch lane if
+    * both fold through the same definition. Output columns are the
+    * integer-mergeable sufficient statistics (n, pos, sum_y per bin). */
+  private[graft] def calibrationDelta(events: DataFrame): DataFrame =
+    events
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("y"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       .groupBy(expr("y div 2000").as("bin")) // 2 000 cents per bin
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"),
         sum(col("y")).as("sum_y"))
-      .select(col("bin"), col("n"), col("pos"),
+
+  /** Derived reliability columns from the mergeable bin statistics. */
+  private[graft] def calibrationDerive(bins: DataFrame): DataFrame =
+    bins.select(col("bin"), col("n"), col("pos"),
         expr("pos * 10000 div n").as("rate_bp"),
         expr("sum_y div n").as("mean_cents"))
       .orderBy(col("bin"))
-  }
+
+  def q68Calibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationDerive(calibrationDelta(Tables.events(spark, dir))
+      .select(col("bin"), col("n"), col("pos"), col("sum_y")))
 
   val q68CalibrationSql: String =
     """WITH b AS (

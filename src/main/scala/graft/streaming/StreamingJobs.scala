@@ -402,4 +402,50 @@ object StreamingJobs {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyFingerprintBatch(batch.toDF(), keyHashExpr, targetDir, batchId)
     }
+
+  /** Q68b: LIVE calibration-bin maintenance. The q68 reliability table's
+    * per-bin statistics (n, pos, sum_y) are a commutative monoid under +,
+    * so an event stream keeps model calibration current by folding each
+    * micro-batch's bin delta — computed by the SAME shared reduction the
+    * batch lane uses (Evaluation.calibrationDelta; one definition, the
+    * fingerprint discipline) — into the maintained table. No base re-scan:
+    * a 100 TB scoring log's reliability diagram updates at ingest cost.
+    * Crash-safety mirrors [[applyFingerprintBatch]]'s versioned scheme
+    * (derive from latest version BELOW the batch id, overwrite own
+    * `v=<batchId>` dir ⇒ at-least-once replay is idempotent). The derived
+    * rate_bp/mean_cents columns are NOT stored — they are not mergeable;
+    * [[calibrationRead]] re-derives them from the maintained sums. */
+  def applyCalibrationBatch(batch: DataFrame, targetDir: String,
+                            batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = graft.queries.Evaluation.calibrationDelta(batch)
+    val base = listVersions(targetDir).filter(_ < batchId).sorted.lastOption
+    val merged = base match {
+      case Some(v) =>
+        spark.read.parquet(s"$targetDir/v=$v").alias("b")
+          .join(delta.alias("d"), Seq("bin"), "full_outer")
+          .select(col("bin"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+            (coalesce(col("b.pos"), lit(0L)) + coalesce(col("d.pos"), lit(0L))).as("pos"),
+            (coalesce(col("b.sum_y"), lit(0L)) + coalesce(col("d.sum_y"), lit(0L))).as("sum_y"))
+      case None => delta
+    }
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$targetDir/v=$batchId")
+  }
+
+  def calibrationMaintain(rows: DataFrame, targetDir: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCalibrationBatch(batch.toDF(), targetDir, batchId)
+    }
+
+  /** Latest maintained calibration table with q68's derived columns. */
+  def calibrationRead(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String): DataFrame = {
+    val v = listVersions(targetDir).max
+    graft.queries.Evaluation.calibrationDerive(
+      spark.read.parquet(s"$targetDir/v=$v"))
+  }
 }
