@@ -992,7 +992,39 @@ object Analytics {
       |FROM pr GROUP BY 1, 2
       |ORDER BY event_type, lag""".stripMargin
 
+  // --- Q71: rolling WAU by HLL sketch-union (the promised approx cousin) ----
+  // q69's exact form explodes the user-day grain ×W; at 90-day windows on
+  // 10⁹ users even the reduced grain hurts. The sketch form: ONE HLL
+  // sketch per day (a few KB, built by one combining agg), each window
+  // UNIONS its W daily sketches — the union law q13_hll_merge proves is
+  // exactly what licenses assembling any window from per-day sketches
+  // without touching user-level data again. Audit built in: the lane joins
+  // the exact q69 count and emits the signed error in basis points, so a
+  // 100 TB deployment reads its own accuracy off the lane output. Approx
+  // path ⇒ rows-only gate (no portable oracle — DuckDB's approx sketches
+  // differ); WauHllSpec pins the error bound and day-slice independence.
+  def q71WauHll(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val daily = ud.groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val mx = daily.agg(max(col("d")).as("mx"))
+    val est = daily
+      .select(explode(expr("sequence(d, date_add(d, 6))")).as("w"), col("sk"))
+      .groupBy(col("w"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+    est.join(q69RollingWau(spark, dir).select(
+        col("w").cast("date").as("w"), col("wau")), Seq("w"))
+      .crossJoin(broadcast(mx))
+      .filter(col("w") <= col("mx"))
+      .select(col("w").cast("timestamp").as("w"), col("wau"),
+        col("wau_est"),
+        expr("(wau_est - wau) * 10000 div wau").as("err_bp"))
+      .orderBy(col("w"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_wau_hll"     -> (q71WauHll _),
     "q70_backtest"    -> (q70Backtest _),
     "q69_rolling_wau" -> (q69RollingWau _),
     "q63_regression"  -> (q63Regression _),
