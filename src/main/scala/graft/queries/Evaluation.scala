@@ -180,15 +180,72 @@ object Evaluation {
       |       sum_y // n AS mean_cents
       |FROM g ORDER BY bin""".stripMargin
 
+  // --- Q72: Benford first-digit screen (fraud/corruption DQ test) ----------
+  // The forensic-accounting classic as a warehouse DQ lane: the observed
+  // first-significant-digit distribution of a positive measure against
+  // Benford's log₁₀(1+1/d) expectation. The expected shares are COMPILE-
+  // TIME integer basis points (3010…458, summing to exactly 10⁴) — no
+  // transcendental is ever evaluated at runtime, so there is no libm
+  // parity question (the q59 finding). First digit via string head — the
+  // one definition both engines share exactly. One combining groupBy (9
+  // result rows at any scale); deviation emitted as signed bp DIFFERENCE
+  // (no division of negatives). The synthetic uniform-ish values here
+  // rightly FAIL Benford — the lane is the screen, not a claim about the
+  // data; DQ consumers alert on |dev_bp|.
+  private val BenfordBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L,
+    512L, 458L)
+
+  def q72Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exp = BenfordBp.zipWithIndex
+      .map { case (bp, i) => (i + 1L, bp) }
+      .toDF("digit", "exp_bp")
+    val obs = Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .filter(col("y") > 0L)
+      .groupBy(expr("CAST(substring(CAST(y AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("tot"))
+    obs.join(broadcast(exp), Seq("digit"), "right")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0) * 10000 div tot").as("obs_bp"), col("exp_bp"),
+        (expr("coalesce(n, 0) * 10000 div tot") - col("exp_bp")).as("dev_bp"))
+      .orderBy(col("digit"))
+  }
+
+  val q72BenfordSql: String =
+    """WITH exp AS (
+      |  SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+      |    (5, 792), (6, 669), (7, 580), (8, 512), (9, 458))
+      |    AS t(digit, exp_bp)),
+      |o AS (
+      |  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o)
+      |SELECT CAST(exp.digit AS BIGINT) AS digit,
+      |       COALESCE(o.n, 0) AS n,
+      |       COALESCE(o.n, 0) * 10000 // tot AS obs_bp,
+      |       CAST(exp.exp_bp AS BIGINT) AS exp_bp,
+      |       COALESCE(o.n, 0) * 10000 // tot - exp.exp_bp AS dev_bp
+      |FROM exp LEFT JOIN o ON exp.digit = o.digit CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_auc"         -> (q65Auc _),
     "q66_chisq_drift" -> (q66ChisqDrift _),
     "q68_calibration" -> (q68Calibration _),
+    "q72_benford"     -> (q72Benford _),
   )
 
   val oracle: Map[String, String] = Map(
     "q65_auc"         -> q65AucSql,
     "q66_chisq_drift" -> q66ChisqDriftSql,
     "q68_calibration" -> q68CalibrationSql,
+    "q72_benford"     -> q72BenfordSql,
   )
 }

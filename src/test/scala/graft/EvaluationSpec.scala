@@ -95,6 +95,26 @@ class EvaluationSpec extends SparkSpec {
     assert(out.head.getLong(1) === 2L)
   }
 
+  test("q72: a Benford-proportioned fixture has zero deviation in every digit") {
+    // 10 000 values whose first cent-digits follow 3010/1761/…/458 exactly
+    val shares = Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+    val rows = shares.zipWithIndex.flatMap { case (cnt, i) =>
+      (0 until cnt).map(_ => (0L, (i + 1) * 1.0, false)) // (i+1)·100 cents
+    }
+    val out = graft.queries.Evaluation.q72Benford(spark, fixture(rows)).collect()
+    assert(out.length === 9)
+    out.foreach(r => assert(r.getLong(4) === 0L,
+      s"digit ${r.getLong(0)}: dev ${r.getLong(4)}"))
+  }
+
+  test("q72: a uniform-digit fixture deviates by the known closed form") {
+    val rows = (1 to 9).flatMap(d => (0 until 1000).map(_ => (0L, d * 1.0, false)))
+    val out = graft.queries.Evaluation.q72Benford(spark, fixture(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(1L) === 1111L - 3010L)
+    assert(out(9L) === 1111L - 458L)
+  }
+
   test("q66: a shifted week produces positive drift contributions") {
     val rows = (
       (0 until 10).map(i => (i.toLong, 1.0, true)) ++      // week 0: 10/2
