@@ -411,7 +411,69 @@ object Entity {
       |SELECT a, b, w, sim FROM r WHERE rn <= 3
       |ORDER BY a, sim DESC, b""".stripMargin
 
+  // --- Q73: k-core (fixed-round distributed peeling) ------------------------
+  // The degeneracy-based robustness filter (spam rings and bot nets live in
+  // thin k-cores; organically dense communities survive deep ones). Graph:
+  // part co-occurrence with SUPPORT ≥ 2 (pairs co-bought in ≥ 2 orders —
+  // the thresholded graph q62 documents as too sparse for triangles is
+  // exactly right for peeling: a real cascade instead of instant
+  // stability). Semantics are FIXED-ROUND (16 peels + a converged flag,
+  // core/KCore.scala scaladoc): a fixpoint operator can't be replayed by
+  // portable SQL, 16 unrolled CTE rounds can — and peeling monotonicity
+  // makes the oracle's converged check a COUNT comparison (|n15| = |n16|).
+  // All outputs integral — hash-exact.
+  private val KcK = 2
+  private val KcRounds = 16
+
+  def q73Kcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KcK).select(col("a"), col("b"))
+    graft.core.KCore.core(edges, KcK, KcRounds)
+      .select(col("node").as("part"), col("deg"), col("converged"))
+      .orderBy(col("part"))
+  }
+
+  val q73KcoreSql: String = {
+    // AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, and each
+    // round references its predecessor TWICE — inlining would duplicate
+    // the base scan 2^16 times (measured: "too many open files")
+    val roundCtes = (1 to KcRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT s.node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM sym s
+         |  JOIN n${i - 1} p ON s.node = p.node
+         |  JOIN n${i - 1} q ON s.other = q.node
+         |  GROUP BY 1),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KcK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+       |            l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+       |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+       |       GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT a, b FROM e0 WHERE w >= $KcK),
+       |sym AS MATERIALIZED (SELECT a AS node, b AS other FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |n0 AS MATERIALIZED (SELECT DISTINCT node FROM sym),
+       |$roundCtes,
+       |df AS MATERIALIZED (SELECT s.node, CAST(count(*) AS BIGINT) AS deg
+       |       FROM sym s
+       |       JOIN n$KcRounds p ON s.node = p.node
+       |       JOIN n$KcRounds q ON s.other = q.node
+       |       GROUP BY 1)
+       |SELECT df.node AS part, df.deg,
+       |       ((SELECT count(*) FROM n${KcRounds - 1})
+       |          = (SELECT count(*) FROM n$KcRounds)) AS converged
+       |FROM df ORDER BY part""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_kcore"       -> (q73Kcore _),
     "q67_cooccur_sim" -> (q67CooccurSim _),
     "q62_triangles"  -> (q62Triangles _),
     "q55_pagerank"   -> (q55PageRank _),
@@ -422,6 +484,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_kcore"       -> q73KcoreSql,
     "q67_cooccur_sim" -> q67CooccurSimSql,
     "q62_triangles"  -> q62TrianglesSql,
     "q55_pagerank"   -> q55PageRankSql,
