@@ -472,7 +472,69 @@ object Entity {
        |FROM df ORDER BY part""".stripMargin
   }
 
+  // --- Q74: degree assortativity (graph mixing coefficient) -----------------
+  // Do high-degree parts co-occur with other hubs (assortative, r > 0) or
+  // with the long tail (disassortative, r < 0)? — the one-number mixing
+  // signal that separates social-style graphs from web/biology-style ones,
+  // and a cheap structural fingerprint to watch across dataset versions.
+  // r = Pearson correlation of end-point degrees over the SYMMETRIZED edge
+  // list (each edge contributes both (dᵤ,dᵥ) and (dᵥ,dᵤ), so the marginals
+  // coincide and the formula collapses to one x-moment set). Shapes: the
+  // q62 edge derivation, one degree agg, two joins of the edge list onto
+  // the degree table, one combining sum — all sums exact BIGINT, products
+  // in DECIMAL(38,0) (the q63 overflow discipline), one final double
+  // division. Hash-exact; single-row output at any scale.
+  def q74Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDegs = edges
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    val pairs = withDegs.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(withDegs.select(col("db").as("x"), col("da").as("y")))
+    val s = pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D)
+    s.select(col("n"), col("sx"), col("sxx"), col("sxy"),
+      ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sx"))).cast("double")
+        / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double"))
+        .as("r"))
+  }
+
+  val q74AssortativitySql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY node),
+      |wd AS (SELECT da.d AS da, db.d AS db
+      |       FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+      |p AS (SELECT da AS x, db AS y FROM wd
+      |      UNION ALL SELECT db, da FROM wd),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |             CAST(sum(x*x) AS BIGINT) AS sxx,
+      |             CAST(sum(x*y) AS BIGINT) AS sxy
+      |      FROM p)
+      |SELECT n, sx, sxx, sxy,
+      |  CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+      |    AS r
+      |FROM s""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_assortativity" -> (q74Assortativity _),
     "q73_kcore"       -> (q73Kcore _),
     "q67_cooccur_sim" -> (q67CooccurSim _),
     "q62_triangles"  -> (q62Triangles _),
@@ -484,6 +546,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_assortativity" -> q74AssortativitySql,
     "q73_kcore"       -> q73KcoreSql,
     "q67_cooccur_sim" -> q67CooccurSimSql,
     "q62_triangles"  -> q62TrianglesSql,

@@ -42,6 +42,38 @@ class CooccurSimSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) === 1.0)) // identical incidence
   }
 
+  test("q74: a star graph is perfectly disassortative (r = −1 exactly)") {
+    // closed form: every edge pairs degree n with degree 1 →
+    // num = −n²(n−1)², den = n²(n−1)² → r = −1
+    val star = (1L to 8L).map(leaf => Seq(0L, leaf))
+    val r = graft.queries.Entity.q74Assortativity(spark, fixture(star))
+      .head().getAs[Double]("r")
+    assert(r === -1.0)
+  }
+
+  test("q74: seeded random graphs match a driver-side integer replica") {
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val baskets = Seq.fill(60)(Seq(rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(b => b(0) != b(1))
+      val row = graft.queries.Entity.q74Assortativity(spark, fixture(baskets)).head()
+      // replica over the deduped undirected edge list
+      val es = baskets.map(b => (b.min, b.max)).distinct
+      val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val pairs = es.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+      val n = pairs.size.toLong
+      val sx = pairs.map(_._1).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+        === ((n, sx, sxx, sxy)), s"seed $seed sums diverged")
+      val expR = (BigInt(n) * sxy - BigInt(sx) * sx).toDouble /
+        (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      assert(row.getAs[Double]("r") === expR, s"seed $seed r diverged")
+    }
+  }
+
   test("top-k caps each part's neighbor list at 3") {
     // hub part 1 co-occurs with 6 others at distinct strengths
     val baskets = (2L to 7L).flatMap(p =>
