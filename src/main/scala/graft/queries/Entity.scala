@@ -110,6 +110,61 @@ object Entity {
       |       min(min_bal) AS min_bal, max(max_bal) AS max_bal
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- Q47c: l-diversity release gate (the k-anonymity strengthening) ------
+  // k-anonymity's canonical failure: a group of ≥ k individuals who all
+  // share the SAME sensitive value still leaks it (homogeneity attack).
+  // l-diversity closes it: a QI group is releasable only if its sensitive
+  // attribute (balance band: negative / mid / high) takes ≥ l = 3 distinct
+  // values; under-diverse groups collapse into the ('*','*') bucket —
+  // q47_kanon's exact two-agg shape (one scan of the base table, then the
+  // collapse as a second agg over the tiny cell table), with
+  // countDistinct over a 3-value domain as the diversity measure (the
+  // Expand is bounded by the band domain, not the row count). Released
+  // rows carry their diversity so the guarantee is auditable in-band.
+  def q47Ldiversity(spark: SparkSession, dir: String): DataFrame = {
+    val l = 3
+    val bands = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("band"))
+    bands.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("band")).as("n_bands"))
+      .select(
+        when(col("n_bands") < l, lit("*"))
+          .otherwise(col("c_nationkey").cast("string")).as("nation"),
+        when(col("n_bands") < l, lit("*"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        col("n_rows"), col("n_bands"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n_rows")).as("n_rows"), count(lit(1)).as("n_groups"),
+        min(col("n_bands")).as("min_bands"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val q47LdiversitySql: String =
+    """WITH b AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CASE WHEN c_acctbal < 0 THEN 'neg'
+      |              WHEN c_acctbal < 5000 THEN 'mid'
+      |              ELSE 'high' END AS band
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT band) AS BIGINT) AS n_bands
+      |  FROM b GROUP BY 1, 2),
+      |x AS (
+      |  SELECT CASE WHEN n_bands < 3 THEN '*'
+      |              ELSE CAST(c_nationkey AS VARCHAR) END AS nation,
+      |         CASE WHEN n_bands < 3 THEN '*'
+      |              ELSE c_mktsegment END AS segment,
+      |         n_rows, n_bands
+      |  FROM g)
+      |SELECT nation, segment, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       min(n_bands) AS min_bands
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- Q15f: partitioned quantile binning (ntile) --------------------------
   // Quartile bins of order value WITHIN each priority class — the feature-
   // prep "bucketize against your peer group" shape. ntile(4) over
@@ -536,6 +591,7 @@ object Entity {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_assortativity" -> (q74Assortativity _),
     "q73_kcore"       -> (q73Kcore _),
+    "q47_ldiversity"  -> (q47Ldiversity _),
     "q67_cooccur_sim" -> (q67CooccurSim _),
     "q62_triangles"  -> (q62Triangles _),
     "q55_pagerank"   -> (q55PageRank _),
@@ -548,6 +604,7 @@ object Entity {
   val oracle: Map[String, String] = Map(
     "q74_assortativity" -> q74AssortativitySql,
     "q73_kcore"       -> q73KcoreSql,
+    "q47_ldiversity"  -> q47LdiversitySql,
     "q67_cooccur_sim" -> q67CooccurSimSql,
     "q62_triangles"  -> q62TrianglesSql,
     "q55_pagerank"   -> q55PageRankSql,

@@ -50,6 +50,20 @@ class EntitySpec extends SparkSpec {
     assert(out.count(_.getAs[String]("nation") == "*") <= 1)
   }
 
+  test("q47_ldiversity: released groups are l-diverse; nothing lost") {
+    val l = 3
+    val out = Entity.q47Ldiversity(spark, sf001).collect()
+    val total = graft.core.Tables.customer(spark, sf001).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === total)
+    out.foreach { r =>
+      if (r.getAs[String]("nation") != "*")
+        assert(r.getAs[Long]("min_bands") >= l,
+          s"released group ${r.getAs[String]("nation")} under-diverse")
+      else assert(r.getAs[Long]("min_bands") < l)
+    }
+    assert(out.count(_.getAs[String]("nation") == "*") <= 1)
+  }
+
   test("q15_ntile_bins: quartiles balanced within 1 and covering") {
     val out = Entity.q15NtileBins(spark, sf001).collect()
     val total = graft.core.Tables.orders(spark, sf001).count()
