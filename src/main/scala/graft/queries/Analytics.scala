@@ -1023,7 +1023,115 @@ object Analytics {
       .orderBy(col("w"))
   }
 
+  // --- Q77: median absolute deviation (robust scale per segment) -----------
+  // The robust twin of q44's moment statistics: MAD = median(|y − median|)
+  // shrugs off the outliers that corrupt stddev (50% breakdown point vs
+  // 0%). Two grouped EXACT percentile aggs (the q20-proven
+  // percentile ≡ quantile_cont bit parity) with the 5-row median frame
+  // joined back broadcast-style (q34_outliers' fence shape) — the event
+  // stream shuffles twice on event_type and never anything else.
+  // Deviations are |BIGINT − double| doubles, but each is a pure per-row
+  // function of exact inputs and the percentile over them is a sort-based
+  // pick — bit-identical cross-engine, no double is ever summed.
+  def q77Mad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(y, 0.5D)").as("med"),
+        count(lit(1)).as("n"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("y") - col("med")).as("d"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(d, 0.5D)").as("mad"))
+    med.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  val q77MadSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, quantile_cont(y, 0.5) AS med,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.y - m.med), 0.5) AS mad
+      |  FROM e JOIN m USING (event_type) GROUP BY 1)
+      |SELECT event_type, n, med, mad
+      |FROM m JOIN d USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // --- Q78: CUSUM change detection over the hourly series -------------------
+  // The sequential drift alarm q66's batch test cannot give you: CUSUM
+  // accumulates evidence S_t = max(0, S_{t−1} + y_t − target − slack) and
+  // alarms when S_t crosses h — detecting small persistent shifts far
+  // sooner than any fixed-window test. ENTIRELY in BIGINT (target = mean
+  // hourly cents by integer DIV, slack = 5% of target, h = 5·slack), so
+  // the sequential fold — per type, over the sorted hourly array, the
+  // q43_ewma ordered-fold discipline with a STRUCT accumulator — is exact,
+  // and the DuckDB oracle replays it as a recursive CTE in the same
+  // integer arithmetic. Per-type series length is bounded by the time
+  // domain, not row count (the q65 window argument); events reduce
+  // map-side to hourly totals first.
+  def q78Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val tgt = hourly.groupBy(col("event_type"))
+      .agg(expr("sum(y) div count(*)").as("target"))
+      .withColumn("slack", expr("target div 20"))
+      .withColumn("hh", expr("5 * (target div 20)"))
+    hourly.join(broadcast(tgt), Seq("event_type"))
+      .groupBy(col("event_type"), col("target"), col("slack"), col("hh"))
+      .agg(sort_array(collect_list(struct(col("h"), col("y")))).as("vs"))
+      .select(col("event_type"), col("target"), col("slack"),
+        explode(expr(
+          """aggregate(vs,
+            |  CAST(array() AS ARRAY<STRUCT<h: BIGINT, s: BIGINT>>),
+            |  (acc, v) -> concat(acc, array(named_struct(
+            |    'h', v.h,
+            |    's', greatest(0L, IF(size(acc) = 0, 0L,
+            |           element_at(acc, -1).s) + v.y - target - slack)))))"""
+            .stripMargin)).as("z"),
+        col("hh"))
+      .select(col("event_type"), col("z.h").as("h"), col("z.s").as("s"),
+        (col("z.s") > col("hh")).as("alarm"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q78CusumSql: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type,
+      |         CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS target
+      |  FROM hourly GROUP BY 1),
+      |g AS (
+      |  SELECT hourly.event_type, h, y, target, target // 20 AS slack,
+      |         5 * (target // 20) AS hh,
+      |         row_number() OVER (PARTITION BY hourly.event_type
+      |                            ORDER BY h) AS rn
+      |  FROM hourly JOIN t USING (event_type)),
+      |r AS (
+      |  SELECT event_type, h, y, target, slack, hh, rn,
+      |         CAST(greatest(0, y - target - slack) AS BIGINT) AS s
+      |  FROM g WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.h, g.y, g.target, g.slack, g.hh, g.rn,
+      |         CAST(greatest(0, r.s + g.y - g.target - g.slack) AS BIGINT)
+      |  FROM g JOIN r ON g.event_type = r.event_type AND g.rn = r.rn + 1)
+      |SELECT event_type, h, s, s > hh AS alarm
+      |FROM r ORDER BY event_type, h""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_mad"         -> (q77Mad _),
+    "q78_cusum"       -> (q78Cusum _),
     "q71_wau_hll"     -> (q71WauHll _),
     "q70_backtest"    -> (q70Backtest _),
     "q69_rolling_wau" -> (q69RollingWau _),
@@ -1047,6 +1155,8 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q77_mad"         -> q77MadSql,
+    "q78_cusum"       -> q78CusumSql,
     "q70_backtest"    -> q70BacktestSql,
     "q69_rolling_wau" -> q69RollingWauSql,
     "q63_regression"  -> q63RegressionSql,

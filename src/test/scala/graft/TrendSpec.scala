@@ -109,6 +109,32 @@ class TrendSpec extends SparkSpec {
     assert(by(1L) === ((71L, 500L, 500L / 71L, 100L)))
   }
 
+  test("q77: MAD ignores the outlier that corrupts the spread") {
+    // cents {100,200,300,400,10000}: median 300, deviations' median 100
+    val dir = fixture(Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex
+      .map { case (v, h) => ("a", h, v) })
+    val r = graft.queries.Analytics.q77Mad(spark, dir).head()
+    assert(r.getAs[Double]("med") === 300.0)
+    assert(r.getAs[Double]("mad") === 100.0)
+  }
+
+  test("q78: an on-target series never accumulates; a step shift alarms") {
+    // 48 hours at 2.00, then 24 hours at 4.00 → target = 266 cents,
+    // slack 13, h = 65; replica the integer fold exactly
+    val vals = Seq.fill(48)(200L) ++ Seq.fill(24)(400L)
+    val dir = fixture(vals.zipWithIndex.map { case (c, h) => ("a", h, c / 100.0) })
+    val out = graft.queries.Analytics.q78Cusum(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val target = vals.sum / vals.size; val slack = target / 20; val hh = 5 * slack
+    var s = 0L
+    val expect = vals.map { y =>
+      s = math.max(0L, s + y - target - slack); (s, s > hh) }
+    assert(out.map(t => (t._2, t._3)).toSeq === expect)
+    // the flat prefix never alarms; the shifted tail does
+    assert(!out.take(48).exists(_._3))
+    assert(out.drop(50).forall(_._3))
+  }
+
   test("q64: a missing hour produces no pair (explicit-gap semantics)") {
     val full = (0 until 30).map(h => ("a", h, 2.0 + (h % 3)))
     val holed = full.filterNot(_._2 == 15)
