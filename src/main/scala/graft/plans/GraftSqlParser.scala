@@ -45,15 +45,36 @@ case class GraftDatasetHashCommand(dir: String) extends LeafRunnableCommand {
     graft.queries.Relational3.q58DatasetHash(spark, dir).collect().toSeq
 }
 
+/** `GRAFT CHECK '<sfDir>'` — the third maintenance verb: the q49
+  * data-quality constraint suite (uniqueness, referential integrity,
+  * null/range, cross-column consistency) as a SQL command — the "run the
+  * expectation gate before publishing" step an operator issues around a
+  * load, next to the fingerprint (`DATASET HASH`) and retention
+  * (`VACUUM VERSIONS`) verbs. Output is one row per constraint — bounded
+  * by the suite size, never by the data — so the Seq[Row] command
+  * contract is safe at any scale. */
+case class GraftCheckCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint_name", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)(),
+    AttributeReference("n_violations", LongType, nullable = true)(),
+    AttributeReference("passed", org.apache.spark.sql.types.BooleanType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.queries.Entity.q49Dq(spark, dir).collect().toSeq
+}
+
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+VERSIONS\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
   private val DatasetHash =
     """(?is)\s*GRAFT\s+DATASET\s+HASH\s+'([^']+)'\s*;?\s*""".r
+  private val Check =
+    """(?is)\s*GRAFT\s+CHECK\s+'([^']+)'\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, keep)  => GraftVacuumCommand(dir, keep.toInt)
     case DatasetHash(dir)   => GraftDatasetHashCommand(dir)
+    case Check(dir)         => GraftCheckCommand(dir)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -49,6 +49,20 @@ class GraftParserSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
   }
 
+  test("GRAFT CHECK runs the q49 expectation suite through spark.sql") {
+    val viaSql = spark.sql(s"GRAFT CHECK '$sf001'")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.queries.Entity.q49Dq(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === direct)
+    assert(viaSql.nonEmpty)
+    // the suite's pass/fail verdicts ride through SQL unchanged
+    // (q49 includes deliberately-failing probes, so both sides must
+    // agree on the failures, not be failure-free)
+    assert(spark.sql(s"GRAFT CHECK '$sf001'").filter("NOT passed").count()
+      === graft.queries.Entity.q49Dq(spark, sf001).filter("NOT passed").count())
+  }
+
   test("everything else delegates verbatim to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
