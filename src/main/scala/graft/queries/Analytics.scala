@@ -1129,7 +1129,109 @@ object Analytics {
       |SELECT event_type, h, s, s > hh AS alarm
       |FROM r ORDER BY event_type, h""".stripMargin
 
+  // --- Q79: seasonal percentile envelope (hour-of-day anomaly gate) ---------
+  // The seasonality-aware anomaly test the flat fences of q34_outliers
+  // cannot express: 3 AM traffic that would be normal at 3 PM IS the
+  // anomaly. Per (type, hour-of-day), the P10/P90 envelope of the hourly
+  // totals ACROSS DAYS (exact percentile — q20 parity; 120 envelope rows
+  // at any scale), broadcast back onto the hourly series to flag hours
+  // outside their OWN hour-of-day band. Emits the envelope with per-slot
+  // breach counts: integers + picked percentile doubles, never a summed
+  // double — hash-exact. Events reduce map-side to hourly totals first;
+  // the envelope frame is domain-bounded (types × 24).
+  def q79SeasonalEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .withColumn("hod", expr("h % 24"))
+    val env = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(y, 0.1D)").as("p10"),
+        expr("percentile(y, 0.9D)").as("p90"))
+    hourly.join(broadcast(env), Seq("event_type", "hod"))
+      .groupBy(col("event_type"), col("hod"), col("n_days"),
+        col("p10"), col("p90"))
+      .agg(sum(when(col("y") < col("p10"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("y") > col("p90"), 1L).otherwise(0L)).as("n_high"))
+      .select(col("event_type"), col("hod"), col("n_days"), col("p10"),
+        col("p90"), col("n_low"), col("n_high"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val q79SeasonalEnvelopeSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |hh AS (SELECT event_type, h, y, h % 24 AS hod FROM hourly),
+      |env AS (
+      |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_days,
+      |         quantile_cont(y, 0.1) AS p10, quantile_cont(y, 0.9) AS p90
+      |  FROM hh GROUP BY 1, 2)
+      |SELECT hh.event_type, hh.hod, n_days, p10, p90,
+      |       CAST(sum(CASE WHEN y < p10 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_low,
+      |       CAST(sum(CASE WHEN y > p90 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_high
+      |FROM hh JOIN env ON hh.event_type = env.event_type
+      |                AND hh.hod = env.hod
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY hh.event_type, hh.hod""".stripMargin
+
+  // --- Q80: period-over-period rank movers (the "what changed" report) ------
+  // Week-over-week sales-rank shifts per part — the BI staple that turns
+  // two period aggregates into a ranked movers list. Per (part, ISO week):
+  // order count; rank within week by (count DESC, part) — the ordinal
+  // tie-break that makes ranks deterministic; adjacent weeks join on
+  // week+1 and emit rank deltas. Integer throughout, hash-exact. Scale:
+  // the per-week aggregate collapses lineitem to ≤ parts×weeks rows
+  // before any window; the rank windows partition BY WEEK, so each
+  // window's row count is the part catalog, not the fact table.
+  def q80RankMovers(spark: SparkSession, dir: String): DataFrame = {
+    // wk = Monday-aligned SEQUENTIAL epoch-week index ((days+3) div 7 —
+    // 1970-01-01 is a Thursday), so wk+1 is the true next week across
+    // year boundaries, where (year, weekofyear) encodings break
+    val weekly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("part"),
+        expr("CAST((datediff(l_shipdate, DATE '1970-01-01') + 3) div 7 AS BIGINT)")
+          .as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("wk"))
+      .orderBy(col("n").desc, col("part"))
+    val ranked = weekly.withColumn("rk", row_number().over(w).cast("long"))
+    ranked.as("a").join(ranked.as("b"),
+        col("b.part") === col("a.part") && col("b.wk") === col("a.wk") + 1L)
+      .select(col("a.part").as("part"), col("a.wk").as("wk"),
+        col("a.n").as("n_prev"), col("b.n").as("n_next"),
+        col("a.rk").as("rk_prev"), col("b.rk").as("rk_next"),
+        (col("a.rk") - col("b.rk")).as("rank_gain"))
+      .filter(abs(col("rank_gain")) >= 10L)
+      .orderBy(col("wk"), col("rank_gain").desc, col("part"))
+  }
+
+  val q80RankMoversSql: String =
+    """WITH weekly AS (
+      |  SELECT l_partkey AS part,
+      |         CAST((datediff('day', DATE '1970-01-01', l_shipdate) + 3) // 7
+      |           AS BIGINT) AS wk,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT part, wk, n,
+      |         CAST(row_number() OVER (PARTITION BY wk
+      |                ORDER BY n DESC, part) AS BIGINT) AS rk
+      |  FROM weekly)
+      |SELECT a.part, a.wk, a.n AS n_prev, b.n AS n_next,
+      |       a.rk AS rk_prev, b.rk AS rk_next, a.rk - b.rk AS rank_gain
+      |FROM r a JOIN r b ON b.part = a.part AND b.wk = a.wk + 1
+      |WHERE abs(a.rk - b.rk) >= 10
+      |ORDER BY a.wk, rank_gain DESC, a.part""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_seasonal_env" -> (q79SeasonalEnvelope _),
+    "q80_rank_movers"  -> (q80RankMovers _),
     "q77_mad"         -> (q77Mad _),
     "q78_cusum"       -> (q78Cusum _),
     "q71_wau_hll"     -> (q71WauHll _),
@@ -1155,6 +1257,8 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q79_seasonal_env" -> q79SeasonalEnvelopeSql,
+    "q80_rank_movers"  -> q80RankMoversSql,
     "q77_mad"         -> q77MadSql,
     "q78_cusum"       -> q78CusumSql,
     "q70_backtest"    -> q70BacktestSql,

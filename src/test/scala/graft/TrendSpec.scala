@@ -135,6 +135,39 @@ class TrendSpec extends SparkSpec {
     assert(out.drop(50).forall(_._3))
   }
 
+  test("q79: a flat series has a degenerate envelope; a spike breaches it") {
+    // 5 days × 2 slots: constant 2.00, one 10.00 spike at day 2, slot 0
+    val rows = for (d <- 0 until 5; slot <- Seq(0, 1)) yield
+      ("a", d * 24 + slot, if (d == 2 && slot == 0) 10.0 else 2.0)
+    val out = graft.queries.Analytics.q79SeasonalEnvelope(spark, fixture(rows))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    def hod(slot: Int) = (Base / 3600 + slot) % 24 // fixture hour-of-day
+    val flat = out(hod(1))
+    assert(flat.getAs[Double]("p10") === 200.0 &&
+      flat.getAs[Double]("p90") === 200.0)
+    assert(flat.getAs[Long]("n_low") === 0L && flat.getAs[Long]("n_high") === 0L)
+    val spiked = out(hod(0))
+    assert(spiked.getAs[Long]("n_high") === 1L) // the spike exceeds its p90
+    assert(spiked.getAs[Long]("n_low") === 0L)
+  }
+
+  test("q80: a full rank reversal keeps exactly the ±(n−1) movers") {
+    // 12 parts; week 1 counts 13−i, week 2 reversed → only parts 1 and 12
+    // move ≥ 10 ranks (gains −11 / +11)
+    val mon1 = java.time.LocalDate.of(1970, 1, 5) // Monday, epoch-week 1
+    val rows = (for (i <- 1 to 12; c <- 1 to (13 - i)) yield
+      (i.toLong, java.sql.Date.valueOf(mon1))) ++
+      (for (i <- 1 to 12; c <- 1 to i) yield
+        (i.toLong, java.sql.Date.valueOf(mon1.plusDays(7))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_movers").toString
+    rows.toDF("l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Analytics.q80RankMovers(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(6))).toSet
+      === Set((1L, -11L), (12L, 11L)))
+    out.foreach(r => assert(r.getLong(1) === 1L)) // epoch-week index of week 1
+  }
+
   test("q64: a missing hour produces no pair (explicit-gap semantics)") {
     val full = (0 until 30).map(h => ("a", h, 2.0 + (h % 3)))
     val holed = full.filterNot(_._2 == 15)
