@@ -588,7 +588,114 @@ object Entity {
       |    AS r
       |FROM s""".stripMargin
 
+  // --- Q81: association rules (support / confidence / lift) -----------------
+  // The directional complement of q67's symmetric cosine: market-basket
+  // rules a → b with support, confidence = P(b|a), and lift =
+  // P(a,b)/(P(a)P(b)) — the Apriori pair stage as one combining count plus
+  // a broadcast of the per-item totals. Everything is emitted in INTEGER
+  // BASIS POINTS by pinned DIV (q59 discipline): conf_bp = w·10⁴ div nₐ,
+  // lift_bp = w·N·10⁴ div (nₐ·n_b) — w·N ≈ 10¹⁰ at sf0.1 and the products
+  // stay far inside int64 at any co-occurrence scale because w ≤ nₐ ≤ N
+  // and the basket fan-out is bounded; no doubles at all, hash-exact.
+  // Rules thresholded at support ≥ 3 baskets and conf ≥ 8% to keep the
+  // output the actionable head, not the noise tail.
+  def q81AprioriRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nBaskets = op.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
+    val item = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = op.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3L)
+    val directional = pairs.select(col("a"), col("b"), col("w"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+    directional
+      .join(item.select(col("pk").as("a"), col("n_item").as("na")), Seq("a"))
+      .join(item.select(col("pk").as("b"), col("n_item").as("nb")), Seq("b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("w"), col("na"), col("nb"),
+        expr("w * 10000 div na").as("conf_bp"),
+        expr("(w * nn * 10000) div (na * nb)").as("lift_bp"))
+      .filter(col("conf_bp") >= 800L)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q81AprioriRulesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM op),
+      |item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+      |         FROM op GROUP BY 1),
+      |pr AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+      |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |d AS (SELECT a, b, w FROM pr UNION ALL SELECT b, a, w FROM pr)
+      |SELECT d.a, d.b, w, ia.n_item AS na, ib.n_item AS nb,
+      |       w * 10000 // ia.n_item AS conf_bp,
+      |       (w * nb.n * 10000) // (ia.n_item * ib.n_item) AS lift_bp
+      |FROM d JOIN item ia ON d.a = ia.pk JOIN item ib ON d.b = ib.pk
+      |CROSS JOIN nb
+      |WHERE w * 10000 // ia.n_item >= 800
+      |ORDER BY d.a, d.b""".stripMargin
+
+  // --- Q82: Gini concentration (Lorenz inequality per segment) --------------
+  // "How concentrated is revenue across customers, per segment?" — the
+  // inequality statistic behind every 80/20 claim. Exact rank formulation:
+  // with cents yᵢ sorted ascending and rank i within the segment,
+  // G = (2·Σ i·yᵢ − (n+1)·Σ yᵢ) / (n·Σ yᵢ) — ranks from one window per
+  // segment ((bal, custkey) ordinal tie-break ⇒ deterministic), Σ i·yᵢ an
+  // exact BIGINT, products lifted to DECIMAL(38,0) (q63 discipline), ONE
+  // final double division. The window partitions by segment so its size
+  // is the segment's customer count — the q15 windowed-lane posture.
+  def q82Gini(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("y"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("y"), col("c_custkey"))
+    val ranked = c.withColumn("i", row_number().over(w).cast("long"))
+    val s = ranked.groupBy(col("segment")).agg(
+      count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("i") * col("y")).as("siy"))
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D)
+    s.select(col("segment"), col("n"), col("sy"), col("siy"),
+        ((lit(2L).cast(D) * d(col("siy"))
+          - (d(col("n")) + lit(1L).cast(D)) * d(col("sy"))).cast("double")
+          / (d(col("n")) * d(col("sy"))).cast("double")).as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  val q82GiniSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment, c_custkey,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS y
+      |  FROM customer WHERE c_acctbal >= 0),
+      |r AS (
+      |  SELECT segment, y,
+      |         CAST(row_number() OVER (PARTITION BY segment
+      |                ORDER BY y, c_custkey) AS BIGINT) AS i
+      |  FROM c),
+      |s AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(i * y) AS BIGINT) AS siy
+      |  FROM r GROUP BY 1)
+      |SELECT segment, n, sy, siy,
+      |  CAST(2 * CAST(siy AS HUGEINT) - (n + 1) * CAST(sy AS HUGEINT)
+      |       AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * sy AS DOUBLE) AS gini
+      |FROM s ORDER BY segment""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_apriori_rules" -> (q81AprioriRules _),
+    "q82_gini"          -> (q82Gini _),
     "q74_assortativity" -> (q74Assortativity _),
     "q73_kcore"       -> (q73Kcore _),
     "q47_ldiversity"  -> (q47Ldiversity _),
@@ -602,6 +709,8 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_apriori_rules" -> q81AprioriRulesSql,
+    "q82_gini"          -> q82GiniSql,
     "q74_assortativity" -> q74AssortativitySql,
     "q73_kcore"       -> q73KcoreSql,
     "q47_ldiversity"  -> q47LdiversitySql,

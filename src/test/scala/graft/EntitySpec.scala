@@ -64,6 +64,35 @@ class EntitySpec extends SparkSpec {
     assert(out.count(_.getAs[String]("nation") == "*") <= 1)
   }
 
+  test("q81: hand baskets produce exactly the supported, confident rules") {
+    import spark.implicits._
+    // {A,B}×3 + {A,C}: only the A–B pair clears support ≥ 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_rules").toString
+    val rows = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Entity.q81AprioriRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet === Set((1L, 2L), (2L, 1L)))
+    assert(out((1L, 2L)) === ((3L, 7500L, 10000L))) // conf 75%, lift 1.0
+    assert(out((2L, 1L)) === ((3L, 10000L, 10000L))) // conf 100%
+  }
+
+  test("q82: equal balances give Gini 0; total concentration gives (n−1)/n") {
+    import spark.implicits._
+    def giniOf(bals: Seq[Double]): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+      bals.zipWithIndex.map { case (b, i) => (i.toLong, "SEG", b) }
+        .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Entity.q82Gini(spark, dir).head().getAs[Double]("gini")
+    }
+    assert(giniOf(Seq.fill(10)(25.0)) === 0.0)
+    assert(giniOf(Seq.fill(9)(0.0) :+ 1000.0) === 0.9) // (n−1)/n, n = 10
+  }
+
   test("q15_ntile_bins: quartiles balanced within 1 and covering") {
     val out = Entity.q15NtileBins(spark, sf001).collect()
     val total = graft.core.Tables.orders(spark, sf001).count()
