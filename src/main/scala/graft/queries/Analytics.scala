@@ -904,8 +904,8 @@ object Analytics {
     val wau = ud
       .select(explode(expr("sequence(d, date_add(d, 6))")).as("w"),
         col("user_id"))
-      .distinct()
-      .groupBy(col("w")).agg(countDistinct(col("user_id")).as("wau"))
+      .distinct() // (w, user) grain — a plain count per w IS the distinct count
+      .groupBy(col("w")).agg(count(lit(1)).as("wau"))
     val dau = ud.groupBy(col("d").as("w"))
       .agg(count(lit(1)).as("dau"))
     wau.join(dau, Seq("w"), "left")

@@ -693,7 +693,51 @@ object Entity {
       |    / CAST(CAST(n AS HUGEINT) * sy AS DOUBLE) AS gini
       |FROM s ORDER BY segment""".stripMargin
 
+  // --- Q83: degree distribution in power-of-two bins (heavy-tail check) -----
+  // The diagnostic underneath every skew decision in this engine (hot
+  // buckets, salting, degree orientation): IS the degree distribution
+  // heavy-tailed, and how far does the tail reach? Log-binned histogram
+  // with the bin computed INTEGER-EXACTLY as length(bin(d)) − 1 =
+  // ⌊log₂ d⌋ — binary-string length instead of a transcendental log (the
+  // q59 rule; both engines share bin()'s exact semantics on positive
+  // BIGINT). One combining groupBy over the degree table; output rows =
+  // ⌈log₂ max-degree⌉ at ANY scale. A straight-ish line in (bucket,
+  // length(bin(n))) space is the power-law signature; the lane emits the
+  // raw histogram and leaves the eyeballing to the consumer.
+  def q83DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.groupBy(expr("CAST(length(bin(d)) - 1 AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+        sum(col("d")).as("sum_d"))
+      .orderBy(col("bucket"))
+  }
+
+  val q83DegreeDistSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY node)
+      |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_nodes,
+      |       min(d) AS min_d, max(d) AS max_d,
+      |       CAST(sum(d) AS BIGINT) AS sum_d
+      |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_degree_dist"   -> (q83DegreeDist _),
     "q81_apriori_rules" -> (q81AprioriRules _),
     "q82_gini"          -> (q82Gini _),
     "q74_assortativity" -> (q74Assortativity _),
@@ -709,6 +753,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q83_degree_dist"   -> q83DegreeDistSql,
     "q81_apriori_rules" -> q81AprioriRulesSql,
     "q82_gini"          -> q82GiniSql,
     "q74_assortativity" -> q74AssortativitySql,

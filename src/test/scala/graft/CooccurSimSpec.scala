@@ -42,6 +42,18 @@ class CooccurSimSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) === 1.0)) // identical incidence
   }
 
+  test("q83: power-of-two degree buckets are exact (⌊log₂ d⌋ by bin length)") {
+    // hub 0 touches 9 leaves (deg 9 → bucket 3); leaves deg 1 → bucket 0;
+    // separate pair {100,101} adds two more deg-1 nodes
+    val baskets = (1L to 9L).map(leaf => Seq(0L, leaf)) :+ Seq(100L, 101L)
+    val out = graft.queries.Entity.q83DegreeDist(spark, fixture(baskets))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(0L, 3L))
+    assert(out(0L) === ((11L, 1L, 1L, 11L))) // 9 leaves + the pair
+    assert(out(3L) === ((1L, 9L, 9L, 9L)))   // the hub
+  }
+
   test("q74: a star graph is perfectly disassortative (r = −1 exactly)") {
     // closed form: every edge pairs degree n with degree 1 →
     // num = −n²(n−1)², den = n²(n−1)² → r = −1
