@@ -56,7 +56,16 @@ object PageRank {
           dampNum: Long = 85L, dampDen: Long = 100L,
           gateEdges: Long = 4000000L): DataFrame = {
     require(iters >= 0 && r0 > 0 && dampNum > 0 && dampDen > dampNum)
+    // Non-positive weights are dropped BEFORE the strategy gate so both
+    // paths see the identical edge set: singleTask guards contributions
+    // with outw > 0 while the superstep path divides `rank DIV outw`
+    // unguarded — without this filter a w<=0 edge could make the same
+    // input succeed under the gate and NULL-drop (non-ANSI) or raise
+    // DIVIDE_BY_ZERO (ANSI) above it, breaking the one-semantic/two-
+    // strategies contract. After the filter every src with edges has
+    // outw >= 1, so the superstep division is total.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
       .persist()
     try {
       if (e.count() <= gateEdges) singleTask(e, iters, r0, dampNum, dampDen)

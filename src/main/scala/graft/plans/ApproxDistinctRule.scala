@@ -41,12 +41,48 @@ class ApproxDistinctRule extends Rule[LogicalPlan] {
       plan.transform {
         case agg: Aggregate =>
           agg.transformExpressions {
-            case AggregateExpression(Count(Seq(child)), mode, true, filter, resultId) =>
+            case AggregateExpression(Count(Seq(child)), mode, true, filter, resultId)
+                // Post-analysis rewrites skip re-analysis, so the swapped
+                // aggregate's own checks never re-run — and HLL++'s
+                // checkInputDataTypes accepts EVERYTHING (probed: even
+                // VariantType passes it), while its per-row xxhash64
+                // update throws for types the interpreted hash cannot
+                // walk. Unguarded, COUNT(DISTINCT v) over a variant
+                // column analyzes fine with the flag on and then dies in
+                // the executor with an opaque task failure. Guard with a
+                // recursive hashability check and leave unsupported
+                // counts exact — the flag is an optimization policy, not
+                // a semantics change.
+                if ApproxDistinctRule.hashable(child.dataType) =>
               AggregateExpression(
                 HyperLogLogPlusPlus(child = child, relativeSD = rsd),
                 mode, isDistinct = false, filter, resultId)
           }
       }
     }
+  }
+}
+
+object ApproxDistinctRule {
+  import org.apache.spark.sql.types._
+
+  /** Types the HLL++ per-row update (interpreted xxhash64) can actually
+    * walk. Mirrors InterpretedHashFunction's structural recursion: atomic
+    * types, intervals, and containers of hashable element types hash;
+    * VariantType (and any future opaque type) does not — it is the
+    * measured executor-side failure the rule must not plan into. */
+  private[plans] def hashable(dt: DataType): Boolean = dt match {
+    case _: VariantType => false
+    case ArrayType(et, _) => hashable(et)
+    case MapType(kt, vt, _) => hashable(kt) && hashable(vt)
+    case StructType(fields) => fields.forall(f => hashable(f.dataType))
+    case udt: UserDefinedType[_] => hashable(udt.sqlType)
+    case NullType | CalendarIntervalType => true
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | BinaryType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType | _: StringType | _: CharType | _: VarcharType => true
+    case _ => false
   }
 }

@@ -19,10 +19,19 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *
   * → [[GraftVacuumCommand]] → `StreamingJobs.vacuumVersions(dir, n)`,
   * returning one `deleted_version` row per removed version. Everything
-  * that is not this statement delegates verbatim to the session's parser
-  * — stock SQL (and its error messages) are untouched, and the keepLast
-  * floor (≥ 2, the replay-base invariant) is enforced by the operator,
-  * surfacing through SQL like any command error. */
+  * that does not start with the GRAFT keyword delegates verbatim to the
+  * session's parser — stock SQL (and its error messages) are untouched.
+  *
+  * Trust model: the statement hands any SQL client a recursive delete,
+  * so the guards live in the OPERATOR, exactly like the keepLast ≥ 2
+  * floor — `vacuumVersions` refuses a target that does not carry the
+  * committer's `_graft_version_store` marker (or, legacy, a well-formed
+  * parquet `v=N` dir), so a path typo or hostile argument cannot destroy
+  * a directory with coincidental `v=N` children; deletion runs under the
+  * store's commit lock. A GRAFT-prefixed statement that matches no verb
+  * (including paths with embedded single quotes, which the '...' literal
+  * cannot carry) fails HERE with the grammar spelled out, instead of
+  * falling through to the delegate's confusing generic error. */
 case class GraftVacuumCommand(dir: String, keep: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_version", LongType, nullable = false)())
@@ -75,6 +84,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Vacuum(dir, keep)  => GraftVacuumCommand(dir, keep.toInt)
     case DatasetHash(dir)   => GraftDatasetHashCommand(dir)
     case Check(dir)         => GraftCheckCommand(dir)
+    case s if s.trim.toUpperCase(java.util.Locale.ROOT).startsWith("GRAFT") =>
+      throw new IllegalArgumentException(
+        "malformed GRAFT statement — expected one of:\n" +
+          "  GRAFT VACUUM VERSIONS '<dir>' KEEP <n>\n" +
+          "  GRAFT DATASET HASH '<dir>'\n" +
+          "  GRAFT CHECK '<dir>'\n" +
+          "(paths are '...' literals and cannot contain single quotes); got: " +
+          s.trim.take(120))
     case _ => delegate.parsePlan(sqlText)
   }
 

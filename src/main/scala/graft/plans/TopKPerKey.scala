@@ -30,8 +30,25 @@ import scala.collection.mutable
   * in a bounded heap (the map-side combine), so the exchange moves at most
   * k·distinct-keys-per-partition rows — for clustered or low-cardinality
   * data orders of magnitude under the window plan — and no full sort ever
-  * happens (heap cost n·log k). Memory is k rows per live key per task,
-  * the same envelope as any hash aggregate at the same grouping.
+  * happens (heap cost n·log k).
+  *
+  * Memory contract (the 100 TB question). A hash aggregate falls back to
+  * sort-based spilling when its map outgrows memory; this operator's
+  * equivalent escape hatch uses the SEMIGROUP property of top-k instead:
+  * when the PARTIAL phase's map exceeds
+  * `spark.graft.topk.maxBufferedKeys` (default 262144) live keys, it
+  * EMITS every buffered row and resets the map — sound because the final
+  * phase re-reduces any number of candidate sets per key back to exactly
+  * k (topk(topk(A) ∪ topk(B)) = topk(A ∪ B)); worst case (adversarially
+  * interleaved keys) degrades throughput toward a plain shuffle of the
+  * input, never memory. The FINAL phase cannot flush (two flushes of one
+  * key would emit up to 2k rows), but its live map is exactly the
+  * operator's OUTPUT for the partition — k rows per key resident in that
+  * partition — i.e. the same working set the window-rank plan's sorted
+  * partition holds, minus the non-retained rows; a final partition whose
+  * OUTPUT outgrows task memory needs more shuffle partitions, the same
+  * remedy as any aggregate. `numFlushes` in the node's SQL metrics counts
+  * partial-phase resets so the degradation is observable in the UI.
   *
   * Pieces, the full custom-operator stack:
   *  - [[TopKPerKey]]      — logical `UnaryNode`; unresolved attributes are
@@ -99,22 +116,38 @@ case class TopKPerKeyExec(
   override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "partial-phase map flushes"))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val numFlushes = longMetric("numFlushes")
     val (kLocal, groupingLocal, orderLocal, attrs) = (k, grouping, order, child.output)
+    // Spill-equivalent escape hatch: cap on LIVE keys in the partial map,
+    // read at plan time (executor-side code must not touch SQLConf).
+    val maxKeys: Int =
+      if (partial)
+        conf.getConfString("spark.graft.topk.maxBufferedKeys", "262144").toInt
+      else Int.MaxValue // final phase holds its own output; see class doc
+    require(maxKeys > 0, s"spark.graft.topk.maxBufferedKeys must be positive, got $maxKeys")
     child.execute().mapPartitions({ iter =>
       // Codegen'd comparator + key projection are built ON the executor —
       // generated classes are not serializable.
       val keyProj = UnsafeProjection.create(groupingLocal, attrs)
       val rowOrd: Ordering[InternalRow] = GenerateOrdering.generate(orderLocal, attrs)
+      // Outer iterator of flush batches: consume input until the map is
+      // over the key cap (partial phase only) or the input is exhausted,
+      // emit the buffered rows, reset, repeat. Each batch is a valid
+      // partial top-k; the final phase re-reduces overlapping keys.
       val heaps = new java.util.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
+      // Inserts `row`; returns false (leaving the row UNCONSUMED in effect —
+      // caller must re-offer it after draining) only when the row's key is
+      // new AND the map is at the cap. Rows of already-live keys never
+      // trigger a flush: they cannot grow the map.
+      def offer(row: InternalRow, key: UnsafeRow): Boolean = {
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxKeys) return false
           heap = mutable.PriorityQueue.empty[InternalRow](rowOrd) // max-heap: head sorts LAST
           heaps.put(key.copy(), heap)
         }
@@ -123,20 +156,35 @@ case class TopKPerKeyExec(
           heap.dequeue()
           heap.enqueue(row.copy())
         }
+        true
       }
-      val groups = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && groups.hasNext) current = groups.next().iterator
-          current.hasNext
-        }
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException("empty top-k iterator")
-          numOutputRows += 1
-          current.next()
+      def drainBatch(): Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        // snapshot values then clear: the emitted iterator must not alias
+        // the live map the next batch refills
+        val rows = heaps.values().asScala.toArray
+        heaps.clear()
+        rows.iterator.flatMap(_.iterator)
+      }
+      val batches = new Iterator[Iterator[InternalRow]] {
+        private var done = false
+        override def hasNext: Boolean = !done
+        override def next(): Iterator[InternalRow] = {
+          while (iter.hasNext) {
+            val row = iter.next()
+            if (!offer(row, keyProj(row))) {
+              // flush, then the rejected row seeds the next batch's map
+              val out = drainBatch()
+              numFlushes += 1
+              offer(row, keyProj(row))
+              return out
+            }
+          }
+          done = true
+          drainBatch()
         }
       }
+      batches.flatten.map { row => numOutputRows += 1; row }
     }, preservesPartitioning = true)
   }
 

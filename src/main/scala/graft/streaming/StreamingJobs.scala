@@ -257,9 +257,16 @@ object StreamingJobs {
     * survives); a transactional table format's MERGE subsumes the scheme
     * when one is available. Scale shape: identical to batch q45 — one shuffle per side
     * on the key, the change batch broadcastable when small. */
-  def applyCdcBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit = {
+  def applyCdcBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit =
+    applyCdcBatchGuarded(batch, targetDir, batchId)
+
+  /** [[applyCdcBatch]] with the [[VersionStore.commitVersion]] test seam
+    * exposed — ConcurrentWriterSpec interleaves a rival writer inside the
+    * commit critical section to prove conflict detection. */
+  def applyCdcBatchGuarded(batch: DataFrame, targetDir: String, batchId: Long,
+                           beforeCommitCheck: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
-    val base = listVersions(targetDir).filter(_ < batchId).sorted.lastOption
+    val base = VersionStore.latestBelow(targetDir, batchId)
     val target = base match {
       case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
       case None =>
@@ -268,17 +275,13 @@ object StreamingJobs {
           StructType(Seq(StructField("o_orderkey", LongType),
             StructField("price", DoubleType), StructField("status", StringType))))
     }
-    graft.queries.Relational3.applyChanges(target, batch)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$targetDir/v=$batchId")
+    VersionStore.commitVersion(
+      graft.queries.Relational3.applyChanges(target, batch),
+      targetDir, batchId, base, beforeCommitCheck)
   }
 
-  def listVersions(targetDir: String): Seq[Long] = {
-    val d = new java.io.File(targetDir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles.toSeq.filter(_.isDirectory).map(_.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
-  }
+  def listVersions(targetDir: String): Seq[Long] =
+    VersionStore.listVersions(targetDir)
 
   /** Q51 twin: LIVE incident detection. The batch lane
     * (Analytics.incidentWindows) derives its threshold from the full
@@ -338,19 +341,33 @@ object StreamingJobs {
     * table. (keepLast = 1 would be safe only after the checkpoint commits
     * the last batch, a race this API refuses to encode.) Vacuum itself is
     * crash-tolerant: deletion is oldest-first and a torn run leaves only
-    * extra versions, never a missing base — re-running finishes the job. */
+    * extra versions, never a missing base — re-running finishes the job.
+    *
+    * Safety gates (the `GRAFT VACUUM VERSIONS` SQL verb hands any client
+    * this recursive delete, so the trust model lives HERE, not in the
+    * parser): the target must actually look like a graft version store —
+    * carry the committer's `_graft_version_store` marker, or (hand-built
+    * legacy stores) hold at least one well-formed `v=N` dir with parquet
+    * contents — otherwise the call refuses loudly; a directory with
+    * coincidental `v=N` children is never silently destroyed. Deletion
+    * runs under the store's commit lock so a vacuum cannot interleave
+    * with a writer's recheck+publish. */
   def vacuumVersions(targetDir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 2,
       s"keepLast must be >= 2 (latest version + its replay base), got $keepLast")
-    val doomed = listVersions(targetDir).sorted.dropRight(keepLast)
-    doomed.foreach { v =>
-      val root = java.nio.file.Paths.get(s"$targetDir/v=$v")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount) // children before parents
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    if (!new java.io.File(targetDir).isDirectory) return Seq.empty
+    val versions = VersionStore.listVersions(targetDir)
+    if (versions.isEmpty) return Seq.empty
+    if (!VersionStore.looksLikeStore(targetDir))
+      throw new IllegalStateException(
+        s"vacuumVersions: '$targetDir' does not look like a graft version store " +
+          s"(no ${VersionStore.MarkerName} marker and no v=N dir with parquet " +
+          "contents) — refusing to delete anything under it")
+    VersionStore.withLock(targetDir) {
+      val doomed = versions.sorted.dropRight(keepLast)
+      doomed.foreach(v => VersionStore.deleteRecursively(s"$targetDir/v=$v"))
+      doomed
     }
-    doomed
   }
 
   def cdcApply(changes: DataFrame, targetDir: String)
@@ -380,7 +397,7 @@ object StreamingJobs {
       .groupBy(expr("rh % 256").as("bucket"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"),
         sum(expr("rh % 2147483648")).as("s"))
-    val base = listVersions(targetDir).filter(_ < batchId).sorted.lastOption
+    val base = VersionStore.latestBelow(targetDir, batchId)
     val merged = base match {
       case Some(v) =>
         spark.read.parquet(s"$targetDir/v=$v").alias("b")
@@ -392,8 +409,7 @@ object StreamingJobs {
             (coalesce(col("b.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"))
       case None => delta
     }
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$targetDir/v=$batchId")
+    VersionStore.commitVersion(merged, targetDir, batchId, base)
   }
 
   def fingerprintMaintain(rows: DataFrame, keyHashExpr: String, targetDir: String)
@@ -419,7 +435,7 @@ object StreamingJobs {
                             batchId: Long): Unit = {
     val spark = batch.sparkSession
     val delta = graft.queries.Evaluation.calibrationDelta(batch)
-    val base = listVersions(targetDir).filter(_ < batchId).sorted.lastOption
+    val base = VersionStore.latestBelow(targetDir, batchId)
     val merged = base match {
       case Some(v) =>
         spark.read.parquet(s"$targetDir/v=$v").alias("b")
@@ -430,8 +446,7 @@ object StreamingJobs {
             (coalesce(col("b.sum_y"), lit(0L)) + coalesce(col("d.sum_y"), lit(0L))).as("sum_y"))
       case None => delta
     }
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$targetDir/v=$batchId")
+    VersionStore.commitVersion(merged, targetDir, batchId, base)
   }
 
   def calibrationMaintain(rows: DataFrame, targetDir: String)

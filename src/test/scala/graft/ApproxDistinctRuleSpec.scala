@@ -44,6 +44,33 @@ class ApproxDistinctRuleSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.approxDistinct", "false")
   }
 
+  test("types HLL++ cannot hash stay exact instead of dying in the executor") {
+    // The post-analysis rewrite skips re-analysis and HLL++'s own
+    // checkInputDataTypes accepts everything (probed) — but its per-row
+    // xxhash64 update throws on VariantType. Unguarded, the swapped
+    // COUNT(DISTINCT v) analyzes fine and dies at execution with an
+    // opaque task failure; the rule's hashability guard leaves it exact.
+    spark.conf.set("spark.graft.approxDistinct", "true")
+    try {
+      val df = ev.select(parse_json(
+          concat(lit("""{"t":""""), col("event_type"), lit("\"}"))).as("v"))
+        .select(count_distinct(col("v")).as("n"))
+      val opt = df.queryExecution.optimizedPlan.toString()
+      // plan-only assertion: stock Spark's EXACT count(distinct variant)
+      // also fails at runtime (the distinct shuffle cannot hash
+      // VariantVal) — the rule's contract is that the flag CHANGES
+      // NOTHING for unhashable types, not that it repairs stock Spark
+      assert(opt.contains("count(distinct"), s"variant count was rewritten:\n$opt")
+      // precision check: types the hash CAN walk still rewrite (maps hash
+      // fine in Spark 4 — the guard must not over-block)
+      val mapDf = ev.select(map(col("event_type"), col("user_id")).as("m"))
+        .select(count_distinct(col("m")).as("n"))
+      val mopt = mapDf.queryExecution.optimizedPlan.toString()
+      assert(mopt.contains("approx_count_distinct"), s"map count not rewritten:\n$mopt")
+      assert(mapDf.head().getLong(0) > 0)
+    } finally spark.conf.set("spark.graft.approxDistinct", "false")
+  }
+
   test("multi-argument COUNT(DISTINCT a, b) is out of scope and stays exact") {
     spark.conf.set("spark.graft.approxDistinct", "true")
     try {

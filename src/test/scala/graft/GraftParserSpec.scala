@@ -66,7 +66,32 @@ class GraftParserSpec extends SparkSpec {
   test("everything else delegates verbatim to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SELEKT 1")
+    }
+  }
+
+  test("a malformed GRAFT statement fails with the grammar, not a delegate error") {
+    val e = intercept[IllegalArgumentException] {
       spark.sql("GRAFT VACUUM nonsense")
     }
+    assert(e.getMessage.contains("GRAFT VACUUM VERSIONS"))
+    assert(e.getMessage.contains("malformed GRAFT statement"))
+  }
+
+  test("VACUUM refuses a directory that is not a graft version store") {
+    // coincidental v=N children with non-parquet contents and no marker:
+    // the round-9 review's "silently destroyed" scenario must now refuse
+    val dir = java.nio.file.Files.createTempDirectory("graft_notstore").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v=1"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v=2"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v=3"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v=1/precious.txt"),
+      "not yours".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"GRAFT VACUUM VERSIONS '$dir' KEEP 2").collect()
+    }
+    assert(e.getMessage.contains("does not look like a graft version store"))
+    assert(new java.io.File(s"$dir/v=1/precious.txt").isFile,
+      "refusal must leave the directory untouched")
   }
 }

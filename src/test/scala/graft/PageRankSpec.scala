@@ -48,6 +48,25 @@ class PageRankSpec extends SparkSpec {
     assert(got("b") > got("c"))
   }
 
+  test("non-positive weights are dropped BEFORE the gate: both strategies agree") {
+    // w<=0 edges used to diverge across the gate (singleTask guarded
+    // outw>0; the superstep division did not — NULL-drop or ANSI
+    // DIVIDE_BY_ZERO above the gate). They are now filtered in run()
+    // so the same input yields identical ranks under either strategy,
+    // equal to the replica over the positive-weight edge subset.
+    val g = Seq(("a", "b", 1L), ("b", "a", 1L),
+      ("z", "a", 0L), ("a", "z", -3L), ("b", "z", 0L))
+    val kept = g.filter(_._3 > 0)
+    val fused = graft.core.PageRank.run(g.toDF("src", "dst", "w"), 5, 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = graft.core.PageRank.run(g.toDF("src", "dst", "w"), 5, 1000000L,
+        gateEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fused === dist, "strategies diverged on w<=0 edges")
+    assert(fused === replica(kept, 5, 1000000L))
+    assert(!fused.contains("z"), "a node reachable only via dropped edges has no rank row")
+  }
+
   test("gate boundary: distributed supersteps ≡ fused single task") {
     // force the >gate path on the hand graphs (gateEdges = 0) and compare
     // with the default single-task path — same integer recurrence, so the

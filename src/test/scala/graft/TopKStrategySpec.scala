@@ -113,6 +113,31 @@ class TopKStrategySpec extends SparkSpec {
     assert(custom.intersect(Set(5L, 7L)) == Set(5L, 7L), "null key group must survive")
   }
 
+  test("partial-phase key-cap flush keeps results exact (semigroup fallback)") {
+    // Cap the partial map at 4 live keys over ~1500 orders / hundreds of
+    // customers: the map flushes dozens of times per partition, the final
+    // phase re-reduces the overlapping candidate sets — results must stay
+    // row-identical to the unbounded run AND the window twin. This is the
+    // operator's spill-equivalent escape hatch: memory stays O(cap·k)
+    // regardless of key cardinality (the round-9 review's OOM scenario).
+    val run = () => GraftPlans.topKPerKey(
+      orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val unbounded = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.topk.maxBufferedKeys", "4")
+    try {
+      val capped = run()
+      val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == unbounded,
+        s"diff: missing=${unbounded -- got} extra=${got -- unbounded}")
+      val nodes = collectPhysical(capped.queryExecution.executedPlan)
+      val partial = nodes.collect { case t: TopKPerKeyExec if t.partial => t }.head
+      assert(partial.metrics("numFlushes").value > 0,
+        "cap=4 over hundreds of keys must have flushed at least once")
+      // degradation bound: flushing can at most forward every input row
+      assert(partial.metrics("numOutputRows").value <= orders.count())
+    } finally spark.conf.unset("spark.graft.topk.maxBufferedKeys")
+  }
+
   test("composes downstream: aggregate over the custom node") {
     val df = GraftPlans.topKPerKey(
         orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
