@@ -24,10 +24,14 @@ object IngestTime {
     val n = ev.count()
     val width = graft.core.ApiLimitCalculator.writeWidth(
       n, spark.sparkContext.defaultParallelism)
-    // warm both paths once (codegen + writer-class init, Bench parity)
-    graft.ingest.Ingest.writeBronze(ev.limit(1000), s"$outRoot/warm", tsCol = "ts",
-      granularity = "day")
+    // warm both paths once at FULL size (codegen + writer-class init + the
+    // real task/commit shape — a 1000-row warmup leaves the full-width
+    // commit path cold, visible as slow first reps)
+    graft.ingest.Ingest.writeBronze(ev, s"$outRoot/warm", tsCol = "ts",
+      granularity = "day", writeTasks = Some(width))
+    val perRepWrites = sys.env.getOrElse("SPARK_GRAFT_INGEST_WRITES", "1").toInt
     (0 until reps).foreach { rep =>
+      System.gc()
       // Phase A: normalize + day-partition columns + width repartition,
       // terminated by a noop sink — everything writeBronze does BEFORE
       // the parquet writer sees a row.
@@ -39,19 +43,26 @@ object IngestTime {
         .write.mode("overwrite").format("noop").save()
       val tNoop = (System.nanoTime() - t0) / 1e9
       // Phase A+B: the real thing — parquet encode, per-task commit,
-      // dynamic partition dirs, driver job commit.
+      // dynamic partition dirs, driver job commit. perRepWrites > 1 widens
+      // the timed region over several consecutive writes so sub-second
+      // fixed-cost jitter (job submit, commit renames, GC pauses) amortizes.
       val t1 = System.nanoTime()
-      graft.ingest.Ingest.writeBronze(ev, s"$outRoot/b$rep", tsCol = "ts",
-        granularity = "day", writeTasks = Some(width))
+      (0 until perRepWrites).foreach { w =>
+        graft.ingest.Ingest.writeBronze(ev, s"$outRoot/b${rep}_$w", tsCol = "ts",
+          granularity = "day", writeTasks = Some(width))
+      }
       val tFull = (System.nanoTime() - t1) / 1e9
       println(f"[ingesttime] rep$rep noop=$tNoop%.2fs full=$tFull%.2fs " +
-        f"write_side=${tFull - tNoop}%.2fs rows_per_s=${n / tFull}%.0f")
+        f"write_side=${tFull - tNoop * perRepWrites}%.2fs " +
+        f"rows_per_s=${n.toDouble * perRepWrites / tFull}%.0f")
       // delete outside the timed region, like Bench
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$outRoot/b$rep"))
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        (0 until perRepWrites).foreach { w =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(s"$outRoot/b${rep}_$w"))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
       } catch { case _: Throwable => () }
     }
     spark.stop()
