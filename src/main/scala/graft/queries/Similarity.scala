@@ -696,11 +696,15 @@ object Similarity {
   private def bucketDuck(v: String): String =
     (0 until HP).map(j => s"(CASE WHEN (${hpDotDuck(j, v)}) > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
 
+  /** Sign-bit bucket of the HP random hyperplanes over `embedding` — ONE
+    * definition shared by q25_ann_bucket and the sampled recall audit. */
+  private def annBucketCol: Column = (0 until HP)
+    .map(j => when(dot(col("embedding"), typedlit(hyperplane(j))) > 0d, lit(1 << j)).otherwise(lit(0)))
+    .reduce(_ + _)
+
   def q25AnnBucket(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bucketCol = (0 until HP)
-      .map(j => when(dot(col("embedding"), typedlit(hyperplane(j))) > 0d, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
+    val bucketCol = annBucketCol
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketCol.cast("int"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -1807,7 +1811,127 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --- Q24s/Q25s: SAMPLED-MODE audits for the exact O(n²) baselines --------
+  // The brute-force lanes (q24_jaccard_pairs, q25_embed_neardup) are the
+  // recall/error anchors for the banded/bucketed scale paths — but they are
+  // the two lanes that CANNOT run at the scale they audit (r9 128×
+  // rehearsal: jaccard hit the single-node scratch ceiling; embed_neardup
+  // is a CartesianProduct by design). These twins run the identical exact
+  // arithmetic on a DETERMINISTIC HASH SAMPLE whose size is scale-INVARIANT:
+  // rate = max(1, n div target), membership = h60(id) % rate == 0 (the q33
+  // sampling discipline — pure function of the data, reproducible across
+  // engines and cluster topologies). At any corpus size the subset is
+  // ~target rows, so the exact O(s²) audit work is CONSTANT while the
+  // audited approximation (banding / hyperplane buckets) is evaluated on
+  // the same subset — per-pair verdicts: exact score + did-the-approx-path
+  // see it. The corpus count rides in as a broadcast one-row frame (the
+  // TF-IDF discipline), never a driver scalar.
+  private val SampleTargetDocs = 1024L
+  private val SampleTargetVecs = 512L
+
+  /** `table` filtered to the scale-invariant sample on `idCol`. */
+  private def hashSampled(table: DataFrame, idCol: String, target: Long): DataFrame = {
+    val nF = table.agg(count(lit(1)).cast("long").as("__n"))
+    table.crossJoin(broadcast(nF))
+      .filter(expr(s"${h60(s"CAST($idCol AS STRING)")} % " +
+        s"greatest(CAST(1 AS BIGINT), __n div ${target}L)") === 0L)
+      .drop("__n")
+  }
+
+  /** Exact Jaccard pairs (the q24_jaccard_pairs arithmetic) within the doc
+    * sample, each pair flagged with whether MinHash banding (the
+    * q24_lsh_pairs candidate generator, same bandKeysOf definition) would
+    * have surfaced it — banded=0 rows are the banding recall deficit,
+    * measurable at ANY corpus size for ~target² bounded work. The pair join
+    * broadcasts one side: the sample is ≤ ~target rows by construction. */
+  def q24JaccardSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = shingledFrame(hashSampled(Tables.documents(spark, dir), "doc_id", SampleTargetDocs))
+      .select(col("doc_id"), col("lang"), col("sh")).persist()
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    val exact = a.join(broadcast(b),
+        col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
+    val bands = bandKeysOf(d)
+    val cand = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(broadcast(bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_b"))), Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("__hit", lit(1))
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("banded", coalesce(col("__hit"), lit(0)).cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"), col("banded"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q24JaccardSampleSql: String = {
+    val sampleRate = s"greatest(1, (SELECT count(*) FROM documents) // $SampleTargetDocs)"
+    val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
+      "/ CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents
+       |           WHERE ${h60d("doc_id::VARCHAR")} % ($sampleRate) = 0),
+       |d AS (SELECT doc_id, lang, $shinglesDuck AS sh FROM t WHERE len(toks) >= 3),
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM keys x JOIN keys y
+       |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang, $jac AS jaccard,
+       |       CAST(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INT) AS banded
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |LEFT JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+       |WHERE $jac >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact brute-force top-20 cosine pairs (the q25_embed_neardup
+    * arithmetic) within the vector sample, each pair flagged with whether
+    * the random-hyperplane bucketing (q25_ann_bucket's annBucketCol — one
+    * definition) co-buckets it — the ANN recall audit at any corpus size. */
+  def q25EmbedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = hashSampled(Tables.embeddings(spark, dir), "vec_id", SampleTargetVecs)
+      .withColumn("bucket", annBucketCol.cast("int"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket").as("ba"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("same_bucket", (col("ba") === col("bb")).cast("int"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("same_bucket"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val q25EmbedSampleSql: String = {
+    val sampleRate = s"greatest(1, (SELECT count(*) FROM embeddings) // $SampleTargetVecs)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${normDuck("embedding")}) AS nrm,
+       |                  ${bucketDuck("embedding")} AS bucket
+       |           FROM embeddings
+       |           WHERE ${h60d("vec_id::VARCHAR")} % ($sampleRate) = 0)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
+       |       CAST(CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS INT) AS same_bucket
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_jaccard_sample" -> (q24JaccardSample _),
+    "q25_embed_sample"  -> (q25EmbedSample _),
     "q56_jl_project"    -> (q56JlProject _),
     "q25_pq_adc"        -> (q25PqAdc _), // rows-only: iterative driver-held Lloyd codebooks (see scaladoc)
     "q25_kmeans"        -> (q25Kmeans _), // rows-only: iterative + order-dependent float sums (see scaladoc)
@@ -1835,6 +1959,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q24_jaccard_sample" -> q24JaccardSampleSql,
+    "q25_embed_sample"  -> q25EmbedSampleSql,
     "q56_jl_project"    -> q56JlProjectSql,
     "q26_incr_neardup"  -> q26IncrNeardupSql,
     "q29_neardup_batch" -> q29NeardupBatchSql,
