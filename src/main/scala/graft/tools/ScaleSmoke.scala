@@ -28,7 +28,8 @@ object ScaleSmoke {
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
       new java.io.File(s"$out/events.parquet/_SUCCESS").exists() &&
       new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists() &&
-      new java.io.File(s"$out/customer.parquet/_SUCCESS").exists()
+      new java.io.File(s"$out/customer.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$out/supplier.parquet/_SUCCESS").exists()
     if (!reuse) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
@@ -80,6 +81,19 @@ object ScaleSmoke {
         .withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/part.parquet")
+    // supplier with the SAME suppkey offset as lineitem — FK-consistent
+    // (r10: the full-lane sweep needs every table present in the widened dir)
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+    (0 until copies).map(i => sup
+        .withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // nation/region: fixed dimension vocabularies — copied as-is (scaling
+    // them would break the FK domain nationkey/regionkey live in)
+    spark.read.parquet(s"$sf/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    spark.read.parquet(s"$sf/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
     }
     println(s"[scale$copies] corpus ${if (reuse) "reused" else "ready"}: " +
       s"${spark.read.parquet(s"$out/documents.parquet").count()} docs (${copies}x)")

@@ -1,0 +1,88 @@
+package graft.tools
+
+/** Dev-only FULL-LANE scale sweep (r9 verdict task 3): run EVERY
+  * `SparkEntry.queries` lane against a `copies`×-widened corpus (the
+  * ScaleSmoke self-union build, all 10 tables) and record warm
+  * full-materialization wall time per lane — one line per lane, parseable,
+  * so a 1× run and a 32× run diff into a per-lane scale-exponent table
+  * (time(32×)/time(1×)) for PLANS.md.
+  *
+  * Timing = noop-sink materialization (the round-10 gated bench metric);
+  * rep0 pays codegen, rep1 is the reported warm number. A per-lane
+  * watchdog cancels the lane's job group after SPARK_GRAFT_SWEEP_TIMEOUT
+  * seconds (default 240) and records status=timeout — the documented-O(n²)
+  * audit baselines are EXPECTED to trip it at 32×; that is the finding,
+  * not a sweep failure.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SCALE_COPIES=32 SPARK_GRAFT_SCALE_REUSE=1 \
+  *     sbt "runMain graft.tools.SweepScale [lanePrefix,...]"
+  * The corpus must already exist (run ScaleSmoke first, or any lane list —
+  * the build step is shared); args restrict lanes by prefix for chunked runs.
+  */
+object SweepScale {
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "8").toInt
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TIMEOUT", "240").toInt
+    val out = s"/tmp/graft_scale$copies"
+    require(new java.io.File(s"$out/documents.parquet/_SUCCESS").exists(),
+      s"corpus $out missing — run ScaleSmoke with SPARK_GRAFT_SCALE_COPIES=$copies first")
+    val spark = graft.GraftSession.build()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val only = args.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+    val lanes = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    println(s"[sweep$copies] ${lanes.size} lanes, timeout ${timeoutSec}s, corpus $out")
+
+    lanes.foreach { case (name, fn) =>
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // watchdog: repeated cancel — a lane with a driver-side loop submits
+      // NEW jobs into the same group after a one-shot cancel, so keep
+      // cancelling until the lane's thread exits the timed region
+      val watchdog = new Thread(() => {
+        val deadline = System.nanoTime() + timeoutSec * 1000000000L
+        while (!done.get() && System.nanoTime() < deadline)
+          Thread.sleep(250)
+        while (!done.get()) {
+          cancelled.set(true)
+          spark.sparkContext.cancelJobGroup(s"sweep-$name")
+          Thread.sleep(2000)
+        }
+      })
+      watchdog.setDaemon(true)
+      def onePass(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, out).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(if (cancelled.get()) "timeout"
+                 else s"error:${e.getClass.getSimpleName}")
+        }
+      }
+      spark.sparkContext.setJobGroup(s"sweep-$name", name, interruptOnCancel = true)
+      watchdog.start()
+      val r0 = onePass()
+      val r1 = if (r0.isRight && !cancelled.get()) onePass() else r0
+      done.set(true)
+      spark.sparkContext.clearJobGroup()
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+      } catch { case _: Throwable => () }
+      val (status, cold, warm) = (r0, r1) match {
+        case (Right(a), Right(b)) => ("ok", f"$a%.2f", f"$b%.2f")
+        case (Right(a), Left(s))  => (s, f"$a%.2f", "-1")
+        case (Left(s), _)         => (s, "-1", "-1")
+      }
+      println(s"[sweep$copies] lane=$name status=$status cold=$cold warm=$warm")
+      Console.out.flush()
+    }
+    spark.stop()
+  }
+}
