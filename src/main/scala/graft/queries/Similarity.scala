@@ -1850,8 +1850,13 @@ object Similarity {
       .select(col("doc_id"), col("lang"), col("sh")).persist()
     val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    // size-ratio prune inside the join condition (exactness-preserving —
+    // the q24_jaccard_pairs identity J ≤ min/max): pairs that cannot reach
+    // 0.3 never pay the set intersection
     val exact = a.join(broadcast(b),
-        col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+            lit(0.3) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
