@@ -35,17 +35,30 @@ import scala.collection.mutable
   * Memory contract (the 100 TB question). A hash aggregate falls back to
   * sort-based spilling when its map outgrows memory; this operator's
   * equivalent escape hatch uses the SEMIGROUP property of top-k instead:
-  * when the PARTIAL phase's map exceeds
-  * `spark.graft.topk.maxBufferedKeys` (default 262144) live keys, it
-  * EMITS every buffered row and resets the map — sound because the final
-  * phase re-reduces any number of candidate sets per key back to exactly
-  * k (topk(topk(A) ∪ topk(B)) = topk(A ∪ B)); worst case (adversarially
+  * under memory pressure the PARTIAL phase EMITS every buffered row and
+  * resets the map — sound because the final phase re-reduces any number
+  * of candidate sets per key back to exactly k
+  * (topk(topk(A) ∪ topk(B)) = topk(A ∪ B)); worst case (adversarially
   * interleaved keys) degrades throughput toward a plain shuffle of the
-  * input, never memory. The FINAL phase cannot flush (two flushes of one
-  * key would emit up to 2k rows), but its live map is exactly the
-  * operator's OUTPUT for the partition — k rows per key resident in that
-  * partition — i.e. the same working set the window-rank plan's sorted
-  * partition holds, minus the non-retained rows; a final partition whose
+  * input, never memory. "Pressure" is measured, not guessed: the buffer's
+  * estimated bytes (UnsafeRow payloads + JVM object overheads) are
+  * RESERVED from the task's `TaskMemoryManager` through a bookkeeping
+  * [[org.apache.spark.graftshim.TaskMemoryShim.QuotaConsumer]], so the
+  * flush threshold is the task's fair share of unified execution memory —
+  * 32 concurrent tasks on an 8 GiB heap flush at ~1/32nd of the pool each
+  * (the r10 32×-sweep OOM that motivated this: a fixed 256 k-KEY cap let
+  * 32 tasks × ~100 MB of per-key heap overhead outgrow the heap), and a
+  * failed acquire by ANY consumer in the task pressures the others to
+  * spill first. Two hard caps remain as deterministic backstops:
+  * `spark.graft.topk.maxBufferedKeys` (default 262144 live keys) and
+  * `spark.graft.topk.maxBufferBytes` (default 64 MB/task; 0 disables,
+  * leaving the TMM reservation as the only bound).
+  * The FINAL phase cannot flush (two flushes of one key would emit up to
+  * 2k rows), but its live map is exactly the operator's OUTPUT for the
+  * partition — k rows per key resident in that partition — i.e. the same
+  * working set the window-rank plan's sorted partition holds, minus the
+  * non-retained rows; it still RESERVES its footprint (best-effort, never
+  * flushing) so the memory manager sees it, and a final partition whose
   * OUTPUT outgrows task memory needs more shuffle partitions, the same
   * remedy as any aggregate. `numFlushes` in the node's SQL metrics counts
   * partial-phase resets so the degradation is observable in the UI.
@@ -123,36 +136,102 @@ case class TopKPerKeyExec(
     val numOutputRows = longMetric("numOutputRows")
     val numFlushes = longMetric("numFlushes")
     val (kLocal, groupingLocal, orderLocal, attrs) = (k, grouping, order, child.output)
-    // Spill-equivalent escape hatch: cap on LIVE keys in the partial map,
-    // read at plan time (executor-side code must not touch SQLConf).
+    val isPartial = partial
+    // Deterministic backstop caps, read at plan time (executor-side code
+    // must not touch SQLConf). The PRIMARY bound is the TaskMemoryManager
+    // reservation below; these exist for tests and belt-and-braces.
     val maxKeys: Int =
       if (partial)
         conf.getConfString("spark.graft.topk.maxBufferedKeys", "262144").toInt
       else Int.MaxValue // final phase holds its own output; see class doc
     require(maxKeys > 0, s"spark.graft.topk.maxBufferedKeys must be positive, got $maxKeys")
+    // Default 64 MB/task: with 32 local threads that is ≤2 GiB aggregate —
+    // safe under an 8 GiB heap even if the estimate drifts — while a flush
+    // every 64 MB costs nothing measurable. 0 disables the hard cap
+    // (TMM reservation still applies).
+    val maxBytes: Long =
+      if (partial)
+        conf.getConfString("spark.graft.topk.maxBufferBytes", (64L << 20).toString).toLong
+      else 0L
     child.execute().mapPartitions({ iter =>
       // Codegen'd comparator + key projection are built ON the executor —
       // generated classes are not serializable.
       val keyProj = UnsafeProjection.create(groupingLocal, attrs)
       val rowOrd: Ordering[InternalRow] = GenerateOrdering.generate(orderLocal, attrs)
-      // Outer iterator of flush batches: consume input until the map is
-      // over the key cap (partial phase only) or the input is exhausted,
-      // emit the buffered rows, reset, repeat. Each batch is a valid
-      // partial top-k; the final phase re-reduces overlapping keys.
+      // Outer iterator of flush batches: consume input until memory
+      // pressure (partial phase only) or the input is exhausted, emit the
+      // buffered rows, reset, repeat. Each batch is a valid partial top-k;
+      // the final phase re-reduces overlapping keys.
       val heaps = new java.util.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
+
+      // ---- memory accounting -------------------------------------------
+      // Estimated JVM overhead beyond UnsafeRow payload bytes, sized from
+      // object-layout arithmetic (and calibrated by the r10 32×-sweep OOM,
+      // where 96 B/key underestimated ~2× and the TMM pool — sized to the
+      // HEAP fraction — happily granted the whole heap): per key,
+      // LinkedHashMap.Entry ≈48 + key UnsafeRow object+byte[] headers ≈80 +
+      // PriorityQueue ≈32 + its ArrayBuffer ≈24 + the 17-slot backing
+      // Object[] ≈152 ⇒ 336 B; per row, UnsafeRow object ≈48 + byte[]
+      // header ≈16 ⇒ 64 B. Underestimating here is the one fatal direction:
+      // these are plain JVM objects, so unlike Tungsten pages the pool's
+      // grant does not bound the real allocation.
+      val KeyOverhead = 336L
+      val RowOverhead = 64L
+      def rowBytes(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _            => 64L
+      }
+      val consumer = org.apache.spark.graftshim.TaskMemoryShim.quotaConsumer()
+      val tc = org.apache.spark.TaskContext.get()
+      var batchUsed = 0L     // estimated live bytes of the map being filled
+      var batchReserved = 0L // TMM quota held for the map being filled
+      var outstanding = 0L   // total TMM quota held (incl. drained batches in flight)
+      if (tc != null && consumer != null) {
+        tc.addTaskCompletionListener[Unit] { _ =>
+          if (outstanding > 0) { consumer.freeMemory(outstanding); outstanding = 0L }
+        }
+      }
+      // Accounts `bytes` against the reservation; returns false ⇒ the
+      // caller must flush. Final phase reserves best-effort but never
+      // reports pressure (it cannot flush — see class doc).
+      def reserve(bytes: Long): Boolean = {
+        batchUsed += bytes
+        if (isPartial && maxBytes > 0L && batchUsed > maxBytes) return false
+        if (consumer != null) {
+          while (batchReserved < batchUsed) {
+            val got = consumer.acquireMemory(math.max(batchUsed - batchReserved, 1L << 20))
+            if (got <= 0L) return !isPartial
+            batchReserved += got
+            outstanding += got
+          }
+        }
+        true
+      }
+      // ------------------------------------------------------------------
+
       // Inserts `row`; returns false (leaving the row UNCONSUMED in effect —
       // caller must re-offer it after draining) only when the row's key is
-      // new AND the map is at the cap. Rows of already-live keys never
-      // trigger a flush: they cannot grow the map.
-      def offer(row: InternalRow, key: UnsafeRow): Boolean = {
+      // new AND the map is at the key cap, or when the insert's bytes are
+      // refused by the reservation. A replacement of an existing key's
+      // worst row accounts only the size DELTA: it cannot grow the map's
+      // row count.
+      // `force` (the post-flush seed insert): account the bytes but never
+      // refuse — the just-drained batch releases its quota only when the
+      // downstream exhausts it, so a refusal here could recur forever and
+      // drop the row; a 1-key map is always affordable.
+      def offer(row: InternalRow, key: UnsafeRow, force: Boolean = false): Boolean = {
         var heap = heaps.get(key)
         if (heap == null) {
-          if (heaps.size() >= maxKeys) return false
+          if (!force && heaps.size() >= maxKeys) return false
+          if (!reserve(key.getSizeInBytes.toLong + KeyOverhead) && !force) return false
           heap = mutable.PriorityQueue.empty[InternalRow](rowOrd) // max-heap: head sorts LAST
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (rowOrd.compare(row, heap.head) < 0) {
+        if (heap.size < kLocal) {
+          if (!reserve(rowBytes(row) + RowOverhead) && !force) return false
+          heap.enqueue(row.copy())
+        } else if (rowOrd.compare(row, heap.head) < 0) {
+          if (!reserve(rowBytes(row) - rowBytes(heap.head)) && !force) return false
           heap.dequeue()
           heap.enqueue(row.copy())
         }
@@ -164,7 +243,27 @@ case class TopKPerKeyExec(
         // the live map the next batch refills
         val rows = heaps.values().asScala.toArray
         heaps.clear()
-        rows.iterator.flatMap(_.iterator)
+        // The snapshot stays live until the downstream consumer (usually
+        // the shuffle writer) exhausts it, so its quota is released on
+        // exhaustion, not here; the next batch's map acquires fresh quota.
+        val toFree = batchReserved
+        batchUsed = 0L
+        batchReserved = 0L
+        val inner = rows.iterator.flatMap(_.iterator)
+        if (consumer == null || toFree == 0L) inner
+        else new Iterator[InternalRow] {
+          private var released = false
+          override def hasNext: Boolean = {
+            val h = inner.hasNext
+            if (!h && !released) {
+              released = true
+              consumer.freeMemory(toFree)
+              outstanding -= toFree
+            }
+            h
+          }
+          override def next(): InternalRow = inner.next()
+        }
       }
       val batches = new Iterator[Iterator[InternalRow]] {
         private var done = false
@@ -176,7 +275,7 @@ case class TopKPerKeyExec(
               // flush, then the rejected row seeds the next batch's map
               val out = drainBatch()
               numFlushes += 1
-              offer(row, keyProj(row))
+              offer(row, keyProj(row), force = true)
               return out
             }
           }

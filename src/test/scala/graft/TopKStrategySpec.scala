@@ -138,6 +138,29 @@ class TopKStrategySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxBufferedKeys")
   }
 
+  test("partial-phase BYTE-cap flush keeps results exact (memory-pressure path)") {
+    // The r10 memory-aware path: the flush the TaskMemoryManager reservation
+    // triggers under real pressure is exercised deterministically here via
+    // the hard byte cap — 16 KiB over ~1500 orders forces many flushes per
+    // partition through the same reserve()-refusal branch acquireMemory
+    // exhaustion takes; results must stay row-identical.
+    val run = () => GraftPlans.topKPerKey(
+      orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val unbounded = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.topk.maxBufferBytes", "16384")
+    try {
+      val capped = run()
+      val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == unbounded,
+        s"diff: missing=${unbounded -- got} extra=${got -- unbounded}")
+      val nodes = collectPhysical(capped.queryExecution.executedPlan)
+      val partial = nodes.collect { case t: TopKPerKeyExec if t.partial => t }.head
+      assert(partial.metrics("numFlushes").value > 0,
+        "16 KiB cap over ~1500 rows must have flushed at least once")
+      assert(partial.metrics("numOutputRows").value <= orders.count())
+    } finally spark.conf.unset("spark.graft.topk.maxBufferBytes")
+  }
+
   test("composes downstream: aggregate over the custom node") {
     val df = GraftPlans.topKPerKey(
         orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
