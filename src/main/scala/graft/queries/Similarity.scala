@@ -673,12 +673,32 @@ object Similarity {
        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
 
   // --- Q25c: LSH-bucketed ANN — nearest neighbor within each bucket --------
-  // 4 deterministic random-hyperplanes (md5-derived components in
-  // [-1000,1000]/1000); sign bits → 16 buckets; candidate pairs only within
-  // a bucket. This is the IVF/LSH scale shape: candidate generation is an
-  // equi-join on the bucket key, so the 100 TB version shuffles each vector
-  // once instead of crossing the corpus.
+  // Deterministic random-hyperplanes (md5-derived components in
+  // [-1000,1000]/1000); sign bits → 2^hp buckets; candidate pairs only
+  // within a bucket. This is the IVF/LSH scale shape: candidate generation
+  // is an equi-join on the bucket key, so the 100 TB version shuffles each
+  // vector once instead of crossing the corpus.
+  //
+  // The hyperplane COUNT is corpus-adaptive (the r10 32×-sweep finding: a
+  // fixed hp=4 means 16 buckets forever, so bucket population grows
+  // linearly with the corpus and within-bucket pair work quadratically —
+  // measured 99.8× lane time at 32× data, the one surprise super-linear
+  // lane of the sweep). hp(n) = max(4, ceil_log2(ceil(n / 125))) keeps the
+  // EXPECTED bucket load at ~125 vectors regardless of corpus size, making
+  // total candidate-pair work ~n·load — linear. Integer bit-arithmetic
+  // (not float log2) so the Spark lane and the DuckDB oracle can't diverge
+  // at power-of-two boundaries; at the test SFs (500 / 2000 vectors) the
+  // formula yields exactly hp=4, so oracle outputs are unchanged there.
   private val HP = 4
+  private val AnnBucketLoad = 125L
+
+  /** Corpus-adaptive hyperplane count: smallest hp ≥ 4 with
+    * 2^hp ≥ ⌈n / AnnBucketLoad⌉ (pure integer arithmetic). */
+  private[graft] def annHp(n: Long): Int = {
+    val m = (n + AnnBucketLoad - 1) / AnnBucketLoad
+    val bits = if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(HP, bits)
+  }
 
   private def h60Scala(s: String): Long = graft.functions.Hash60(s)
 
@@ -688,23 +708,41 @@ object Similarity {
   private def hyperplane(j: Int): Seq[Double] =
     (1 to 256).map(i => ((h60Scala(s"$j:$i") % 2001L - 1000L) / 1000.0))
 
-  private def hpDotDuck(j: Int, v: String): String =
+  /** Dot of `v` against hyperplane `j`, where `j` is a DuckDB lambda
+    * variable in scope (the dynamic-hp twin of the Scala `hyperplane(j)`
+    * literals — same md5("$j:$i") constants, same sequential sum order). */
+  private def hpDotDuckDyn(v: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($v)),
-       |  i -> $v[i]::DOUBLE * ((${h60d(s"'$j' || ':' || i::VARCHAR")} % 2001 - 1000) / 1000.0))),
+       |  i -> $v[i]::DOUBLE * ((${h60d("j::VARCHAR || ':' || i::VARCHAR")} % 2001 - 1000) / 1000.0))),
        |  (s, x) -> s + x)""".stripMargin
 
+  /** Sign-bit bucket over hyperplanes 0..hp-1; expects a column `hp` in
+    * scope (CROSS JOIN the one-row `hcfg` CTE below). */
   private def bucketDuck(v: String): String =
-    (0 until HP).map(j => s"(CASE WHEN (${hpDotDuck(j, v)}) > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""list_reduce(list_prepend(0, list_transform(generate_series(0, hp - 1),
+       |  j -> CASE WHEN (${hpDotDuckDyn(v)}) > 0 THEN (1 << j) ELSE 0 END)),
+       |  (s, x) -> s + x)""".stripMargin
 
-  /** Sign-bit bucket of the HP random hyperplanes over `embedding` — ONE
+  /** One-row CTE computing the corpus-adaptive hyperplane count — the SQL
+    * twin of [[annHp]] (length(bin(m-1)) = ceil_log2(m), integer-exact). */
+  private val annHpCte: String =
+    s"""hcfg AS (SELECT greatest($HP, CASE WHEN m <= 1 THEN 1
+       |                                   ELSE length(bin(m - 1)) END) AS hp
+       |         FROM (SELECT (count(*) + ${AnnBucketLoad - 1}) // $AnnBucketLoad AS m
+       |               FROM embeddings))""".stripMargin
+
+  /** Sign-bit bucket of `hp` random hyperplanes over `embedding` — ONE
     * definition shared by q25_ann_bucket and the sampled recall audit. */
-  private def annBucketCol: Column = (0 until HP)
+  private def annBucketCol(hp: Int): Column = (0 until hp)
     .map(j => when(dot(col("embedding"), typedlit(hyperplane(j))) > 0d, lit(1 << j)).otherwise(lit(0)))
     .reduce(_ + _)
 
   def q25AnnBucket(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bucketCol = annBucketCol
+    // One driver-side count to size the bucketing (the same discipline as
+    // the IVF lanes' driver-held quantizer): hp literals must exist at
+    // plan time, and a count() scan is O(parquet footers).
+    val bucketCol = annBucketCol(annHp(Tables.embeddings(spark, dir).count()))
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketCol.cast("int"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -721,10 +759,11 @@ object Similarity {
   }
 
   val q25AnnBucketSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding,
+    s"""WITH $annHpCte,
+       |e AS (SELECT vec_id, embedding,
        |             CAST(${bucketDuck("embedding")} AS INT) AS bucket,
        |             sqrt(${normDuck("embedding")}) AS nrm
-       |           FROM embeddings),
+       |           FROM embeddings CROSS JOIN hcfg),
        |pairs AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
        |            ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
        |          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
@@ -1906,8 +1945,11 @@ object Similarity {
     * definition) co-buckets it — the ANN recall audit at any corpus size. */
   def q25EmbedSample(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // bucket definition sized to the FULL corpus (the production lane's
+    // bucketing at this scale), evaluated on the sample only
+    val hp = annHp(Tables.embeddings(spark, dir).count())
     val e = hashSampled(Tables.embeddings(spark, dir), "vec_id", SampleTargetVecs)
-      .withColumn("bucket", annBucketCol.cast("int"))
+      .withColumn("bucket", annBucketCol(hp).cast("int"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket").as("ba"))
@@ -1923,9 +1965,10 @@ object Similarity {
 
   val q25EmbedSampleSql: String = {
     val sampleRate = s"greatest(1, (SELECT count(*) FROM embeddings) // $SampleTargetVecs)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${normDuck("embedding")}) AS nrm,
+    s"""WITH $annHpCte,
+       |e AS (SELECT vec_id, embedding, sqrt(${normDuck("embedding")}) AS nrm,
        |                  ${bucketDuck("embedding")} AS bucket
-       |           FROM embeddings
+       |           FROM embeddings CROSS JOIN hcfg
        |           WHERE ${h60d("vec_id::VARCHAR")} % ($sampleRate) = 0)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,

@@ -88,6 +88,64 @@ class SampledAuditSpec extends SparkSpec {
     assert(missed.intersect(lshRestricted).isEmpty)
   }
 
+  test("ann bucket: hyperplane count adapts to corpus size (integer-exact formula)") {
+    // target bucket load 125: hp stays 4 through the test SFs (outputs
+    // unchanged there), grows as ceil_log2(ceil(n/125)) beyond
+    assert(Similarity.annHp(1L) === 4)
+    assert(Similarity.annHp(500L) === 4)     // sf0.01
+    assert(Similarity.annHp(2000L) === 4)    // sf0.1 — exactly 16 cells
+    assert(Similarity.annHp(2001L) === 5)    // first count past the boundary
+    assert(Similarity.annHp(4000L) === 5)    // the 8× fixture below
+    assert(Similarity.annHp(16000L) === 7)
+    assert(Similarity.annHp(64000L) === 9)   // the 32× sweep corpus
+    assert(Similarity.annHp(2000L * 1024) === 14)
+  }
+
+  test("ann bucket: nearest-in-bucket stays exact when the adaptive hp kicks in") {
+    // 8× fixture = 4000 vectors → hp=5 (32 buckets): the lane runs its
+    // ADAPTIVE branch here. Independent replica: recompute buckets from
+    // the md5-derived hyperplane formula and brute-force the best
+    // same-bucket neighbor per vector (ties → smallest nn_id).
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val hp = Similarity.annHp(vecs.length.toLong)
+    assert(hp === 5, s"fixture must exercise the adaptive branch, got hp=$hp")
+    def plane(j: Int): Seq[Double] =
+      (1 to 256).map(i => (graft.functions.Hash60(s"$j:$i") % 2001L - 1000L) / 1000.0)
+    def dotSeq(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+    def bucket(v: Seq[Double]): Int =
+      (0 until hp).map(j => if (dotSeq(v, plane(j)) > 0d) 1 << j else 0).sum
+    val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
+    val want = byBucket.values.flatMap { members =>
+      members.flatMap { case (id, v) =>
+        val nrm = math.sqrt(dotSeq(v, v))
+        val peers = members.filter(_._1 != id)
+        if (peers.isEmpty) None
+        else Some {
+          val best = peers
+            .map { case (pid, pv) =>
+              (pid, dotSeq(v, pv) / (nrm * math.sqrt(dotSeq(pv, pv)))) }
+            .minBy { case (pid, c) => (-c, pid) }
+          (id, best._1)
+        }
+      }
+    }.toMap
+    val got = Similarity.q25AnnBucket(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._1).toSet === want.keySet, "per-vector row set must match")
+    got.foreach { case (id, b, nn) =>
+      assert(byBucket(b).exists(_._1 == id), s"vec $id reported foreign bucket $b")
+      assert(want(id) === nn, s"vec $id: nn $nn, replica says ${want(id)}")
+    }
+    // and the load the formula promises: expected ≤ ~2·AnnBucketLoad cells
+    assert(byBucket.values.map(_.length).max <= vecs.length,
+      "sanity") // buckets are data-dependent; the mean is the contract
+    assert(vecs.length.toDouble / byBucket.size <= 2 * 125,
+      s"mean bucket load ${vecs.length / byBucket.size} vs target 125")
+  }
+
   test("embed sample: deterministic, and the pairs are the true top-20 of the subset") {
     val got = Similarity.q25EmbedSample(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
