@@ -736,7 +736,82 @@ object Entity {
       |       CAST(sum(d) AS BIGINT) AS sum_d
       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --- Q86: graph modularity of an attribute partition ----------------------
+  // "Do parts of the same brand co-sell?" — Newman modularity of the q62
+  // co-purchase graph under the community partition c(part) = p_brand:
+  // Q = Σ_c [ in_c/m − (deg_c/2m)² ]. The lane emits the PER-COMMUNITY
+  // contribution (in_c, deg_c, m, dq) so consumers can rank communities,
+  // not just read the scalar. Shapes: the shared q62 edge derivation, two
+  // BROADCAST joins of the tiny part→brand map onto the edge list, one
+  // incidence-union degree agg, one within-community edge count, and a
+  // single-row m cross-joined back — every aggregate a combining groupBy
+  // on the community key (≤ |brands| rows at any scale). Exactness: the
+  // bp contribution is all-integer in DECIMAL(38,0) — dq_bp =
+  // (4m·in_c − deg_c²)·10⁴ div 4m² (deg² and 4m² cross 2⁶³ near 10¹⁰
+  // edges); the double dq is the fixed chain in/m − (deg/2m)². Ordered by
+  // community: hash-exact.
+  def q86Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(expr(
+        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
+      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+      .distinct()
+    val brand = Tables.part(spark, dir)
+      .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+    val tagged = edges
+      .join(broadcast(brand.select(col("node").as("a"), col("community").as("ca"))), Seq("a"))
+      .join(broadcast(brand.select(col("node").as("b"), col("community").as("cb"))), Seq("b"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val deg = tagged.select(col("ca").as("community"))
+      .unionAll(tagged.select(col("cb").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg"))
+    val inC = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("in_c"))
+    deg.join(inC, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), coalesce(col("in_c"), lit(0L)).as("in_c"),
+        col("deg"), col("m"))
+      .withColumn("dq_bp", expr(
+        "CAST((4 * CAST(m AS DECIMAL(38,0)) * in_c " +
+          "- CAST(deg AS DECIMAL(38,0)) * CAST(deg AS DECIMAL(38,0))) * 10000 " +
+          "div (4 * CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) " +
+          "AS BIGINT)"))
+      .withColumn("dq",
+        col("in_c").cast("double") / col("m").cast("double")
+          - (col("deg").cast("double") / (lit(2L) * col("m")).cast("double"))
+            * (col("deg").cast("double") / (lit(2L) * col("m")).cast("double")))
+      .orderBy(col("community"))
+  }
+
+  val q86ModularitySql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      |tg AS (SELECT pa.p_brand AS ca, pb.p_brand AS cb
+      |       FROM e JOIN part pa ON e.a = pa.p_partkey
+      |              JOIN part pb ON e.b = pb.p_partkey),
+      |mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tg),
+      |deg AS (SELECT community, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT ca AS community FROM tg
+      |          UNION ALL SELECT cb FROM tg) GROUP BY 1),
+      |ic AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS in_c
+      |       FROM tg WHERE ca = cb GROUP BY 1)
+      |SELECT deg.community, COALESCE(ic.in_c, 0) AS in_c, deg.deg AS deg, m,
+      |       CAST((4 * CAST(m AS HUGEINT) * COALESCE(ic.in_c, 0)
+      |             - CAST(deg AS HUGEINT) * deg) * 10000
+      |            // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS dq_bp,
+      |       CAST(COALESCE(ic.in_c, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+      |         - (CAST(deg AS DOUBLE) / CAST(2 * m AS DOUBLE))
+      |           * (CAST(deg AS DOUBLE) / CAST(2 * m AS DOUBLE)) AS dq
+      |FROM deg LEFT JOIN ic ON deg.community = ic.community CROSS JOIN mt
+      |ORDER BY deg.community""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_modularity"    -> (q86Modularity _),
     "q83_degree_dist"   -> (q83DegreeDist _),
     "q81_apriori_rules" -> (q81AprioriRules _),
     "q82_gini"          -> (q82Gini _),
@@ -753,6 +828,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_modularity"    -> q86ModularitySql,
     "q83_degree_dist"   -> q83DegreeDistSql,
     "q81_apriori_rules" -> q81AprioriRulesSql,
     "q82_gini"          -> q82GiniSql,

@@ -235,11 +235,183 @@ object Evaluation {
       |FROM exp LEFT JOIN o ON exp.digit = o.digit CROSS JOIN t
       |ORDER BY digit""".stripMargin
 
+  // --- Q84: exact two-sample Kolmogorov–Smirnov drift ----------------------
+  // The distribution-level complement of q66's cell-level chi-square: the
+  // KS statistic D = sup|F_A − F_B| between even- and odd-week event values,
+  // per event_type. Textbook KS sorts both samples — O(n log n) global sort
+  // at 10¹² rows — but D only needs the BY-VALUE contingency table (q65's
+  // move): one combining groupBy collapses the stream to ≤ |cents domain|
+  // rows per type, a domain-bounded window builds both inclusive CDFs at
+  // once, and D falls out of one max. Exactness: F_A−F_B is compared as the
+  // INTEGER cross-product |cumA·nB − cumB·nA| (DECIMAL(38,0): cum·n crosses
+  // 2⁶³ near 10¹⁰ rows/sample); the only doubles are the final reported d.
+  // d_bp is the q59 integer-DIV discipline (nullif: a type seen in one
+  // parity only has n_a·n_b = 0 — null, not ANSI DIVIDE_BY_ZERO).
+  def q84KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"),
+        when(expr("CAST(weekofyear(ts) AS BIGINT)") % 2 === 0, 1L)
+          .otherwise(0L).as("in_a"))
+      .groupBy(col("event_type"), col("y"))
+      .agg(sum(col("in_a")).as("a"), sum(lit(1L) - col("in_a")).as("b"))
+    val cdf = Window.partitionBy(col("event_type")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cum_a", sum(col("a")).over(cdf))
+      .withColumn("cum_b", sum(col("b")).over(cdf))
+      .withColumn("n_a", sum(col("a")).over(tot))
+      .withColumn("n_b", sum(col("b")).over(tot))
+      .withColumn("diff",
+        abs(col("cum_a").cast(D) * col("n_b").cast(D)
+          - col("cum_b").cast(D) * col("n_a").cast(D)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("diff")).as("dnum"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        // CASE, not nullif: ANSI decimal div raises DIVIDE_BY_ZERO eagerly
+        // on the un-branched form; both engines return null for a type seen
+        // in one parity only
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(expr("CAST(dnum * 10000 div (CAST(n_a AS DECIMAL(38,0)) " +
+            "* CAST(n_b AS DECIMAL(38,0))) AS BIGINT)")).as("d_bp"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(col("dnum").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"))
+      .orderBy(col("event_type"))
+  }
+
+  val q84KsDriftSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
+      |         CAST(sum(CASE WHEN CAST(weekofyear(ts) AS BIGINT) % 2 = 0
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN CAST(weekofyear(ts) AS BIGINT) % 2 = 0
+      |                       THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type,
+      |         CAST(sum(a) OVER w AS BIGINT) AS cum_a,
+      |         CAST(sum(b) OVER w AS BIGINT) AS cum_b,
+      |         CAST(sum(a) OVER t AS BIGINT) AS n_a,
+      |         CAST(sum(b) OVER t AS BIGINT) AS n_b
+      |  FROM cells
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY y
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         t AS (PARTITION BY event_type ROWS BETWEEN UNBOUNDED
+      |               PRECEDING AND UNBOUNDED FOLLOWING)),
+      |s AS (
+      |  SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+      |         max(abs(CAST(cum_a AS HUGEINT) * n_b
+      |                 - CAST(cum_b AS HUGEINT) * n_a)) AS dnum
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |            ELSE CAST(dnum * 10000 // (CAST(n_a AS HUGEINT) * n_b)
+      |                      AS BIGINT) END AS d_bp,
+      |       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |            ELSE CAST(dnum AS DOUBLE)
+      |              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS d
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // --- Q85: Spearman rank correlation (tie-aware, domain-bounded ranks) ----
+  // Rank correlation between per-user activity (event count) and spend
+  // (total cents), per cohort — "do heavy users spend more?" without q63's
+  // linearity assumption. The scale hazard is the RANK: a per-cohort
+  // row_number window is one task over n/4 users. Instead ranks come from
+  // the VALUE-DOMAIN contingency (q65/q84's move): the average rank of a
+  // tie group at value v is cum_below(v) + (m_v+1)/2, so a domain-bounded
+  // window over the ≤ |domain| distinct values yields every user's DOUBLED
+  // average rank (2r — integral, no .5s) and two hash joins fan it back to
+  // users. Pearson moments over (2rx, 2ry) in DECIMAL(38,0) (rank products
+  // sum to ~8n³ — past 2⁶³ near 10⁶ users/cohort); the doubles are the
+  // final fixed chain num/(√d1·√d2) — IEEE sqrt is correctly rounded, so
+  // both engines agree bitwise. nullif guards the constant-vector cohort.
+  def q85Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D)
+    val users = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 4).as("cohort"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    def rank2(metric: String) = {
+      val grp = users.groupBy(col("cohort"), col(metric)).agg(count(lit(1)).as("m"))
+      val below = Window.partitionBy(col("cohort")).orderBy(col(metric))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grp.select(col("cohort"), col(metric),
+        (lit(2L) * coalesce(sum(col("m")).over(below), lit(0L))
+          + col("m") + lit(1L)).as(s"r2_$metric"))
+    }
+    val ranked = users
+      .join(rank2("cnt"), Seq("cohort", "cnt"))
+      .join(rank2("cents"), Seq("cohort", "cents"))
+    val s = ranked.groupBy(col("cohort")).agg(
+      count(lit(1)).as("n"),
+      sum(col("r2_cnt")).as("sx"), sum(col("r2_cents")).as("sy"),
+      sum(d(col("r2_cnt")) * d(col("r2_cnt"))).as("sxx"),
+      sum(d(col("r2_cents")) * d(col("r2_cents"))).as("syy"),
+      sum(d(col("r2_cnt")) * d(col("r2_cents"))).as("sxy"))
+    s.select(col("cohort"), col("n"), col("sxy").cast("long").as("sxy"),
+        ((d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy"))).cast("double")
+          / (sqrt(expr("CAST(nullif(CAST(n AS DECIMAL(38,0)) * sxx " +
+              "- CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)), 0) " +
+              "AS DOUBLE)"))
+            * sqrt(expr("CAST(nullif(CAST(n AS DECIMAL(38,0)) * syy " +
+              "- CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)), 0) " +
+              "AS DOUBLE)")))).as("rho"))
+      .orderBy(col("cohort"))
+  }
+
+  val q85SpearmanSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 4 AS cohort, user_id,
+      |         CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |rx AS (
+      |  SELECT cohort, cnt,
+      |         2 * COALESCE(CAST(sum(m) OVER (PARTITION BY cohort ORDER BY cnt
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |             0) + m + 1 AS r2_cnt
+      |  FROM (SELECT cohort, cnt, CAST(count(*) AS BIGINT) AS m
+      |        FROM u GROUP BY 1, 2)),
+      |ry AS (
+      |  SELECT cohort, cents,
+      |         2 * COALESCE(CAST(sum(m) OVER (PARTITION BY cohort ORDER BY cents
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |             0) + m + 1 AS r2_cents
+      |  FROM (SELECT cohort, cents, CAST(count(*) AS BIGINT) AS m
+      |        FROM u GROUP BY 1, 2)),
+      |r AS (
+      |  SELECT u.cohort, r2_cnt, r2_cents
+      |  FROM u JOIN rx ON u.cohort = rx.cohort AND u.cnt = rx.cnt
+      |         JOIN ry ON u.cohort = ry.cohort AND u.cents = ry.cents),
+      |s AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(r2_cnt) AS HUGEINT) AS sx,
+      |         CAST(sum(r2_cents) AS HUGEINT) AS sy,
+      |         CAST(sum(CAST(r2_cnt AS HUGEINT) * r2_cnt) AS HUGEINT) AS sxx,
+      |         CAST(sum(CAST(r2_cents AS HUGEINT) * r2_cents) AS HUGEINT) AS syy,
+      |         CAST(sum(CAST(r2_cnt AS HUGEINT) * r2_cents) AS HUGEINT) AS sxy
+      |  FROM r GROUP BY 1)
+      |SELECT cohort, n, CAST(sxy AS BIGINT) AS sxy,
+      |       CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(nullif(CAST(n AS HUGEINT) * sxx - sx * sx, 0)
+      |                      AS DOUBLE))
+      |            * sqrt(CAST(nullif(CAST(n AS HUGEINT) * syy - sy * sy, 0)
+      |                        AS DOUBLE))) AS rho
+      |FROM s ORDER BY cohort""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_auc"         -> (q65Auc _),
     "q66_chisq_drift" -> (q66ChisqDrift _),
     "q68_calibration" -> (q68Calibration _),
     "q72_benford"     -> (q72Benford _),
+    "q84_ks_drift"    -> (q84KsDrift _),
+    "q85_spearman"    -> (q85Spearman _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -247,5 +419,7 @@ object Evaluation {
     "q66_chisq_drift" -> q66ChisqDriftSql,
     "q68_calibration" -> q68CalibrationSql,
     "q72_benford"     -> q72BenfordSql,
+    "q84_ks_drift"    -> q84KsDriftSql,
+    "q85_spearman"    -> q85SpearmanSql,
   )
 }

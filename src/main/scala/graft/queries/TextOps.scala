@@ -935,7 +935,56 @@ object TextOps {
       |         / CAST(count(*) * 10000 AS DOUBLE) AS fluency
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- Q87: n-gram novelty vs a reference corpus half -----------------------
+  // The contamination/freshness screen from the training-data playbook: how
+  // much of the candidate half's trigram vocabulary is NEW relative to the
+  // reference half? Split is deterministic doc_id parity (even = reference,
+  // odd = candidate); per language the lane reports the candidate's distinct
+  // trigram count, how many never occur in any reference doc, and the
+  // novelty share in integer basis points (q59 DIV discipline — no doubles
+  // at all). Scale shape: one row-local explode (scan-speed), ONE combining
+  // groupBy on (lang, trigram) that collapses the stream to the vocabulary
+  // (both parity flags fold as max() — map-side combinable), and a ≤|langs|-
+  // row final agg. No join: the membership test IS the fold. At 100 TB the
+  // only exchange is the vocabulary shuffle, hash-partitioned on the
+  // (lang, tri) key — skew-free by construction (trigram keys are fine-
+  // grained; no hot single key carries more than its occurrence fold).
+  def q87NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select((col("doc_id") % 2).as("parity"), col("lang"),
+        explode(expr(ngramExpr(3))).as("tri"))
+    tri.groupBy(col("lang"), col("tri"))
+      .agg(max(when(col("parity") === 0L, 1L).otherwise(0L)).as("in_ref"),
+        max(col("parity")).as("in_cand"))
+      .filter(col("in_cand") === 1L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(lit(1L) - col("in_ref")).as("n_new"))
+      .select(col("lang"), col("n_tri"), col("n_new"),
+        expr("n_new * 10000 div n_tri").as("novelty_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val q87NgramNoveltySql: String =
+    s"""WITH tri AS (
+       |  SELECT doc_id % 2 AS parity, lang, unnest(g3) AS tri
+       |  FROM (SELECT doc_id, lang, ${ngramDuck(3)} AS g3
+       |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |              FROM documents))),
+       |v AS (
+       |  SELECT lang, tri,
+       |         max(CASE WHEN parity = 0 THEN 1 ELSE 0 END) AS in_ref,
+       |         max(parity) AS in_cand
+       |  FROM tri GROUP BY 1, 2)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_tri,
+       |       CAST(sum(1 - in_ref) AS BIGINT) AS n_new,
+       |       CAST(sum(1 - in_ref) AS BIGINT) * 10000
+       |         // CAST(count(*) AS BIGINT) AS novelty_bp
+       |FROM v WHERE in_cand = 1 GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_ngram_novelty" -> (q87NgramNovelty _),
     "q59_bigram_lm"   -> (q59BigramLm _),
     "q57_bpe_merges"  -> (q57BpeMerges _),
     "q23_tokens_pos"  -> (q23TokensPos _),
@@ -959,6 +1008,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q87_ngram_novelty"   -> q87NgramNoveltySql,
     "q59_bigram_lm"       -> q59BigramLmSql,
     "q57_bpe_merges"      -> q57BpeMergesSql,
     "q23_tokens_pos"      -> q23TokensPosSql,
