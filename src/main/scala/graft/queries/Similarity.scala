@@ -403,9 +403,11 @@ object Similarity {
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // inclusion–exclusion |∪| (sh is a set) — no per-pair union array
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("isz").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("isz")).cast("double"))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -476,9 +478,10 @@ object Similarity {
       .withColumn("est_jaccard",
         expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
           .cast("double") / lit(K.toDouble))
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("isz").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("isz")).cast("double"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"), col("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1355,9 +1358,10 @@ object Similarity {
     val verified = cand
       .join(d.select(col("doc_id").as("test_id"), col("sh").as("sh_t")), "test_id")
       .join(d.select(col("doc_id").as("train_id"), col("sh").as("sh_r")), "train_id")
+      .withColumn("isz", size(array_intersect(col("sh_t"), col("sh_r"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_t"), col("sh_r"))).cast("double") /
-          size(array_union(col("sh_t"), col("sh_r"))).cast("double"))
+        col("isz").cast("double") /
+          (size(col("sh_t")) + size(col("sh_r")) - col("isz")).cast("double"))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_near_train"), max(col("jaccard")).as("max_jaccard"))
@@ -1892,14 +1896,27 @@ object Similarity {
     // size-ratio prune inside the join condition (exactness-preserving —
     // the q24_jaccard_pairs identity J ≤ min/max): pairs that cannot reach
     // 0.3 never pay the set intersection
+    // The threshold goes INTO the join condition in exact INTEGER form,
+    // cheap conjuncts first. A post-join `.filter(jaccard >= 0.3)` gets
+    // pushed into the condition AHEAD of the cheap prunes (plan-measured:
+    // the pushed double-division conjunct ran first, so every lang-matched
+    // pair paid array_intersect TWICE before doc_a<doc_b or the size-ratio
+    // prune could short-circuit — 11.5 s). And-conjuncts evaluate left to
+    // right, so ordering them ourselves makes the intersect run once, and
+    // only for pairs that survive the free checks. 13·|∩| ≥ 3·(|a|+|b|)
+    // ⟺ |∩|/|∪| ≥ 3/10 exactly in rationals (|∪| = |a|+|b|−|∩|, sh is a
+    // set); the survivors' double jaccard is computed in the projection —
+    // same integers, same doubles as the oracle's division.
+    val sa = size(col("sh_a"))
+    val sb = size(col("sh_b"))
+    val iszE = size(array_intersect(col("sh_a"), col("sh_b")))
     val exact = a.join(broadcast(b),
         col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-          least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
-            lit(0.3) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+          least(sa, sb).cast("double") >= lit(0.3) * greatest(sa, sb).cast("double") &&
+          lit(13) * iszE >= lit(3) * (sa + sb))
+      .withColumn("isz", iszE)
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= 0.3)
+        col("isz").cast("double") / (sa + sb - col("isz")).cast("double"))
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
     val bands = bandKeysOf(d)
     val cand = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
@@ -1917,7 +1934,7 @@ object Similarity {
   val q24JaccardSampleSql: String = {
     val sampleRate = s"greatest(1, (SELECT count(*) FROM documents) // $SampleTargetDocs)"
     val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
-      "/ CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+      "/ CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
     s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents
        |           WHERE ${h60d("doc_id::VARCHAR")} % ($sampleRate) = 0),
        |d AS (SELECT doc_id, lang, $shinglesDuck AS sh FROM t WHERE len(toks) >= 3),
