@@ -403,12 +403,17 @@ object Similarity {
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      // inclusion–exclusion |∪| (sh is a set) — no per-pair union array
+      // inclusion–exclusion |∪| (sh is a set) — no per-pair union array;
+      // threshold filtered in exact integer form (13·|∩| ≥ 3·(|a|+|b|) ⟺
+      // jac ≥ 3/10 in rationals — the q24_jaccard_sample ordering lesson)
+      // so the filter pays one intersect and no division; the double
+      // jaccard is computed only for survivors
       .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(lit(13) * col("isz") >=
+        lit(3) * (size(col("sh_a")) + size(col("sh_b"))))
       .withColumn("jaccard",
         col("isz").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("isz")).cast("double"))
-      .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1358,11 +1363,15 @@ object Similarity {
     val verified = cand
       .join(d.select(col("doc_id").as("test_id"), col("sh").as("sh_t")), "test_id")
       .join(d.select(col("doc_id").as("train_id"), col("sh").as("sh_r")), "train_id")
+      // integer-form threshold first (9·|∩| ≥ 4·(|t|+|r|) ⟺ jac ≥ 4/5 in
+      // rationals): the filter pays one intersect and no division, the
+      // double jaccard only materializes for survivors
       .withColumn("isz", size(array_intersect(col("sh_t"), col("sh_r"))))
+      .filter(lit(9) * col("isz") >=
+        lit(4) * (size(col("sh_t")) + size(col("sh_r"))))
       .withColumn("jaccard",
         col("isz").cast("double") /
           (size(col("sh_t")) + size(col("sh_r")) - col("isz")).cast("double"))
-      .filter(col("jaccard") >= 0.8)
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_near_train"), max(col("jaccard")).as("max_jaccard"))
     d.withColumn("bucket", expr(bucketExpr)).filter(col("bucket") >= 90)
