@@ -852,7 +852,10 @@ object Analytics {
     val d2 = (d(col("n")) * d(col("s22")) - d(col("s2")) * d(col("s2"))).cast("double")
     s.select(col("event_type"), col("lag"), col("n"),
         col("s1"), col("s2"), col("s11"), col("s22"), col("s12"),
-        (num / sqrt(d1 * d2)).as("ac"))
+        // zero-variance guard (the q89 find): ANSI raises DIVIDE_BY_ZERO
+        // for DOUBLE division too — a constant series must null, not die
+        when(d1 === 0.0 || d2 === 0.0, lit(null))
+          .otherwise(num / sqrt(d1 * d2)).as("ac"))
       .orderBy(col("event_type"), col("lag"))
   }
 
@@ -876,10 +879,13 @@ object Analytics {
       |         CAST(sum(y0*y1) AS BIGINT) AS s12
       |  FROM pr GROUP BY 1, 2)
       |SELECT event_type, lag, n, s1, s2, s11, s22, s12,
-      |  CAST(CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS DOUBLE)
-      |    / sqrt(CAST(CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)
-      |           * CAST(CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS DOUBLE))
-      |    AS ac
+      |  CASE WHEN CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 = 0
+      |         OR CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 = 0
+      |       THEN NULL
+      |       ELSE CAST(CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS DOUBLE)
+      |         / sqrt(CAST(CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)
+      |                * CAST(CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS DOUBLE))
+      |  END AS ac
       |FROM s ORDER BY event_type, lag""".stripMargin
 
   // --- Q69: exact rolling 7-day distinct users (DAU/WAU) --------------------
@@ -1129,6 +1135,144 @@ object Analytics {
       |SELECT event_type, h, s, s > hh AS alarm
       |FROM r ORDER BY event_type, h""".stripMargin
 
+  // --- Q89: lead-lag CROSS-correlation (view → purchase) --------------------
+  // q64's autocorrelation answers "does a series predict itself"; this lane
+  // answers the marketing question "do VIEWS at hour t predict PURCHASES at
+  // hour t+k" — the cross-series Pearson at lags 0..6 h. Same scale shape
+  // as q64: events collapse to hourly counts FIRST (one combining groupBy;
+  // pairs are |hours|·|lags|, a function of time span, never of volume),
+  // the shift is an integer epoch-hour equi-join against a 7-row broadcast
+  // lag spine, moments are exact BIGINT sums with DECIMAL(38,0)/HUGEINT
+  // products (q63 overflow discipline), and the only double is the final
+  // fixed num/√(d1·d2) chain. Hash-exact.
+  def q89LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val v = hourly.filter(col("event_type") === "view")
+      .select(col("h"), col("n").as("y0"))
+    val p = hourly.filter(col("event_type") === "purchase")
+      .select(col("h").as("hp"), col("n").as("y1"))
+    val lags = spark.range(7).select(col("id").as("lag"))
+    val pairs = v.join(broadcast(lags))
+      .join(p, col("hp") === col("h") + col("lag"))
+    val s = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y0")).as("s1"), sum(col("y1")).as("s2"),
+      sum(col("y0") * col("y0")).as("s11"),
+      sum(col("y1") * col("y1")).as("s22"),
+      sum(col("y0") * col("y1")).as("s12"))
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D)
+    val num = (d(col("n")) * d(col("s12")) - d(col("s1")) * d(col("s2"))).cast("double")
+    val d1 = (d(col("n")) * d(col("s11")) - d(col("s1")) * d(col("s1"))).cast("double")
+    val d2 = (d(col("n")) * d(col("s22")) - d(col("s2")) * d(col("s2"))).cast("double")
+    s.select(col("lag"), col("n"), col("s1"), col("s2"),
+        col("s11"), col("s22"), col("s12"),
+        // zero-variance guard: ANSI raises DIVIDE_BY_ZERO for DOUBLE
+        // division too, so a constant series (or a single-pair lag) must
+        // branch to null, not divide — mirrored in the oracle
+        when(d1 === 0.0 || d2 === 0.0, lit(null))
+          .otherwise(num / sqrt(d1 * d2)).as("xc"))
+      .orderBy(col("lag"))
+  }
+
+  val q89LeadLagSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2),
+      |v AS (SELECT h, n AS y0 FROM hourly WHERE event_type = 'view'),
+      |p AS (SELECT h AS hp, n AS y1 FROM hourly WHERE event_type = 'purchase'),
+      |l AS (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT) AS lag),
+      |pr AS (SELECT l.lag, v.y0, p.y1
+      |       FROM v CROSS JOIN l JOIN p ON p.hp = v.h + l.lag),
+      |s AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y0) AS BIGINT) AS s1, CAST(sum(y1) AS BIGINT) AS s2,
+      |         CAST(sum(y0*y0) AS BIGINT) AS s11,
+      |         CAST(sum(y1*y1) AS BIGINT) AS s22,
+      |         CAST(sum(y0*y1) AS BIGINT) AS s12
+      |  FROM pr GROUP BY 1)
+      |SELECT lag, n, s1, s2, s11, s22, s12,
+      |       CASE WHEN CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 = 0
+      |              OR CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 = 0
+      |            THEN NULL
+      |            ELSE CAST(CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS DOUBLE)
+      |              / sqrt(CAST(CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)
+      |                     * CAST(CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS DOUBLE))
+      |       END AS xc
+      |FROM s ORDER BY lag""".stripMargin
+
+  // --- Q91: ordered FUNNEL conversion (view → click → purchase) -------------
+  // The behavioral-analytics staple with the ORDER constraint done right:
+  // a user converts at stage k only via an event strictly AFTER their
+  // stage-(k−1) time — min(ts)-of-filtered-events chained through three
+  // combining groupBys + two user-keyed equi-joins (each join input is one
+  // row per user, shuffle on user_id, AQE-splittable). No per-user window
+  // or array collection: the sequential constraint is expressed as
+  // t2 = min(click ts > t1), t3 = min(purchase ts > t2) — associative
+  // min-aggregation at any scale. Output is per-cohort funnel counts with
+  // integer-bp conversion (q59 DIV discipline; a cohort with zero viewers
+  // nulls rather than divides). Hash-exact.
+  def q91Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .groupBy((col("user_id") % 4).as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click"),
+        count(col("t3")).as("n_purchase"))
+      .select(col("cohort"), col("n_users"), col("n_view"), col("n_click"),
+        col("n_purchase"),
+        when(col("n_view") === 0L, lit(null))
+          .otherwise(expr("n_purchase * 10000 div n_view")).as("conv_bp"))
+      .orderBy(col("cohort"))
+  }
+
+  val q91FunnelSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id % 4 AS cohort, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(count(t1.t1) AS BIGINT) AS n_view,
+      |       CAST(count(t2.t2) AS BIGINT) AS n_click,
+      |       CAST(count(t3.t3) AS BIGINT) AS n_purchase,
+      |       CASE WHEN count(t1.t1) = 0 THEN NULL
+      |            ELSE CAST(count(t3.t3) AS BIGINT) * 10000
+      |                 // CAST(count(t1.t1) AS BIGINT) END AS conv_bp
+      |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+      |       LEFT JOIN t2 ON u.user_id = t2.user_id
+      |       LEFT JOIN t3 ON u.user_id = t3.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- Q79: seasonal percentile envelope (hour-of-day anomaly gate) ---------
   // The seasonality-aware anomaly test the flat fences of q34_outliers
   // cannot express: 3 AM traffic that would be normal at 3 PM IS the
@@ -1230,6 +1374,8 @@ object Analytics {
       |ORDER BY a.wk, rank_gain DESC, a.part""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_lead_lag"    -> (q89LeadLag _),
+    "q91_funnel"      -> (q91Funnel _),
     "q79_seasonal_env" -> (q79SeasonalEnvelope _),
     "q80_rank_movers"  -> (q80RankMovers _),
     "q77_mad"         -> (q77Mad _),
@@ -1257,6 +1403,8 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_lead_lag"    -> q89LeadLagSql,
+    "q91_funnel"      -> q91FunnelSql,
     "q79_seasonal_env" -> q79SeasonalEnvelopeSql,
     "q80_rank_movers"  -> q80RankMoversSql,
     "q77_mad"         -> q77MadSql,

@@ -736,6 +736,67 @@ object Entity {
       |       CAST(sum(d) AS BIGINT) AS sum_d
       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --- Q88: HITS hubs & authorities (fixed-point, L1-normalized) -----------
+  // The directional counterpart of q55's PageRank on the SAME bipartite
+  // purchase graph, kept DIRECTED (customer → supplier): authority(s) =
+  // Σ w·hub(c) over in-edges, hub(c) = Σ w·auth(s) over out-edges, four
+  // iterations. Determinism is the q55 contract: scores are int64
+  // fixed-point units (H0 = 10⁶), every step BIGINT/DECIMAL `DIV`·`*`·`+`
+  // — bit-identical at any parallelism, replayed exactly by an unrolled
+  // DuckDB CTE chain. Power-iteration blow-up is handled by L1
+  // normalization in the SAME integer discipline: score' = raw·H0 DIV
+  // Σraw, with the (one-row) Σ broadcast back — floor leak ≤ 1 unit/node/
+  // iteration, ~10⁻⁶ relative. Raw products ride DECIMAL(38,0)/HUGEINT
+  // (Σ w·h crosses 2⁶³ near 10¹² weighted edges — the q63 overflow
+  // discipline). Scale shape per iteration: one shuffle-join of the small
+  // score frame onto the edge partitioning + one map-side-combining sum +
+  // one single-row agg broadcast — the q55 superstep, ×2 per iteration;
+  // edges persisted once, 4 iterations unrolled (the q57 fixed-round
+  // pattern, no driver loop state).
+  private val HitsIters = 4
+  private val HitsH0 = 1000000L
+
+  def q88Hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    graft.core.Hits.run(edges, HitsIters, HitsH0)
+      .orderBy(col("node"))
+  }
+
+  val q88HitsSql: String = {
+    // AS MATERIALIZED: every raw CTE is referenced twice (scores + its
+    // normalization total) — without it the inlined chain re-expands the
+    // whole upstream per reference, ~2^iters blowup (the Spark side
+    // answers the same hazard with persist())
+    val iterCtes = (1 to HitsIters).map { i =>
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT s, CAST(sum(CAST(w AS HUGEINT) * h) AS HUGEINT) AS ar
+         |  FROM p JOIN h${i - 1} USING (c) GROUP BY s),
+         |a$i AS MATERIALIZED (
+         |  SELECT s, CAST(ar * $HitsH0 // (SELECT sum(ar) FROM a${i}raw)
+         |  AS BIGINT) AS a FROM a${i}raw),
+         |h${i}raw AS MATERIALIZED (
+         |  SELECT c, CAST(sum(CAST(w AS HUGEINT) * a) AS HUGEINT) AS hr
+         |  FROM p JOIN a$i USING (s) GROUP BY c),
+         |h$i AS MATERIALIZED (
+         |  SELECT c, CAST(hr * $HitsH0 // (SELECT sum(hr) FROM h${i}raw)
+         |  AS BIGINT) AS h FROM h${i}raw)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |h0 AS (SELECT DISTINCT c, CAST($HitsH0 AS BIGINT) AS h FROM p),
+       |$iterCtes
+       |SELECT 'C' || c AS node, h AS score FROM h$HitsIters
+       |UNION ALL SELECT 'S' || s, a FROM a$HitsIters
+       |ORDER BY node""".stripMargin
+  }
+
   // --- Q86: graph modularity of an attribute partition ----------------------
   // "Do parts of the same brand co-sell?" — Newman modularity of the q62
   // co-purchase graph under the community partition c(part) = p_brand:
@@ -811,6 +872,7 @@ object Entity {
       |ORDER BY deg.community""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_hits"          -> (q88Hits _),
     "q86_modularity"    -> (q86Modularity _),
     "q83_degree_dist"   -> (q83DegreeDist _),
     "q81_apriori_rules" -> (q81AprioriRules _),
@@ -828,6 +890,7 @@ object Entity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_hits"          -> q88HitsSql,
     "q86_modularity"    -> q86ModularitySql,
     "q83_degree_dist"   -> q83DegreeDistSql,
     "q81_apriori_rules" -> q81AprioriRulesSql,

@@ -935,6 +935,52 @@ object TextOps {
       |         / CAST(count(*) * 10000 AS DOUBLE) AS fluency
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- Q90: Simpson lexical diversity (entropy without the logarithm) ------
+  // The corpus-health diversity number with the transcendental removed (ln
+  // is last-ulp divergent across libm — the q23_tfidf/q59 rule): Simpson's
+  // index Σpᵢ² and its inverse ("effective vocabulary" — the number of
+  // equally-common types that would produce the same collision rate), both
+  // in exact integer arithmetic. Per lang: simpson_bp = 10⁴·Σc² DIV N²,
+  // eff_vocab = N² DIV Σc² — a uniform corpus of V types gives exactly V,
+  // a single-type corpus gives 1. Σc² and N² ride DECIMAL(38,0)/HUGEINT
+  // (a 10¹²-token hot word crosses 2⁶³ squared). Shapes: one row-local
+  // explode at scan speed, one combining groupBy to the (lang, token)
+  // vocabulary, one ≤|langs|-row final agg. No doubles anywhere.
+  def q90Simpson(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast(D) * col("c").cast(D)).as("sum_c2"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"),
+        expr("CAST(sum_c2 * 10000 div (CAST(n_tokens AS DECIMAL(38,0)) " +
+          "* CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)").as("simpson_bp"),
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) " +
+          "* CAST(n_tokens AS DECIMAL(38,0))) div sum_c2 AS BIGINT)")
+          .as("eff_vocab"))
+      .orderBy(col("lang"))
+  }
+
+  val q90SimpsonSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM tok GROUP BY 1, 2),
+      |s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             CAST(count(*) AS BIGINT) AS n_distinct,
+      |             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum_c2
+      |      FROM v GROUP BY 1)
+      |SELECT lang, n_tokens, n_distinct,
+      |       CAST(sum_c2 * 10000
+      |            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+      |         AS simpson_bp,
+      |       CAST((CAST(n_tokens AS HUGEINT) * n_tokens) // sum_c2 AS BIGINT)
+      |         AS eff_vocab
+      |FROM s ORDER BY lang""".stripMargin
+
   // --- Q87: n-gram novelty vs a reference corpus half -----------------------
   // The contamination/freshness screen from the training-data playbook: how
   // much of the candidate half's trigram vocabulary is NEW relative to the
@@ -984,6 +1030,7 @@ object TextOps {
        |FROM v WHERE in_cand = 1 GROUP BY lang ORDER BY lang""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_simpson"       -> (q90Simpson _),
     "q87_ngram_novelty" -> (q87NgramNovelty _),
     "q59_bigram_lm"   -> (q59BigramLm _),
     "q57_bpe_merges"  -> (q57BpeMerges _),
@@ -1008,6 +1055,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q90_simpson"         -> q90SimpsonSql,
     "q87_ngram_novelty"   -> q87NgramNoveltySql,
     "q59_bigram_lm"       -> q59BigramLmSql,
     "q57_bpe_merges"      -> q57BpeMergesSql,
