@@ -822,9 +822,14 @@ object Entity {
       .distinct()
     val brand = Tables.part(spark, dir)
       .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+    // no broadcast() hint on the brand map: |parts| grows with scale, and
+    // a forced broadcast of an unbounded dimension is exactly what the r9
+    // no-broadcast audit exists to catch — the auto-threshold picks BHJ
+    // whenever the map genuinely fits and degrades to SMJ when it doesn't
+    // (the one-row m total below stays hinted: single row by construction)
     val tagged = edges
-      .join(broadcast(brand.select(col("node").as("a"), col("community").as("ca"))), Seq("a"))
-      .join(broadcast(brand.select(col("node").as("b"), col("community").as("cb"))), Seq("b"))
+      .join(brand.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(brand.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
     val m = tagged.agg(count(lit(1)).as("m"))
     val deg = tagged.select(col("ca").as("community"))
       .unionAll(tagged.select(col("cb").as("community")))
