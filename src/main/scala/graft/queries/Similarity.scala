@@ -438,6 +438,68 @@ object Similarity {
        |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- Q92: asymmetric CONTAINMENT over LSH candidates ---------------------
+  // Jaccard is symmetric and punishes size mismatch; the superset shapes a
+  // curation pipeline also hunts — a doc quoted inside a larger one, a
+  // paragraph-padded near-copy — need CONTAINMENT of the smaller side:
+  // c = |∩| / min(|A|,|B|). Same candidate machinery as q24_lsh_pairs
+  // (band keys → hot-bucket-split pair expansion — viral buckets route
+  // through the salted join, never one task), then the verify filters in
+  // exact INTEGER form first (10·|∩| ≥ 7·min — the q24_jaccard_sample
+  // conjunct-ordering lesson: one intersect in the filter, no division)
+  // and emits integer basis points only (q59 DIV; min(|sh|) ≥ 1 by the
+  // shingle guard, so the division is total). Scope note, documented: LSH
+  // banding is tuned for JACCARD, so containment recall decays with size
+  // ratio (a tiny doc inside a huge one rarely bands) — this lane audits
+  // containment AMONG banded candidates; full-recall containment search
+  // would band on the smaller side's shingles instead.
+  def q92Containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithShingles(spark, dir).persist()
+    val bands = bandKeysOf(d)
+      .select(col("band_id"), col("band_key"), struct(col("doc_id")).as("e"))
+    val (cold, hotRaw) = splitHotBuckets(bands, Seq("band_id", "band_key"), HotBucketCap)
+    val coldPairs = cold
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val hotPairs = hotRaw
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = coldPairs.unionByName(hotPairs).distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(lit(10) * col("isz") >=
+        lit(7) * least(size(col("sh_a")), size(col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long").as("small_sz"),
+        col("isz").cast("long").as("inter_sz"),
+        expr("CAST(isz AS BIGINT) * 10000 div least(size(sh_a), size(sh_b))")
+          .as("cont_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q92ContainmentSql: String =
+    s"""$dDuck,
+       |hsx AS (SELECT doc_id, $hsDuck AS hs FROM d),
+       |sig AS (SELECT doc_id, $sigDuck AS sig FROM hsx),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${BANDS - 1})) AS band_id, sig FROM sig),
+       |keys AS (SELECT doc_id, band_id,
+       |           md5(sig[3*band_id+1]::VARCHAR || ',' || sig[3*band_id+2]::VARCHAR
+       |               || ',' || sig[3*band_id+3]::VARCHAR) AS band_key FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM keys x JOIN keys y
+       |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS small_sz,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 10000
+       |         // CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS cont_bp
+       |FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
+       |WHERE 10 * len(list_intersect(a.sh, b.sh))
+       |        >= 7 * least(len(a.sh), len(b.sh))
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- Q24c': sketch CALIBRATION audit — estimated vs exact Jaccard -------
   // The parameter-validation lane a pipeline runs before trusting its LSH
   // configuration: for every banded candidate pair, the MinHash estimate
@@ -2004,6 +2066,7 @@ object Similarity {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_containment"    -> (q92Containment _),
     "q24_jaccard_sample" -> (q24JaccardSample _),
     "q25_embed_sample"  -> (q25EmbedSample _),
     "q56_jl_project"    -> (q56JlProject _),
@@ -2033,6 +2096,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q92_containment"    -> q92ContainmentSql,
     "q24_jaccard_sample" -> q24JaccardSampleSql,
     "q25_embed_sample"  -> q25EmbedSampleSql,
     "q56_jl_project"    -> q56JlProjectSql,
