@@ -98,6 +98,68 @@ object Bench {
       (0L, -1.0, Seq.empty[Double])
     }
 
+    // Streaming throughput: events parquet driven through the Q27 tumbling
+    // aggregation as a file stream (AvailableNow), rows/s wall-clock.
+    // Runs BEFORE the query loop for the same reason the ingest slice does
+    // (r10 VERDICT item 8 applied to the stream metric): 193 lanes of
+    // shuffle files, cache debris and GC debt contaminated the end-of-run
+    // placement ~2× (official r10: 35.5 k vs 64–85 k across the five
+    // uncontended band runs). Same harness discipline as the ingest reps
+    // (r10 item 1): GC barrier + settle action before each timed pass so
+    // the async ContextCleaner drains OUTSIDE the timed region, per-pass
+    // checkpoint dirs deleted, warm = median of 5 with the TEMPORAL rep
+    // array reported (never sorted) so run-to-run spread is visible.
+    // Measured twice+5: pass 1 (cold — stream-engine class-load + codegen
+    // first-touch), then 5 warm passes (fresh checkpoint, same files,
+    // warmed JVM). Warm median is the steady-state number a long-lived
+    // query would see. State-partition width scaled to the input like
+    // writeBronze's writeWidth: 32 state stores for ~39 k window rows
+    // spent more time in per-partition load/commit than in the
+    // aggregation (measured: 51 k rows/s warm at 32 partitions vs 79 k at
+    // 4–8; phase table in PLANS.md §Round-4). ~25 k input rows per state
+    // partition, floor 4, cap cpus — a 100 TB stream saturates the cap, a
+    // bench-sized one stops paying fixed per-store costs. Fresh
+    // checkpoints per pass, so the width is free to differ between runs.
+    val streamWidth =
+      graft.core.ApiLimitCalculator.streamStateWidth(nRows, cpus.toLong).toString
+    def streamPass(): Double = {
+      System.gc()
+      spark.range(1000).count() // settle: drain async cleaner outside timing
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
+      // raw file schema (nanos long or timestamp[us]), converted in-stream
+      // exactly as Tables.events does for batch
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // file streams want a directory: stream the sf dir filtered to the
+      // events file
+      val src = graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+      val t1 = System.nanoTime()
+      val q = graft.streaming.StreamingJobs.tumblingCounts(src)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rps = nRows / ((System.nanoTime() - t1) / 1e9)
+      rmTree(ckpt) // outside the timed region; dirs stranded until exit pre-r11
+      rps
+    }
+    val (streamRps, streamWarmRps, streamRepsRps) = try {
+      val cold = streamPass()
+      // warm = median of 5 (was 3 pre-r11): single warm passes swing ±25%
+      // (73–97 k measured on identical code) from checkpoint-dir FS and GC
+      // noise — same reasoning as the ingest median-of-7. The rep array is
+      // kept TEMPORAL for the report; only a sorted COPY picks the median.
+      val reps = (0 until 5).map(_ => streamPass())
+      (cold, reps.sorted.apply(2), reps)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream slice failed: ${e.getMessage}")
+      (-1.0, -1.0, Seq.empty[Double])
+    } finally spark.conf.set("spark.sql.shuffle.partitions", cpus) // restore the session width, not a hardcoded 32
+
     // Cold and warm failures tracked SEPARATELY (round-6 ADVICE): a query
     // that fails only its cold pass but succeeds warm still has a valid warm
     // (reported) measurement, so only warm-pass failures exclude a query from
@@ -185,54 +247,6 @@ object Bench {
       name -> warm
     }
 
-    // Streaming throughput: events parquet driven through the Q27 tumbling
-    // aggregation as a file stream (AvailableNow), rows/s wall-clock.
-    // Measured twice: pass 1 (cold — stream-engine class-load + codegen
-    // first-touch) and pass 2 (warm — fresh checkpoint, same files, warmed
-    // JVM). Warm is the steady-state number a long-lived query would see.
-    // State-partition width scaled to the input like writeBronze's
-    // writeWidth: 32 state stores for ~39 k window rows spent more time in
-    // per-partition load/commit than in the aggregation (measured: 51 k
-    // rows/s warm at 32 partitions vs 79 k at 4–8; phase table in PLANS.md
-    // §Round-4). ~25 k input rows per state partition, floor 4, cap cpus —
-    // a 100 TB stream saturates the cap, a bench-sized one stops paying
-    // fixed per-store costs. Fresh checkpoints per pass, so the width is
-    // free to differ between runs.
-    val streamWidth =
-      graft.core.ApiLimitCalculator.streamStateWidth(nRows, cpus.toLong).toString
-    def streamPass(): Double = {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
-      spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
-      // raw file schema (nanos long or timestamp[us]), converted in-stream
-      // exactly as Tables.events does for batch
-      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      // file streams want a directory: stream the sf dir filtered to the
-      // events file
-      val src = graft.core.Tables.normalizeEventTs(
-        spark.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
-      val t1 = System.nanoTime()
-      val q = graft.streaming.StreamingJobs.tumblingCounts(src)
-        .writeStream.format("noop").option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      nRows / ((System.nanoTime() - t1) / 1e9)
-    }
-    val (streamRps, streamWarmRps) = try {
-      val cold = streamPass()
-      // warm = median of 3: a single warm pass swings ±25% (73–97 k
-      // measured on identical code) from checkpoint-dir FS and GC noise —
-      // same reasoning as the ingest median-of-5
-      val warm = Seq(streamPass(), streamPass(), streamPass()).sorted.apply(1)
-      (cold, warm)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream slice failed: ${e.getMessage}")
-      (-1.0, -1.0)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", cpus) // restore the session width, not a hardcoded 32
-
     // r10 (VERDICT r9 item 2): the GATED headline is now the FULL-
     // MATERIALIZATION (noop-sink) metric. count()-based timing lets
     // Catalyst prune columns the count does not need, so a lane whose cost
@@ -252,11 +266,17 @@ object Bench {
     // ADVICE), but a cold-only failure leaves the warm number valid (r6)
     val countedTotal = results.collect { case (k, v) if !failedWarm(k) => v }.sum
     // `failed` (driver contract) = lanes with no valid GATED measurement,
-    // i.e. noop-pass failures; warm/cold count-pass failures ride along.
+    // i.e. noop-pass failures. The warm/cold count-pass ride-along lists
+    // hold ONLY lanes not already in the gated list (r10 ADVICE: the old
+    // failed_cold filtered against failedWarm while the gate had moved to
+    // noop, classifying a cold+noop-fail/warm-pass lane inconsistently) —
+    // each lane appears in exactly one of the three failure lists.
     val failedJson = failedNoop.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failedWarmJson = failedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failedColdJson =
-      failedCold.filterNot(failedWarm).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedWarmJson =
+      failedWarm.filterNot(failedNoop).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedColdJson = failedCold
+      .filterNot(n => failedWarm(n) || failedNoop(n))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Key order is deliberate: cold/counted dicts FIRST, the gated dict
     // (`queries`, what BASELINE.md targets compare against) LAST among the
     // dicts — a tail window of this (long) line, which is what a
@@ -268,6 +288,7 @@ object Bench {
       s""""ingest_rows_per_sec":$ingestRps,"ingest_rows":$nRows,""" +
       s""""ingest_reps_rows_per_sec":${ingestRepsRps.mkString("[", ",", "]")},""" +
       s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
+      s""""stream_reps_rows_per_sec":${streamRepsRps.mkString("[", ",", "]")},""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$qsNoop,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
@@ -300,6 +321,9 @@ object Bench {
     val ingestSpread =
       if (ingestRepsRps.isEmpty || ingestRepsRps.min <= 0) -1.0
       else r3(ingestRepsRps.max / ingestRepsRps.min)
+    val streamSpread =
+      if (streamRepsRps.isEmpty || streamRepsRps.min <= 0) -1.0
+      else r3(streamRepsRps.max / streamRepsRps.min)
     val compact = s"""{"metric":"total_noop","value":${r3(noopTotal)},"unit":"sec",""" +
       s""""n_queries":${results.size},"noop_mean":${r3(noopMean)},""" +
       s""""noop_p50":${r3(noopP50)},"noop_p95":${r3(noopP95)},"noop_max":${r3(noopMax)},""" +
@@ -308,6 +332,7 @@ object Bench {
       s""""ingest_rows_per_sec":${math.rint(ingestRps)},"ingest_rep_spread":$ingestSpread,""" +
       s""""stream_rows_per_sec":${math.rint(streamRps)},""" +
       s""""stream_warm_rows_per_sec":${math.rint(streamWarmRps)},""" +
+      s""""stream_rep_spread":$streamSpread,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$slowest,""" +
       s""""queries_note":"15 slowest noop lanes; full dicts in bench_result.json","sf":"$sfDir"}"""

@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descendi
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparator
 
 import scala.collection.mutable
 
@@ -54,14 +55,22 @@ import scala.collection.mutable
   * `spark.graft.topk.maxBufferBytes` (default 64 MB/task; 0 disables,
   * leaving the TMM reservation as the only bound).
   * The FINAL phase cannot flush (two flushes of one key would emit up to
-  * 2k rows), but its live map is exactly the operator's OUTPUT for the
-  * partition — k rows per key resident in that partition — i.e. the same
-  * working set the window-rank plan's sorted partition holds, minus the
-  * non-retained rows; it still RESERVES its footprint (best-effort, never
-  * flushing) so the memory manager sees it, and a final partition whose
-  * OUTPUT outgrows task memory needs more shuffle partitions, the same
-  * remedy as any aggregate. `numFlushes` in the node's SQL metrics counts
-  * partial-phase resets so the degradation is observable in the UI.
+  * 2k rows) — its live map is the operator's OUTPUT for the partition, k
+  * rows per key resident — so its pressure escape (r10 verdict task 3;
+  * pre-r11 it reserved best-effort and could only OOM) is SORT-based,
+  * the same duality as hash-aggregate → sort-aggregate fallback: on the
+  * first refused reservation the map's rows are handed to a spill-capable
+  * [[org.apache.spark.sql.execution.UnsafeExternalRowSorter]] ordered by
+  * (grouping, order), the map's quota is released, the partition's
+  * REMAINING input streams into the sorter (which spills to disk under
+  * its own TaskMemoryManager consumer — bounded memory by construction),
+  * and the output is the first k rows of each key group read off the
+  * sorted run. Degradation is throughput (an external sort of the final
+  * partition — exactly the window-rank plan's cost), never memory.
+  * `spark.graft.topk.finalMaxBytes` (default 0 = TMM-only) deterministically
+  * forces the switch for tests. `numFlushes` counts partial-phase resets
+  * and `numSortFallbacks` final-phase switches, so both degradations are
+  * observable in the UI.
   *
   * Pieces, the full custom-operator stack:
   *  - [[TopKPerKey]]      — logical `UnaryNode`; unresolved attributes are
@@ -130,11 +139,13 @@ case class TopKPerKeyExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "partial-phase map flushes"))
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "partial-phase map flushes"),
+    "numSortFallbacks" -> SQLMetrics.createMetric(sparkContext, "final-phase sort fallbacks"))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val numFlushes = longMetric("numFlushes")
+    val numSortFallbacks = longMetric("numSortFallbacks")
     val (kLocal, groupingLocal, orderLocal, attrs) = (k, grouping, order, child.output)
     val isPartial = partial
     // Deterministic backstop caps, read at plan time (executor-side code
@@ -148,11 +159,14 @@ case class TopKPerKeyExec(
     // Default 64 MB/task: with 32 local threads that is ≤2 GiB aggregate —
     // safe under an 8 GiB heap even if the estimate drifts — while a flush
     // every 64 MB costs nothing measurable. 0 disables the hard cap
-    // (TMM reservation still applies).
+    // (TMM reservation still applies). For the FINAL phase, finalMaxBytes
+    // (default 0 = TMM-reservation-only) deterministically forces the
+    // sort fallback — the test hook for the pressure path.
     val maxBytes: Long =
       if (partial)
         conf.getConfString("spark.graft.topk.maxBufferBytes", (64L << 20).toString).toLong
-      else 0L
+      else
+        conf.getConfString("spark.graft.topk.finalMaxBytes", "0").toLong
     child.execute().mapPartitions({ iter =>
       // Codegen'd comparator + key projection are built ON the executor —
       // generated classes are not serializable.
@@ -192,15 +206,20 @@ case class TopKPerKeyExec(
         }
       }
       // Accounts `bytes` against the reservation; returns false ⇒ the
-      // caller must flush. Final phase reserves best-effort but never
-      // reports pressure (it cannot flush — see class doc).
+      // caller must escape pressure (partial: flush the map; final: switch
+      // to the sort fallback). Pre-r11 the final phase returned true on a
+      // failed acquire ("best-effort") and then re-entered this loop on
+      // EVERY subsequent insert, hammering an exhausted pool with ≥1 MB
+      // requests (r10 ADVICE) — now a failed acquire reports pressure in
+      // both phases and the final phase stops reserving entirely once it
+      // has switched modes.
       def reserve(bytes: Long): Boolean = {
         batchUsed += bytes
-        if (isPartial && maxBytes > 0L && batchUsed > maxBytes) return false
+        if (maxBytes > 0L && batchUsed > maxBytes) return false
         if (consumer != null) {
           while (batchReserved < batchUsed) {
             val got = consumer.acquireMemory(math.max(batchUsed - batchReserved, 1L << 20))
-            if (got <= 0L) return !isPartial
+            if (got <= 0L) return false
             batchReserved += got
             outstanding += got
           }
@@ -265,6 +284,86 @@ case class TopKPerKeyExec(
           override def next(): InternalRow = inner.next()
         }
       }
+      // ---- FINAL-phase pressure escape: external-sort fallback ---------
+      // The hash-agg → sort-agg duality for top-k: hand every buffered row
+      // plus the partition's remaining input to a spill-capable external
+      // sorter ordered by (grouping, order), release the map's quota, and
+      // stream the first k rows of each key group off the sorted run —
+      // identical output multiset (arbitrary tie winners either way, the
+      // operator's declared contract). UnsafeExternalRowSorter manages its
+      // own TaskMemoryManager consumer and spills to disk under pressure,
+      // and registers task-completion cleanup itself, so memory stays
+      // bounded from here on no matter the partition's key cardinality.
+      def sortFallback(pending: InternalRow): Iterator[InternalRow] = {
+        numSortFallbacks += 1
+        val sortOrder = groupingLocal.map(SortOrder(_, Ascending)) ++ orderLocal
+        val fullOrd: Ordering[InternalRow] = GenerateOrdering.generate(sortOrder, attrs)
+        val schema = org.apache.spark.sql.types.StructType(
+          attrs.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        val zeroPrefix = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val noPrefixCmp = new PrefixComparator {
+          override def compare(a: Long, b: Long): Int = 0
+        }
+        val tmm = org.apache.spark.graftshim.TaskMemoryShim.currentTaskMemoryManager()
+        val pageSize = if (tmm != null) tmm.pageSizeBytes() else 1L << 20
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, fullOrd, noPrefixCmp, zeroPrefix, pageSize, false)
+        val toUnsafe = UnsafeProjection.create(attrs, attrs)
+        def ins(r: InternalRow): Unit = r match {
+          case u: UnsafeRow => sorter.insertRow(u)
+          case o            => sorter.insertRow(toUnsafe(o))
+        }
+        // Map rows first (they are live copies), then clear the map and
+        // release its quota BEFORE streaming the remaining input — the
+        // sorter acquires its pages from the same pool the map vacates.
+        import scala.jdk.CollectionConverters._
+        heaps.values().asScala.foreach(_.foreach(ins))
+        heaps.clear()
+        if (consumer != null && batchReserved > 0L) {
+          consumer.freeMemory(batchReserved)
+          outstanding -= batchReserved
+        }
+        batchUsed = 0L
+        batchReserved = 0L
+        ins(pending)
+        while (iter.hasNext) ins(iter.next())
+        val sorted = sorter.sort()
+        // First k per key group off the sorted run. No prefetch: the
+        // sorter's iterator reuses its row buffer on next(), so scanning
+        // ahead would invalidate the row the caller still holds — rows are
+        // found inside hasNext (called by the consumer only after it is
+        // done with the previous row, the standard operator contract).
+        new Iterator[InternalRow] {
+          private var pendingRow: InternalRow = null
+          private var curKey: UnsafeRow = null
+          private var emitted = 0
+          override def hasNext: Boolean = {
+            while (pendingRow == null && sorted.hasNext) {
+              val r = sorted.next()
+              val key = keyProj(r)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy()
+                emitted = 0
+              }
+              if (emitted < kLocal) {
+                emitted += 1
+                pendingRow = r
+              }
+            }
+            pendingRow != null
+          }
+          override def next(): InternalRow = {
+            val r = pendingRow; pendingRow = null; r
+          }
+        }
+      }
+      // ------------------------------------------------------------------
+
       val batches = new Iterator[Iterator[InternalRow]] {
         private var done = false
         override def hasNext: Boolean = !done
@@ -272,6 +371,8 @@ case class TopKPerKeyExec(
           while (iter.hasNext) {
             val row = iter.next()
             if (!offer(row, keyProj(row))) {
+              done = !isPartial
+              if (!isPartial) return sortFallback(row)
               // flush, then the rejected row seeds the next batch's map
               val out = drainBatch()
               numFlushes += 1

@@ -952,8 +952,11 @@ object Analytics {
   // pairs by equi-join on h+lag so gap hours simply drop; 2-row lag
   // broadcast) but measures absolute error, not correlation. MAE stays
   // integral: Σ|y−ŷ| is a BIGINT sum, the DIV by n is non-negative (the
-  // signed bias is emitted as a RAW sum — Spark `div` truncates toward
-  // zero while DuckDB `//` floors, so negative quotients are never taken).
+  // signed bias is emitted as a RAW sum — keeping quotients non-negative
+  // also sidesteps any rounding-mode doubt; measured r11: Spark `div` AND
+  // DuckDB `//` BOTH truncate toward zero, (-7)//2 = -3 on both engines,
+  // so negative-quotient lanes like q86's dq_bp are parity-safe too —
+  // ModularityNoveltySpec pins a negative-quotient fixture).
   // If mae@24 < mae@1 the series has exploitable daily structure — the
   // decision this lane exists to make, cheaply, at any scale.
   def q70Backtest(spark: SparkSession, dir: String): DataFrame = {

@@ -809,8 +809,12 @@ object Entity {
   // on the community key (≤ |brands| rows at any scale). Exactness: the
   // bp contribution is all-integer in DECIMAL(38,0) — dq_bp =
   // (4m·in_c − deg_c²)·10⁴ div 4m² (deg² and 4m² cross 2⁶³ near 10¹⁰
-  // edges); the double dq is the fixed chain in/m − (deg/2m)². Ordered by
-  // community: hash-exact.
+  // edges); the double dq is the fixed chain in/m − (deg/2m)². The
+  // numerator goes NEGATIVE for cross-heavy communities, so this lane
+  // relies on negative-quotient div parity: measured (r11), Spark `div`
+  // and DuckDB `//` BOTH truncate toward zero ((-7)//2 = -3 on each) —
+  // ModularityNoveltySpec pins a −40000 div 36 = −1111 fixture. Ordered
+  // by community: hash-exact.
   def q86Modularity(spark: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val edges = Tables.lineitem(spark, dir)

@@ -39,37 +39,66 @@ object SweepScale {
     lanes.foreach { case (name, fn) =>
       val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // The lane runs on its OWN thread (r10 ADVICE): cancelJobGroup only
+      // unblocks a lane stuck in a Spark job — a lane stuck DRIVER-side
+      // (plan building, driver-held loops between jobs) has no job to
+      // cancel, so the watchdog escalates to interrupting this thread.
+      // Job groups are thread-local: set inside the runner.
+      val results =
+        new java.util.concurrent.atomic.AtomicReferenceArray[Either[String, Double]](2)
+      lazy val runner: Thread = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"sweep-$name", name, interruptOnCancel = true)
+        def onePass(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, out).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(if (cancelled.get()) "timeout"
+                   else s"error:${e.getClass.getSimpleName}")
+          }
+        }
+        val r0 = onePass()
+        results.set(0, r0)
+        val r1 = if (r0.isRight && !cancelled.get()) onePass() else r0
+        results.set(1, r1)
+        spark.sparkContext.clearJobGroup()
+        done.set(true)
+      }, s"sweep-runner-$name")
       // watchdog: repeated cancel — a lane with a driver-side loop submits
       // NEW jobs into the same group after a one-shot cancel, so keep
-      // cancelling until the lane's thread exits the timed region
+      // cancelling until the lane's thread exits the timed region; after
+      // ~10 s of failed cancels, interrupt the runner (best-effort — a
+      // dev tool may leave the session untidy, never hung).
       val watchdog = new Thread(() => {
         val deadline = System.nanoTime() + timeoutSec * 1000000000L
         while (!done.get() && System.nanoTime() < deadline)
           Thread.sleep(250)
+        var cancels = 0
         while (!done.get()) {
           cancelled.set(true)
           spark.sparkContext.cancelJobGroup(s"sweep-$name")
+          cancels += 1
+          if (cancels >= 5) runner.interrupt()
           Thread.sleep(2000)
         }
       })
       watchdog.setDaemon(true)
-      def onePass(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, out).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            Left(if (cancelled.get()) "timeout"
-                 else s"error:${e.getClass.getSimpleName}")
-        }
-      }
-      spark.sparkContext.setJobGroup(s"sweep-$name", name, interruptOnCancel = true)
+      runner.setDaemon(true)
+      runner.start()
       watchdog.start()
-      val r0 = onePass()
-      val r1 = if (r0.isRight && !cancelled.get()) onePass() else r0
+      // grace beyond the lane timeout for the cancel/interrupt cascade;
+      // a runner that survives even the interrupts is abandoned (daemon)
+      runner.join((timeoutSec + 90) * 1000L)
+      if (runner.isAlive) {
+        cancelled.set(true)
+        runner.interrupt()
+        runner.join(30000L)
+      }
       done.set(true)
-      spark.sparkContext.clearJobGroup()
+      val r0 = Option(results.get(0)).getOrElse(Left("timeout"): Either[String, Double])
+      val r1 = Option(results.get(1)).getOrElse(r0)
       try {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

@@ -46,6 +46,23 @@ class ModularityNoveltySpec extends SparkSpec {
     }
   }
 
+  test("q86: cross-heavy communities take NEGATIVE dq_bp with a non-exact " +
+    "quotient — truncation-toward-zero parity pinned (r10 ADVICE)") {
+    // triangle 1–2–3 with 1 alone in B1: m = 3; B1 deg 2, in_c 0 ⇒
+    // (0 − 4)·10⁴ div 36 = −40000 div 36 = −1111 when truncating toward
+    // zero (flooring would give −1112 — the divergence the old docs
+    // wrongly claimed; measured: DuckDB `//` truncates, (-7)//2 = -3).
+    val m = mod(Seq((1L, Seq(1L, 2L)), (2L, Seq(1L, 3L)), (3L, Seq(2L, 3L))),
+      Map(1L -> "B1", 2L -> "B2", 3L -> "B2"))
+    val (inB1, degB1, mB1, bpB1, dqB1) = m("B1")
+    assert(inB1 === 0L && degB1 === 2L && mB1 === 3L)
+    assert(bpB1 === -1111L) // NOT −1112: truncation, matching DuckDB
+    assert(dqB1 < 0.0)
+    // B2: deg 4, in_c 1 ⇒ (12 − 16)·10⁴ div 36 = −1111 as well
+    val (inB2, degB2, _, bpB2, dqB2) = m("B2")
+    assert(inB2 === 1L && degB2 === 4L && bpB2 === -1111L && dqB2 < 0.0)
+  }
+
   test("q86: matches the brute-force Newman sum on a seeded basket corpus") {
     val rnd = new scala.util.Random(86)
     val baskets = (1L to 30L).map(ok =>

@@ -161,6 +161,52 @@ class TopKStrategySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxBufferBytes")
   }
 
+  test("FINAL-phase pressure switches to the external-sort fallback; results stay exact") {
+    // r10 verdict task 3: pre-r11 the final phase reserved best-effort and
+    // had no pressure path — a high-cardinality final partition could only
+    // OOM. Forcing pressure deterministically via the finalMaxBytes hook
+    // (the same reserve()-refusal branch a real acquireMemory exhaustion
+    // takes) must now hand the partition to the spill-capable external
+    // sorter and still produce the exact row set, with the switch counted
+    // in the node's metrics — graceful degradation, not an executor OOM.
+    val run = () => GraftPlans.topKPerKey(
+      orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val unbounded = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.topk.finalMaxBytes", "16384")
+    try {
+      val pressured = run()
+      val got = pressured.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == unbounded,
+        s"diff: missing=${unbounded -- got} extra=${got -- unbounded}")
+      val nodes = collectPhysical(pressured.queryExecution.executedPlan)
+      val fin = nodes.collect { case t: TopKPerKeyExec if !t.partial => t }.head
+      assert(fin.metrics("numSortFallbacks").value > 0,
+        "16 KiB final cap over ~1500 rows must have switched to the sort fallback")
+    } finally spark.conf.unset("spark.graft.topk.finalMaxBytes")
+  }
+
+  test("final-phase sort fallback handles null keys / null order values exactly") {
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (1L, 1L, 10.0), (1L, 2L, null), (1L, 3L, 30.0), (1L, 4L, 20.0),
+      (null, 5L, 50.0), (null, 6L, null), (null, 7L, 70.0),
+      (2L, 8L, null), (2L, 9L, null)
+    ).toDF("k", "id", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val twin = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.topk.finalMaxBytes", "1") // every final partition falls back
+    try {
+      val custom = GraftPlans.topKPerKey(rows, Seq("k"), Seq(("v", false), ("id", true)), 2)
+        .select(col("id")) // metrics must be read off the EXECUTED frame's plan
+      val got = custom.collect().map(_.getLong(0)).toSet
+      assert(got == twin, s"custom $got vs window $twin")
+      val nodes = collectPhysical(custom.queryExecution.executedPlan)
+      val fin = nodes.collect { case t: TopKPerKeyExec if !t.partial => t }.head
+      assert(fin.metrics("numSortFallbacks").value > 0)
+    } finally spark.conf.unset("spark.graft.topk.finalMaxBytes")
+  }
+
   test("composes downstream: aggregate over the custom node") {
     val df = GraftPlans.topKPerKey(
         orders, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
