@@ -451,8 +451,8 @@ object Similarity {
   // shingle guard, so the division is total). Scope note, documented: LSH
   // banding is tuned for JACCARD, so containment recall decays with size
   // ratio (a tiny doc inside a huge one rarely bands) — this lane audits
-  // containment AMONG banded candidates; full-recall containment search
-  // would band on the smaller side's shingles instead.
+  // containment AMONG banded candidates; [[q93ContainmentFull]] is the
+  // full-recall path (smaller-side prefix filtering, r11).
   def q92Containment(spark: SparkSession, dir: String): DataFrame = {
     val d = docsWithShingles(spark, dir).persist()
     val bands = bandKeysOf(d)
@@ -499,6 +499,92 @@ object Similarity {
        |WHERE 10 * len(list_intersect(a.sh, b.sh))
        |        >= 7 * least(len(a.sh), len(b.sh))
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- Q93: FULL-RECALL containment via smaller-side prefix filtering ------
+  // Closes q92's documented recall gap (r10 verdict task 2): q92 detects
+  // containment only among JACCARD-tuned LSH candidates, so a 28-shingle
+  // quote inside a 10 k-shingle doc — jaccard ≈ 0.003, signatures disjoint
+  // in every band with near certainty — is found only by luck. This lane
+  // bands on the SMALLER side instead, with the classic prefix-filter
+  // recall guarantee (Bayardo et al., "Scaling Up All Pairs Similarity
+  // Search", WWW'07, applied to the containment/overlap measure):
+  //
+  //   if |A∩B| ≥ ⌈τ·|A|⌉ (A the smaller side), then at most
+  //   |A| − ⌈τ·|A|⌉ of A's shingles miss B, so ANY fixed-order prefix of
+  //   |A| − ⌈τ·|A|⌉ + 1 of A's shingles intersects B — a pair with
+  //   containment ≥ τ is emitted by the prefix⋈postings join BY
+  //   CONSTRUCTION, for any global shingle order.
+  //
+  // The order is chosen for SCALE: document-frequency ascending (ties by
+  // md5-hash, then shingle — total, engine-identical), so each doc's
+  // prefix holds its ~30% RAREST shingles and the candidate cost
+  // Σ_s pref_cnt(s)·df(s) collapses — a viral boilerplate shingle
+  // (df = 10⁷ at 100 TB) enters a prefix only when a doc has nothing
+  // rarer, instead of fanning out df² pairs from every prefix. The
+  // remaining skew (a genuinely hot prefix shingle) is input-skew on a
+  // plain equi-join — AQE's skew-join split territory, not the
+  // materialize-a-bucket failure mode (no per-key array is ever built).
+  // Shapes, all linear-ish: one explode (postings), one combining groupBy
+  // (df), one doc-partitioned window (prefix rank), one equi-join on the
+  // shingle + distinct, and the same candidate-sized verify join as q92.
+  // The smaller side is designated pairwise (n_small < n_large, ids
+  // breaking ties) so each unordered pair is probed exactly once by the
+  // side whose threshold defines containment. Verify filters in exact
+  // integer form first (10·|∩| ≥ 7·|A|, conjunct-ordering lesson), then
+  // emits integer basis points — min(|sh|) ≥ 1 by the shingle guard, so
+  // the division is total. ContainmentFullSpec pins the size-ratio ≥ 10
+  // fixture q92 provably misses, and q93 ⊇ q92 on real corpora.
+  def q93ContainmentFull(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithShingles(spark, dir).persist()
+    val post = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = post.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), expr(h60("s")), col("s"))))
+    // prefix length |A| − ⌈0.7·|A|⌉ + 1, all-integer: ⌈7n/10⌉ = (7n+9) div 10
+    val pref = ordered.filter(col("rn") <= col("n") - expr("(7*n+9) div 10") + lit(1))
+      .select(col("s"), col("doc_id").as("doc_small"), col("n").as("n_small"))
+    val cand = pref
+      .join(post.select(col("s"), col("doc_id").as("doc_large"), col("n").as("n_large")), "s")
+      .filter(col("n_small") < col("n_large") ||
+        (col("n_small") === col("n_large") && col("doc_small") < col("doc_large")))
+      .select(col("doc_small"), col("doc_large"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_small"), col("sh").as("sh_a")), "doc_small")
+      .join(d.select(col("doc_id").as("doc_large"), col("sh").as("sh_b")), "doc_large")
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(lit(10) * col("isz") >= lit(7) * size(col("sh_a")))
+      .select(col("doc_small"), col("doc_large"),
+        size(col("sh_a")).cast("long").as("small_sz"),
+        col("isz").cast("long").as("inter_sz"),
+        expr("CAST(isz AS BIGINT) * 10000 div size(sh_a)").as("cont_bp"))
+      .orderBy(col("doc_small"), col("doc_large"))
+  }
+
+  val q93ContainmentFullSql: String =
+    s"""$dDuck,
+       |post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+       |dfreq AS (SELECT s, COUNT(*) AS df FROM post GROUP BY s),
+       |ord AS (SELECT p.doc_id, p.n, p.s,
+       |          row_number() OVER (PARTITION BY p.doc_id
+       |            ORDER BY f.df, ${h60d("p.s")}, p.s) AS rn
+       |        FROM post p JOIN dfreq f USING (s)),
+       |pref AS (SELECT doc_id, n, s FROM ord WHERE rn <= n - (7*n+9)//10 + 1),
+       |cand AS (SELECT DISTINCT pref.doc_id AS doc_small, post.doc_id AS doc_large
+       |         FROM pref JOIN post ON pref.s = post.s
+       |         WHERE pref.n < post.n
+       |            OR (pref.n = post.n AND pref.doc_id < post.doc_id))
+       |SELECT c.doc_small, c.doc_large,
+       |       CAST(len(a.sh) AS BIGINT) AS small_sz,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 10000
+       |         // CAST(len(a.sh) AS BIGINT) AS cont_bp
+       |FROM cand c JOIN d a ON a.doc_id = c.doc_small
+       |            JOIN d b ON b.doc_id = c.doc_large
+       |WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 7 * len(a.sh)
+       |ORDER BY doc_small, doc_large""".stripMargin
 
   // --- Q24c': sketch CALIBRATION audit — estimated vs exact Jaccard -------
   // The parameter-validation lane a pipeline runs before trusting its LSH
@@ -2067,6 +2153,7 @@ object Similarity {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_containment"    -> (q92Containment _),
+    "q93_containment_full" -> (q93ContainmentFull _),
     "q24_jaccard_sample" -> (q24JaccardSample _),
     "q25_embed_sample"  -> (q25EmbedSample _),
     "q56_jl_project"    -> (q56JlProject _),
@@ -2097,6 +2184,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q92_containment"    -> q92ContainmentSql,
+    "q93_containment_full" -> q93ContainmentFullSql,
     "q24_jaccard_sample" -> q24JaccardSampleSql,
     "q25_embed_sample"  -> q25EmbedSampleSql,
     "q56_jl_project"    -> q56JlProjectSql,
