@@ -180,9 +180,7 @@ object Bench {
     // per-query failures) must still be emitted on a broken session
     def hygiene(): Unit =
       try {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        GraftSession.releaseCaches(spark) // the r11 first-class API; see its scaladoc
         System.gc()
       } catch { case _: Throwable => () }
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()

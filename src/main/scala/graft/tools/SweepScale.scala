@@ -37,6 +37,16 @@ object SweepScale {
     println(s"[sweep$copies] ${lanes.size} lanes, timeout ${timeoutSec}s, corpus $out")
 
     lanes.foreach { case (name, fn) =>
+      // An executor OOM in local mode trips SparkUncaughtExceptionHandler
+      // and stops the context — every later lane would then fail with a
+      // misleading IllegalStateException (observed r11, 128× q24_lsh_pairs
+      // heap OOM poisoning 7 lanes). Abort the sweep loudly instead.
+      if (spark.sparkContext.isStopped) {
+        println(s"[sweep$copies] lane=$name status=aborted-context-stopped " +
+          "(an earlier lane killed the SparkContext — fix/re-run from here)")
+        Console.out.flush()
+        return
+      }
       val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       // The lane runs on its OWN thread (r10 ADVICE): cancelJobGroup only

@@ -65,6 +65,100 @@ class ConcurrentWriterSpec extends SparkSpec {
     assert(state(dir) == Set((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
   }
 
+  test("two REAL writer threads racing one store: loud loser or clean serialization, never a lost update") {
+    // r10 verdict task 7: the seam-based test above proves conflict
+    // DETECTION deterministically; this one proves the protocol under
+    // actual interleaving — two threads, full applyCdcBatch each, no
+    // seams. Both derive from the same base with the staging write
+    // (~0.5 s of Spark work) between base-read and lock, so overlap is
+    // near-certain; the spec still accepts the serial outcome and pins
+    // the invariant either way: every batch either publishes its row or
+    // throws ConcurrentModificationException — no third state.
+    import scala.jdk.CollectionConverters._
+    var conflicts = 0
+    (0 until 3).foreach { round =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ccw_race$round").toString
+      StreamingJobs.applyCdcBatch(
+        Seq(Chg(1L, "insert", 1.0, "base", in_chg = true)).toDF(), dir, 0L)
+      val df1 = Seq(Chg(2L, "insert", 2.0, "W1", in_chg = true)).toDF()
+      val df2 = Seq(Chg(3L, "insert", 3.0, "W2", in_chg = true)).toDF()
+      val errs = new java.util.concurrent.ConcurrentHashMap[Long, Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      def writer(id: Long, df: org.apache.spark.sql.DataFrame) = new Thread(() => {
+        start.await()
+        try StreamingJobs.applyCdcBatch(df, dir, id)
+        catch { case t: Throwable => errs.put(id, t) }
+      })
+      val (t1, t2) = (writer(1L, df1), writer(2L, df2))
+      t1.start(); t2.start(); start.countDown(); t1.join(); t2.join()
+
+      errs.values.asScala.foreach(t => assert(
+        t.isInstanceOf[java.util.ConcurrentModificationException],
+        s"loser must abort LOUDLY with CME, got $t"))
+      assert(errs.size <= 1, s"at most one loser per race, got ${errs.size}")
+      val vs = StreamingJobs.listVersions(dir).sorted
+      val st = state(dir)
+      if (errs.isEmpty) { // serialized cleanly: both rows present
+        assert(vs == Seq(0L, 1L, 2L))
+        assert(st == Set((1L, 1.0, "base"), (2L, 2.0, "W1"), (3L, 3.0, "W2")))
+      } else {            // conflict: winner's row present, loser published NOTHING
+        conflicts += 1
+        val loser = errs.keys.asScala.next()
+        val winner = 3L - loser
+        assert(vs == Seq(0L, winner))
+        val winnerRow = if (winner == 1L) (2L, 2.0, "W1") else (3L, 3.0, "W2")
+        assert(st == Set((1L, 1.0, "base"), winnerRow))
+        // loser retries against the new latest: the update is never LOST
+        val retryDf = if (loser == 1L) df1 else df2
+        StreamingJobs.applyCdcBatch(retryDf, dir, 3L)
+        assert(state(dir) ==
+          Set((1L, 1.0, "base"), (2L, 2.0, "W1"), (3L, 3.0, "W2")))
+      }
+    }
+    info(s"real-race interleavings: $conflicts/3 conflicted (0 = all serialized; " +
+      "both outcomes are protocol-correct)")
+  }
+
+  test("vacuum racing a live committer: lock serializes, no vacuum error, no broken lineage") {
+    // One thread commits batches 6..12 while another vacuums keepLast=2 in
+    // a tight loop. The lock must serialize vacuum's list+delete against
+    // the committer's recheck+publish: vacuum never throws, never deletes
+    // a base out from under a derivation (keepLast ≥ 2 keeps every
+    // replay base), and the final lineage carries EVERY committed row.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccw_vac_race").toString
+    (0 to 5).foreach { i =>
+      StreamingJobs.applyCdcBatch(
+        Seq(Chg(i.toLong, "insert", i.toDouble, "A", in_chg = true)).toDF(), dir, i.toLong)
+    }
+    val dfs = (6 to 12).map(i =>
+      i.toLong -> Seq(Chg(i.toLong, "insert", i.toDouble, "A", in_chg = true)).toDF()).toMap
+    val commitErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val vacErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val committer = new Thread(() => {
+      try (6 to 12).foreach(i => StreamingJobs.applyCdcBatch(dfs(i.toLong), dir, i.toLong))
+      catch { case t: Throwable => commitErr.set(t) }
+    })
+    val vacuum = new Thread(() => {
+      while (!stop.get()) {
+        try StreamingJobs.vacuumVersions(dir, keepLast = 2)
+        catch { case t: Throwable => vacErrs.add(t) }
+        Thread.sleep(5)
+      }
+    })
+    committer.start(); vacuum.start()
+    committer.join(); stop.set(true); vacuum.join()
+    assert(commitErr.get() == null, s"committer failed: ${commitErr.get()}")
+    assert(vacErrs.isEmpty, s"vacuum errors: ${vacErrs.asScala.mkString("; ")}")
+    // lineage intact: the final state carries every insert 0..12
+    assert(state(dir) == (0 to 12).map(i => (i.toLong, i.toDouble, "A")).toSet)
+    // and vacuum actually ran: old versions are gone, latest survives
+    val vs = StreamingJobs.listVersions(dir).sorted
+    assert(vs.last == 12L)
+    assert(vs.size <= 3, s"vacuum should have pruned, left $vs")
+  }
+
   test("crash replay of the same batch id is idempotent through the guard") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ccw_replay").toString
     StreamingJobs.applyCdcBatch(
