@@ -174,11 +174,13 @@ object GraftFunctions {
   *   --conf spark.sql.extensions=graft.functions.GraftExtensions // submit
   * }}}
   * makes `dotf` available to every session (including pure `spark.sql`)
-  * without any imperative register call. One optimizer rule is injected —
+  * without any imperative register call. Two optimizer rules are injected —
   * [[graft.plans.ApproxDistinctRule]], the conf-gated (default OFF)
-  * COUNT(DISTINCT)→HLL policy rewrite; with the flag unset the engine's
-  * whole surface plans through stock Catalyst (SURVEY §4), expressions
-  * being the only custom Catalyst artifacts on the default path.
+  * COUNT(DISTINCT)→HLL policy rewrite, and [[TryCastFastPathRule]], the
+  * conf-gated (default ON, semantics-identical) non-throwing TRY_CAST
+  * string→integral fast path; beyond those the engine's whole surface
+  * plans through stock Catalyst (SURVEY §4), expressions being the only
+  * other custom Catalyst artifacts on the default path.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -187,6 +189,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the injectOptimizerRule leg: the opt-in COUNT(DISTINCT)->HLL policy
     // rewrite (graft.plans.ApproxDistinctRule; default OFF, conf-gated)
     e.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRule)
+    // the non-throwing TRY_CAST(string AS INT/BIGINT) fast path (default
+    // ON, conf-gated) — semantics-identical to stock TRY cast, minus the
+    // per-invalid-row JVM exception (TryCastFast.scala; TryCastFastSpec)
+    e.injectOptimizerRule(_ => new TryCastFastPathRule)
     // the injectPlannerStrategy leg: the TopKPerKey whole-operator plan
     // (graft.plans.TopKStrategy; matches only the custom logical node, so
     // every other plan is untouched)
