@@ -717,19 +717,29 @@ object Multimodal {
       // corpus once per side. Lane-level cache hygiene (Bench/Verify/
       // QTime) drops it after the query, the repo convention.
       .persist()
+    // Hot-bucket routing (r11 128×-sweep fix): the previous plain band
+    // self-join had NO viral-bucket path — at 128× one 16-bit band value
+    // collected enough images that a single distinct/join task ran ~27 min
+    // (f² pairs inside one task), the exact straggler mode the text lanes'
+    // splitHotBuckets exists for. Same machinery, same payload shape as
+    // q24_simhash_pairs: cold buckets expand in place via the compiled
+    // pair_expand_ids (which emits the bit_count(x^y) hamming directly),
+    // viral buckets route raw rows through the 2-D grid salted join.
     val bands = hashes
       .withColumn("band_id", explode(expr("sequence(0, 3)")))
       .withColumn("bk", expr("shiftright(ahash, 16 * band_id) & 65535"))
-    val a = bands.select(col("band_id"), col("bk"),
-      col("img_id").as("img_a"), col("ahash").as("ha"))
-    val b = bands.select(col("band_id"), col("bk"),
-      col("img_id").as("img_b"), col("ahash").as("hb"))
-    a.join(b, Seq("band_id", "bk"))
-      .filter(col("img_a") < col("img_b"))
-      .select(col("img_a"), col("img_b"),
-        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .select(col("band_id"), col("bk"),
+        struct(col("img_id").as("doc_id"), col("ahash")).as("e"))
+    val (cold, hotRaw) = graft.queries.Similarity.splitHotBuckets(
+      bands, Seq("band_id", "bk"), graft.queries.Similarity.HotBucketCap)
+    val coldPairs = cold
+      .select(explode(expr("pair_expand_ids(ds)")).as("p"))
+      .select(col("p.doc_a").as("img_a"), col("p.doc_b").as("img_b"), col("p.hamming"))
+    val hotPairs = hotRaw.select(
+      col("x.doc_id").as("img_a"), col("y.doc_id").as("img_b"),
+      expr("CAST(bit_count(x.ahash ^ y.ahash) AS INT)").as("hamming"))
+    coldPairs.unionByName(hotPairs).distinct()
       .filter(col("hamming") <= 3)
-      .distinct()
       .orderBy(col("img_a"), col("img_b"))
   }
 

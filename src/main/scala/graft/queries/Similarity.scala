@@ -79,7 +79,7 @@ object Similarity {
   /** Same cap for the banded-bucket lanes (q24_lsh_pairs, q24_simhash_pairs):
     * a band bucket is a posting list over (band_id, band_key) and has the
     * identical viral-key failure mode. */
-  private val HotBucketCap = 256
+  private[graft] val HotBucketCap = 256
 
   /** Single-pass hot-bucket routing shared by the posting/bucket pair lanes
     * (q24_jaccard, q24_lsh, q24_simhash, q26_span_dup), built on the
@@ -118,7 +118,7 @@ object Similarity {
     * is `doc_id`. Returns (cold, hotPairs): cold = keyCols :+ `ds`
     * (2..cap payloads per key); hotPairs = keyCols :+ (`x`, `y`) raw payload
     * pairs, each unordered pair exactly once via x.doc_id < y.doc_id. */
-  private def splitHotBuckets(rows: DataFrame, keyCols: Seq[String],
+  private[graft] def splitHotBuckets(rows: DataFrame, keyCols: Seq[String],
                               cap: Int, persistInput: Boolean = true): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(rows.sparkSession)
     val keys = keyCols.map(col)
@@ -524,9 +524,11 @@ object Similarity {
   // remaining skew (a genuinely hot prefix shingle) is input-skew on a
   // plain equi-join — AQE's skew-join split territory, not the
   // materialize-a-bucket failure mode (no per-key array is ever built).
-  // Shapes, all linear-ish: one explode (postings), one combining groupBy
-  // (df), one doc-partitioned window (prefix rank), one equi-join on the
-  // shingle + distinct, and the same candidate-sized verify join as q92.
+  // Shapes, all linear-ish: an exact-twin collapse window (r11 — see the
+  // method body), one explode (postings over unique-set reps), one
+  // combining groupBy (df), one rep-partitioned window (prefix rank), one
+  // equi-join on the shingle + distinct, the candidate-sized verify join
+  // (as q92), and an output-bound member expansion.
   // The smaller side is designated pairwise (n_small < n_large, ids
   // breaking ties) so each unordered pair is probed exactly once by the
   // side whose threshold defines containment. Verify filters in exact
@@ -535,32 +537,78 @@ object Similarity {
   // the division is total. ContainmentFullSpec pins the size-ratio ≥ 10
   // fixture q92 provably misses, and q93 ⊇ q92 on real corpora.
   def q93ContainmentFull(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsWithShingles(spark, dir).persist()
-    val post = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    // r11 128×-sweep fix: the prefix⋈postings fan-out Σ_s pref_cnt(s)·df(s)
+    // is QUADRATIC in exact-duplicate multiplicity — on the twins rehearsal
+    // corpus every df multiplies by the copy factor, so 128× drove ~10¹⁰
+    // candidate rows and the lane died in the candidate shuffle. Containment
+    // depends only on the shingle SET, so exact set-twins are collapsed
+    // FIRST (one window shuffle keyed on the sorted set — set equality
+    // itself, no hash ambiguity), the prefix-filter machinery runs on
+    // unique-set REPRESENTATIVES (constant in the duplication factor), and
+    // verified rep-pair verdicts expand back to member pairs at the very
+    // end — work linear in the OUTPUT, which is the information-theoretic
+    // floor here (every twin pair IS a true containment pair the lane must
+    // emit). Orientation is preserved exactly: strict-size pairs inherit
+    // the rep designation, equal-size pairs orient per member pair by id
+    // (their values are symmetric), same-set pairs are total containments
+    // (bp = 10000) by definition. The recall theorem is untouched — it
+    // applies pairwise to the distinct-set reps, and member pairs inherit
+    // their reps' verdict because containment is a function of the sets.
+    val d = docsWithShingles(spark, dir)
+    val grpW = Window.partitionBy(col("key"))
+    val keyed = d
+      .select(col("doc_id"), size(col("sh")).as("n"), col("sh"),
+        array_sort(col("sh")).as("key"))
+      .withColumn("rep_id", min(col("doc_id")).over(grpW))
+      .drop("key")
+      .persist()
+    val members = keyed.select(col("rep_id"), col("doc_id"))
+    val reps = keyed.filter(col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("n"), col("sh"))
+
+    val post = reps.select(col("rep_id"), col("n"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val ordered = post.join(dfreq, "s")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
+        Window.partitionBy(col("rep_id"))
           .orderBy(col("df"), expr(h60("s")), col("s"))))
     // prefix length |A| − ⌈0.7·|A|⌉ + 1, all-integer: ⌈7n/10⌉ = (7n+9) div 10
     val pref = ordered.filter(col("rn") <= col("n") - expr("(7*n+9) div 10") + lit(1))
-      .select(col("s"), col("doc_id").as("doc_small"), col("n").as("n_small"))
+      .select(col("s"), col("rep_id").as("rep_small"), col("n").as("n_small"))
     val cand = pref
-      .join(post.select(col("s"), col("doc_id").as("doc_large"), col("n").as("n_large")), "s")
+      .join(post.select(col("s"), col("rep_id").as("rep_large"), col("n").as("n_large")), "s")
       .filter(col("n_small") < col("n_large") ||
-        (col("n_small") === col("n_large") && col("doc_small") < col("doc_large")))
-      .select(col("doc_small"), col("doc_large"))
+        (col("n_small") === col("n_large") && col("rep_small") < col("rep_large")))
+      .select(col("rep_small"), col("rep_large"))
       .distinct()
-    cand
-      .join(d.select(col("doc_id").as("doc_small"), col("sh").as("sh_a")), "doc_small")
-      .join(d.select(col("doc_id").as("doc_large"), col("sh").as("sh_b")), "doc_large")
+    val verified = cand
+      .join(reps.select(col("rep_id").as("rep_small"), col("sh").as("sh_a")), "rep_small")
+      .join(reps.select(col("rep_id").as("rep_large"), col("sh").as("sh_b"),
+        col("n").as("n_large")), "rep_large")
       .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(lit(10) * col("isz") >= lit(7) * size(col("sh_a")))
-      .select(col("doc_small"), col("doc_large"),
+      .select(col("rep_small"), col("rep_large"),
         size(col("sh_a")).cast("long").as("small_sz"),
         col("isz").cast("long").as("inter_sz"),
-        expr("CAST(isz AS BIGINT) * 10000 div size(sh_a)").as("cont_bp"))
-      .orderBy(col("doc_small"), col("doc_large"))
+        expr("CAST(isz AS BIGINT) * 10000 div size(sh_a)").as("cont_bp"),
+        (size(col("sh_a")) < col("n_large")).as("strict"))
+    val cross = verified
+      .join(members.select(col("rep_id").as("rep_small"), col("doc_id").as("a")), "rep_small")
+      .join(members.select(col("rep_id").as("rep_large"), col("doc_id").as("b")), "rep_large")
+      .select(
+        when(col("strict"), col("a")).otherwise(least(col("a"), col("b"))).as("doc_small"),
+        when(col("strict"), col("b")).otherwise(greatest(col("a"), col("b"))).as("doc_large"),
+        col("small_sz"), col("inter_sz"), col("cont_bp"))
+    // same-set pairs: total containment by definition; the m²-per-group
+    // join is output-bound (each pair emitted is a true result row)
+    val self = members
+      .join(members.withColumnRenamed("doc_id", "doc_b"), "rep_id")
+      .filter(col("doc_id") < col("doc_b"))
+      .join(reps.select(col("rep_id"), col("n")), "rep_id")
+      .select(col("doc_id").as("doc_small"), col("doc_b").as("doc_large"),
+        col("n").cast("long").as("small_sz"), col("n").cast("long").as("inter_sz"),
+        lit(10000L).as("cont_bp"))
+    cross.unionByName(self).orderBy(col("doc_small"), col("doc_large"))
   }
 
   val q93ContainmentFullSql: String =

@@ -21,7 +21,11 @@ object StreamTime {
       nRows, spark.sparkContext.defaultParallelism.toLong).toString
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("GRAFT_STREAM_PARTS", benchWidth))
-    (0 until reps).foreach { rep =>
+    val walls = (0 until reps).map { rep =>
+      // same per-pass barrier as Bench.streamPass (r10 item-1 discipline):
+      // GC + a settle action drain the async cleaner OUTSIDE the timed region
+      System.gc()
+      spark.range(1000).count()
       val ckpt = java.nio.file.Files.createTempDirectory("graft_streamtime").toString
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       val src = graft.core.Tables.normalizeEventTs(
@@ -43,6 +47,19 @@ object StreamTime {
             Map("commitTimeMs" -> s.commitTimeMs, "rowsUpdated" -> s.numRowsUpdated,
                 "rowsTotal" -> s.numRowsTotal))}")
       }
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { p.toFile.delete(); () }) // outside the next timed region
+      nRows / wall
+    }
+    // Band summary, Bench-aligned: rep0 = cold, warm = median of the rest,
+    // TEMPORAL rep array (never sorted in place), max/min spread — the
+    // numbers the BASELINE.md stream bar is set from.
+    if (reps >= 2) {
+      val warm = walls.drop(1)
+      val med = warm.sorted.apply(warm.size / 2)
+      println(f"[streamtime] summary cold=${walls.head}%.0f warm_median=$med%.0f " +
+        f"spread=${warm.max / warm.min}%.2f reps=${warm.map(w => f"$w%.0f").mkString(",")}")
     }
     spark.stop()
   }

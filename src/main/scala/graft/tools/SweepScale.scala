@@ -65,8 +65,17 @@ object SweepScale {
             Right((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>
+              // Root-cause message inline (r11: q93's 128× failure printed
+              // only `error:SparkException` — useless for diagnosis);
+              // newlines stripped so the line stays grep-parseable.
+              def msg(t: Throwable): String = {
+                val root = Iterator.iterate(t)(_.getCause)
+                  .takeWhile(_ != null).toSeq.last
+                Option(root.getMessage).getOrElse("")
+                  .replaceAll("[\\r\\n\\t]+", " ").take(300)
+              }
               Left(if (cancelled.get()) "timeout"
-                   else s"error:${e.getClass.getSimpleName}")
+                   else s"error:${e.getClass.getSimpleName}(${msg(e)})")
           }
         }
         val r0 = onePass()

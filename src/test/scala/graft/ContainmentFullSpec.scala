@@ -83,6 +83,30 @@ class ContainmentFullSpec extends SparkSpec {
     assert(r12.getLong(4) === 7000L)
   }
 
+  test("exact-twin collapse (r11 128× fix): duplicate docs expand to all member pairs") {
+    // Two groups, each duplicated: quote {1, 4} and quote-in-big {2, 3}.
+    // The collapse must emit (a) same-set pairs as total containments and
+    // (b) every cross member pair with the GROUP verdict — including
+    // (4, 2): orientation is by SIZE (doc_small = the smaller DOC), so a
+    // higher id lands in doc_small when its doc is the contained one,
+    // exactly as the pre-collapse formulation designated.
+    val big = quote + " " + (1 to 300).map(i => s"pad$i").mkString(" ")
+    val dir = docs(Seq((1L, "en", quote), (2L, "en", big),
+      (3L, "en", big), (4L, "en", quote)))
+    val rows = Similarity.defs("q93_containment_full")(spark, dir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val bigN = 328L // 330 tokens → 328 shingles
+    assert(got === Map(
+      (1L, 4L) -> ((28L, 28L, 10000L)), // same-set: total containment
+      (2L, 3L) -> ((bigN, bigN, 10000L)),
+      (1L, 2L) -> ((28L, 28L, 10000L)), // cross pairs inherit the group verdict
+      (1L, 3L) -> ((28L, 28L, 10000L)),
+      (4L, 2L) -> ((28L, 28L, 10000L)),
+      (4L, 3L) -> ((28L, 28L, 10000L))))
+    assert(rows.length === 6) // no duplicate emissions across branches
+  }
+
   test("every emitted row satisfies the integer threshold, bp identity and size orientation") {
     val d = Similarity.defs("q93_containment_full")(spark, sf001)
     val rows = d.collect()
