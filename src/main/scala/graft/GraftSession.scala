@@ -27,9 +27,23 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder = {
+    // Data-adaptive shuffle width (r11 128×-sweep fix): with every shuffle
+    // pinned to `cpus` partitions, a 128×-corpus q62 put ~5 M-row reducer
+    // tasks (KB-scale adjacency payloads) into the shared execution pool
+    // and the aggregation died with AGGREGATE_OUT_OF_MEMORY — the width,
+    // not the algorithm, was the defect. AQE's initialPartitionNum is the
+    // engine-side fix: every exchange STARTS 8× wider, and partition
+    // coalescing (parallelismFirst, on by default) merges small shuffles
+    // back down to ~defaultParallelism, so test-SF plans keep their ~cpus
+    // effective width (A/B-verified on the hot lanes) while a corpus 100×
+    // the tuning point right-sizes itself instead of OOMing. A real
+    // cluster deployment still overrides master/shuffle.partitions — this
+    // keeps the ratio, which is what scales.
+    val initParts = scala.util.Try(cpus.toInt * 8).getOrElse(256).toString
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
