@@ -738,8 +738,12 @@ object Multimodal {
     val hotPairs = hotRaw.select(
       col("x.doc_id").as("img_a"), col("y.doc_id").as("img_b"),
       expr("CAST(bit_count(x.ahash ^ y.ahash) AS INT)").as("hamming"))
-    coldPairs.unionByName(hotPairs).distinct()
+    // hamming filter BEFORE the distinct (r11 ADVICE): band collisions with
+    // hamming > 3 are the bulk of candidate pairs on a real corpus — filter
+    // row-locally so only true near-dups pay the distinct's exchange.
+    coldPairs.unionByName(hotPairs)
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("img_a"), col("img_b"))
   }
 

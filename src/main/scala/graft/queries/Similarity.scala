@@ -599,13 +599,26 @@ object Similarity {
         when(col("strict"), col("a")).otherwise(least(col("a"), col("b"))).as("doc_small"),
         when(col("strict"), col("b")).otherwise(greatest(col("a"), col("b"))).as("doc_large"),
         col("small_sz"), col("inter_sz"), col("cont_bp"))
-    // same-set pairs: total containment by definition; the m²-per-group
-    // join is output-bound (each pair emitted is a true result row)
-    val self = members
-      .join(members.withColumnRenamed("doc_id", "doc_b"), "rep_id")
-      .filter(col("doc_id") < col("doc_b"))
+    // same-set pairs: total containment by definition. Output-bound (each
+    // pair emitted IS a true result row), but r11 ADVICE: a plain
+    // members-self-join on rep_id concentrates a viral group's C(f,2)
+    // pairs in ONE task — the exact per-task f² straggler mode
+    // splitHotBuckets exists for. Same machinery as the band lanes: small
+    // groups expand in place via the compiled pair_expand_ids (canonical
+    // doc_a < doc_b), groups past HotBucketCap route through the 2-D grid
+    // salted join, per-cell work ~cap² regardless of group virality.
+    val memberRows = members.select(col("rep_id"), struct(col("doc_id")).as("e"))
+    val (selfCold, selfHot) =
+      splitHotBuckets(memberRows, Seq("rep_id"), HotBucketCap, persistInput = false)
+    val selfPairs = selfCold
+      .select(col("rep_id"), explode(expr("pair_expand_ids(ds)")).as("p"))
+      .select(col("rep_id"), col("p.doc_a").as("doc_small0"),
+        col("p.doc_b").as("doc_large0"))
+      .unionByName(selfHot.select(col("rep_id"),
+        col("x.doc_id").as("doc_small0"), col("y.doc_id").as("doc_large0")))
+    val self = selfPairs
       .join(reps.select(col("rep_id"), col("n")), "rep_id")
-      .select(col("doc_id").as("doc_small"), col("doc_b").as("doc_large"),
+      .select(col("doc_small0").as("doc_small"), col("doc_large0").as("doc_large"),
         col("n").cast("long").as("small_sz"), col("n").cast("long").as("inter_sz"),
         lit(10000L).as("cont_bp"))
     cross.unionByName(self).orderBy(col("doc_small"), col("doc_large"))

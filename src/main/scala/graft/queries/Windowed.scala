@@ -128,29 +128,34 @@ object Windowed {
 
   // --- Q34: conversion FUNNEL — view → click → purchase --------------------
   // Per user: first view, then earliest click at-or-after it, then earliest
-  // purchase at-or-after that click; report survivors per stage. Min-based
-  // (no ordering sensitivity, no windows needed): three filtered aggs and
-  // two equi-joins, all shuffled on user_id — one key, reused partitioning,
-  // no skew risk beyond a power user's own events.
+  // purchase at-or-after that click; report survivors per stage.
+  //
+  // r12 single-pass rewrite (VERDICT r11 "what's wrong" #1): the old shape
+  // unioned three stage counts whose subtrees re-evaluated each other —
+  // `events` was scanned ~6× per run (3.47 s noop, #3 slowest lane). Now
+  // ONE scan + ONE shuffle on user_id: the per-user aggregation collects
+  // the (tiny) click/purchase timestamp lists alongside min(view ts), and
+  // the stage chain v_ts → c_ts → p_ts resolves row-locally with
+  // array_min(filter(...)) — no joins, no windows. Per-user state is
+  // bounded by that user's OWN click+purchase count (the same power-user
+  // bound the old join shape had), and collect_list partial-aggregates
+  // map-side. A null v_ts nulls the lambda predicate, so filter() keeps
+  // nothing and c_ts/p_ts cascade to null — exactly the old join-miss
+  // semantics. Final stage counts = one count() agg + stack() to rows.
   def q34Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val firstClick = v.join(
-        ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("cu"), col("ts").as("c_ts0")),
-        col("user_id") === col("cu") && col("c_ts0") >= col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("c_ts0")).as("c_ts"))
-    val firstPurchase = firstClick.join(
-        ev.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("pu"), col("ts").as("p_ts0")),
-        col("user_id") === col("pu") && col("p_ts0") >= col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("p_ts0")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
-      .unionAll(firstClick.agg(count(lit(1)).as("n_users"))
-        .select(lit("2_click").as("stage"), col("n_users")))
-      .unionAll(firstPurchase.agg(count(lit(1)).as("n_users"))
-        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+        collect_list(when(col("event_type") === "click", col("ts"))).as("cl"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("pl"))
+      .withColumn("c_ts", array_min(expr("filter(cl, t -> t >= v_ts)")))
+      .withColumn("p_ts", array_min(expr("filter(pl, t -> t >= c_ts)")))
+    perUser.agg(
+        count(col("v_ts")).as("nv"), count(col("c_ts")).as("nc"),
+        count(col("p_ts")).as("np"))
+      .select(expr(
+        "stack(3, '1_view', nv, '2_click', nc, '3_purchase', np) AS (stage, n_users)"))
       .orderBy(col("stage"))
   }
 

@@ -47,9 +47,12 @@ object StreamTime {
             Map("commitTimeMs" -> s.commitTimeMs, "rowsUpdated" -> s.numRowsUpdated,
                 "rowsTotal" -> s.numRowsTotal))}")
       }
-      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        .sorted(java.util.Comparator.reverseOrder())
+      // close the walk stream — it holds a directory fd until closed
+      // (VersionStore.deleteRecursively is the repo convention)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { p.toFile.delete(); () }) // outside the next timed region
+      finally walk.close()
       nRows / wall
     }
     // Band summary, Bench-aligned: rep0 = cold, warm = median of the rest,
