@@ -11,6 +11,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Calibration anchor FIRST (r11 VERDICT task 2), before any Spark
+    // work can contend for cores: a fixed single-threaded CPU workload
+    // whose time is a pure clock proxy — two rounds' anchor_s divide into
+    // the container clock ratio, making round-over-round deltas readable
+    // across differently-clocked boxes (see core/Calibration.scala).
+    val anchorS = graft.core.Calibration.measure()
+    System.err.println(f"[bench] anchor_s=$anchorS%.3f")
     val spark = GraftSession.builder(cpus)
       // Dynamic-partition writes sort each task's rows by partition key
       // first; with bounded concurrent writers the sort is skipped — the
@@ -160,6 +167,54 @@ object Bench {
       (-1.0, -1.0, Seq.empty[Double])
     } finally spark.conf.set("spark.sql.shuffle.partitions", cpus) // restore the session width, not a hardcoded 32
 
+    // Push slice (r11 VERDICT task 7): the R10/R11 reverse-ETL path had t1
+    // correctness specs but no throughput evidence. Drives PushJob.push —
+    // the real foreachPartition + pooled-HttpClient path — against a local
+    // mock endpoint (PushSpec's double, loopback), so the number measures
+    // the ENGINE side (row serialization, partition fan-out, per-request
+    // client overhead, budget accounting), not a network. The mock gets a
+    // cpus-wide executor: HttpServer's default is a single dispatch thread,
+    // which would serialize the 32 pushing partitions and measure the mock.
+    val (pushRps, pushRepsRps) = try {
+      val es = java.util.concurrent.Executors.newFixedThreadPool(cpus.toInt)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      server.createContext("/api", (ex: com.sun.net.httpserver.HttpExchange) => {
+        // drain the request body — unread bytes break keep-alive reuse and
+        // the measurement would include per-request reconnect handshakes
+        val in = ex.getRequestBody
+        val buf = new Array[Byte](8192)
+        while (in.read(buf) != -1) {}
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+      server.setExecutor(es)
+      server.start()
+      try {
+        val url = s"http://localhost:${server.getAddress.getPort}/api"
+        val pushRows = 20000L
+        // fixed-shape ~100 B documents, pre-materialized so the timed
+        // region is the push alone (the cache read is not the object here)
+        val docs = spark.range(pushRows).selectExpr(
+            "concat('{\"id\": ', id, ', \"payload\": \"', repeat('x', 64), '\"}') AS doc")
+          .repartition(cpus.toInt).persist()
+        docs.count()
+        graft.push.PushJob.push(docs, "doc", url) // warmup: client pools, codegen
+        val reps = (0 until 3).map { _ =>
+          System.gc()
+          spark.range(1000).count() // settle (same discipline as the slices above)
+          val t0 = System.nanoTime()
+          graft.push.PushJob.push(docs, "doc", url)
+          pushRows / ((System.nanoTime() - t0) / 1e9)
+        }
+        docs.unpersist(blocking = true)
+        (reps.sorted.apply(1), reps)
+      } finally { server.stop(0); es.shutdownNow() }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] push slice failed: ${e.getMessage}")
+      (-1.0, Seq.empty[Double])
+    }
+
     // Cold and warm failures tracked SEPARATELY (round-6 ADVICE): a query
     // that fails only its cold pass but succeeds warm still has a valid warm
     // (reported) measurement, so only warm-pass failures exclude a query from
@@ -287,6 +342,9 @@ object Bench {
       s""""ingest_reps_rows_per_sec":${ingestRepsRps.mkString("[", ",", "]")},""" +
       s""""stream_rows_per_sec":$streamRps,"stream_warm_rows_per_sec":$streamWarmRps,""" +
       s""""stream_reps_rows_per_sec":${streamRepsRps.mkString("[", ",", "]")},""" +
+      s""""push_rows_per_sec":$pushRps,""" +
+      s""""push_reps_rows_per_sec":${pushRepsRps.mkString("[", ",", "]")},""" +
+      s""""anchor_s":$anchorS,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$qsNoop,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
@@ -331,6 +389,8 @@ object Bench {
       s""""stream_rows_per_sec":${math.rint(streamRps)},""" +
       s""""stream_warm_rows_per_sec":${math.rint(streamWarmRps)},""" +
       s""""stream_rep_spread":$streamSpread,""" +
+      s""""push_rows_per_sec":${math.rint(pushRps)},""" +
+      s""""anchor_s":${r3(anchorS)},""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$slowest,""" +
       s""""queries_note":"15 slowest noop lanes; full dicts in bench_result.json","sf":"$sfDir"}"""

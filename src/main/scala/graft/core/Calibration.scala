@@ -1,0 +1,61 @@
+package graft.core
+
+/** Cross-container bench calibration anchor (r11 VERDICT task 2).
+  *
+  * Round-over-round bench deltas were unreadable because consecutive rounds
+  * land on differently-clocked containers (r10→r11 measured ~2.5–3× apart
+  * on identical code), so "ingest 236 k → 187 k rows/s" could be a
+  * regression or a slower box — indistinguishable from the artifacts alone.
+  *
+  * `measure()` times a FIXED, deterministic, single-threaded CPU+memory
+  * workload — xorshift64* fill of an 8M-long array, `Arrays.sort`, then a
+  * fold — that exercises the same instruction mix Spark's row processing
+  * leans on (branchy compare-heavy sort + sequential bandwidth) and has no
+  * dependence on Spark, disk, or data. Bench emits the median-of-5 (after
+  * 2 JIT warmups) as `anchor_s` in BENCH_r{N}.json; two rounds' numbers
+  * divide into a clock ratio, and per-lane times divide by it into
+  * normalized units that compare across containers.
+  *
+  * The workload is fixed FOREVER: changing the array size or the kernel
+  * invalidates every cross-round ratio, so treat the constants below as
+  * part of the artifact format.
+  */
+object Calibration {
+  private val N = 1 << 23 // 8M longs = 64 MB — larger than any L3, so the
+                          // sort pays real memory traffic, not just cache
+
+  /** One anchor pass: deterministic fill → sort → fold. Returns the fold
+    * so the JIT cannot dead-code the work. */
+  private def pass(): Long = {
+    val a = new Array[Long](N)
+    var x = 0x9E3779B97F4A7C15L // fixed seed — identical work every call
+    var i = 0
+    while (i < N) {
+      // xorshift64* — cheap, full-period, deterministic
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      a(i) = x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+    var s = 0L
+    i = 0
+    while (i < N) { s ^= a(i) + i; i += 1 }
+    s
+  }
+
+  /** Median-of-`reps` anchor seconds after `warmups` unrecorded JIT passes.
+    * Single-threaded by design: it measures the CLOCK, not the core count
+    * (core count is already reported via SPARK_GRAFT_CPUS). */
+  def measure(reps: Int = 5, warmups: Int = 2): Double = {
+    var sink = 0L
+    (0 until warmups).foreach(_ => sink ^= pass())
+    val times = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      sink ^= pass()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // sink escapes via a side effect the JIT must honor
+    if (sink == 42L) System.err.println("[anchor] unlikely sink")
+    times.sorted.apply(reps / 2)
+  }
+}

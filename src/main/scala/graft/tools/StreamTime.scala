@@ -13,6 +13,8 @@ object StreamTime {
     val reps = if (args.nonEmpty) args(0).toInt else 2
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
+    // clock anchor so stream bands from different containers normalize
+    println(f"[streamtime] anchor_s=${graft.core.Calibration.measure()}%.3f")
     val nRows = spark.read.parquet(s"$sfDir/events.parquet").count()
     // Default to the SAME input-scaled state width Bench uses (one shared
     // definition) — this tool exists to attribute Bench's stream number,

@@ -34,6 +34,9 @@ object SweepScale {
 
     val lanes = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    // clock anchor in the header: sweep logs from different containers
+    // normalize through it (core/Calibration.scala)
+    println(f"[sweep$copies] anchor_s=${graft.core.Calibration.measure()}%.3f")
     println(s"[sweep$copies] ${lanes.size} lanes, timeout ${timeoutSec}s, corpus $out")
 
     lanes.foreach { case (name, fn) =>
