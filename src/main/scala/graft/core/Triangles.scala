@@ -72,25 +72,38 @@ object Triangles {
         when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("v"))
       .groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      // packed ONCE per node here (inside the barrier), not per exploded
+      // edge below — the closing join reuses the blob on both sides
+      .withColumn("np", expr("pack_sorted_longs(nbrs)"))
       .localCheckpoint(true)
 
     // Close triangles by ADJACENCY INTERSECTION, not a materialized wedge
     // join: a triangle (u,v,w) with rk(u)<rk(v)<rk(w) has oriented edges
     // u→v, u→w, v→w, so w ∈ N⁺(u) ∩ N⁺(v) exactly. The oriented edge list
     // is adj EXPLODED (carrying N⁺(u) along), so closing needs exactly ONE
-    // join — on v for N⁺(v) — and the intersect runs inside whole-stage
-    // codegen. The Σ C(outdeg,2) wedge population is never materialized or
-    // shuffled; it exists only as per-row array-scan work. Per-node counts
-    // fall out of the closing witnesses: edge (u,v) with k = |N⁺(u)∩N⁺(v)|
-    // contributes k to u and to v and 1 to each witness w.
-    val nvSide = adj.select(col("u").as("v"), col("nbrs").as("nv"))
+    // join — on v for N⁺(v). The Σ C(outdeg,2) wedge population is never
+    // materialized or shuffled; it exists only as per-row array-scan work.
+    // Per-node counts fall out of the closing witnesses: edge (u,v) with
+    // k = |N⁺(u)∩N⁺(v)| contributes k to u and to v and 1 to each witness w.
+    //
+    // SHUFFLE-BYTE DIET (r11 sweep: this join's exchange IS the lane's
+    // at-scale cost — Σ outdeg·(16 + 8·outdeg) B ≈ 84 GB raw for one 128×
+    // pass, ENOSPC on a 77 GB-free box): both adjacency payloads cross the
+    // exchange as pack_sorted_longs delta-varint binaries (1–3 B/neighbor
+    // on clustered ids vs UnsafeArrayData's flat 8 B + header), and
+    // intersect_packed merge-walks the two streams in place — the long
+    // arrays are never rebuilt post-shuffle. Output is set-identical to
+    // array_intersect on these deduplicated sorted lists (ascending order
+    // instead of nu-order; consumers are size/explode→sum, order-blind) —
+    // functions/PackedLongs.scala, PackedLongsSpec equivalence property.
+    val nvSide = adj.select(col("u").as("v"), col("np").as("nv"))
     val nvJoinable =
       if (edges.count() <= BroadcastEdgeGate) broadcast(nvSide) else nvSide
     val closed = adj
-      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .select(col("u"), col("np").as("nu"), explode(col("nbrs")).as("v"))
       .join(nvJoinable, Seq("v"))
       .select(col("u"), col("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        expr("intersect_packed(nu, nv)").as("ws"))
       .filter(size(col("ws")) > 0)
     val corners = closed
       .select(explode(array(col("u"), col("v"))).as("node"),

@@ -164,6 +164,11 @@ object GraftFunctions {
       "argmax2",
       exprs => ArgExtremum(exprs(0), exprs(1), exprs(2), findMin = false)
         .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack_sorted_longs", exprs => PackSortedLongs(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_packed",
+      exprs => IntersectPackedLongs(exprs(0), exprs(1)), "built-in")
     MinHashSketch.register(spark)
   }
 }
@@ -301,5 +306,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArgExtremum(exprs(0), exprs(1), exprs(2), findMin = false)
           .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("pack_sorted_longs"),
+      new ExpressionInfo(classOf[PackSortedLongs].getName, "pack_sorted_longs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PackSortedLongs(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("intersect_packed"),
+      new ExpressionInfo(classOf[IntersectPackedLongs].getName, "intersect_packed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntersectPackedLongs(exprs(0), exprs(1))))
   }
 }

@@ -30,10 +30,14 @@ object StreamTime {
       spark.range(1000).count()
       val ckpt = java.nio.file.Files.createTempDirectory("graft_streamtime").toString
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // testdata ships events as one FILE next to the other tables (glob
+      // the parent); ScaleSmoke's widened corpora ship it as a parquet
+      // DIRECTORY (stream the directory itself)
+      val evPath = s"$sfDir/events.parquet"
+      val reader = spark.readStream.schema(rawSchema)
       val src = graft.core.Tables.normalizeEventTs(
-        spark.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
+        if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir))
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamingJobs.tumblingCounts(src)
         .writeStream.format("noop").option("checkpointLocation", ckpt)

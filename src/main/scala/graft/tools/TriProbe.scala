@@ -54,28 +54,51 @@ object TriProbe {
       .filter(size(col("ws")) > 0)
     time("closed")(closed.count())
 
-    // closing-stage variants over a materialized oriented+adj
-    val or2 = oriented.localCheckpoint(true)
-    val adj2 = adj.localCheckpoint(true)
-    def closedM = or2.select(col("u"), col("v"))
-      .join(adj2.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj2.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(col("u"), col("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+    // Closing-join SHUFFLE-BYTE METER (r11 verdict task 5 evidence): the
+    // same exploded one-join closing stage, array<long> payload vs the
+    // pack_sorted_longs delta-varint binary, over one checkpointed adj —
+    // total shuffle bytes/records WRITTEN (post-compression, the ENOSPC
+    // currency) accumulated from stage metrics per variant. Broadcast is
+    // suppressed (threshold -1) so the exchange under measurement is the
+    // genuine shuffle-join path the 64×/128× rehearsals run.
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shufBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shufRecs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      })
+    val adjP = adj
+      .withColumn("np", expr("pack_sorted_longs(nbrs)"))
+      .localCheckpoint(true)
+    def meter(label: String)(f: => Long): Unit =
+      (0 until 2).foreach { i =>
+        Thread.sleep(1000) // listener bus settle (it's async; dev tool)
+        shufBytes.set(0L); shufRecs.set(0L)
+        val t0 = System.nanoTime()
+        val n = f
+        Thread.sleep(1000)
+        println(f"[tri] $label rep$i: ${(System.nanoTime() - t0) / 1e9}%.3fs " +
+          f"rows=$n shuffleMB=${shufBytes.get / 1048576.0}%.1f recs=${shufRecs.get}")
+      }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def closeArr = adjP
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(adjP.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
-    time("closed_marginal")(closedM.count())
-    time("closed_sizeonly")(
-      or2.select(col("u"), col("v"))
-        .join(adj2.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-        .join(adj2.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-        .select(size(array_intersect(col("nu"), col("nv"))).as("k"))
-        .agg(sum(col("k"))).count())
-    val closed2 = closedM.localCheckpoint(true)
-    time("corners_marginal")(
-      closed2.select(explode(array(col("u"), col("v"))).as("node"),
-          size(col("ws")).cast("long").as("c"))
-        .unionAll(closed2.select(explode(col("ws")).as("node"), lit(1L).as("c")))
-        .groupBy(col("node")).agg(sum(col("c")).as("tri_cnt")).count())
+    def closePacked = adjP
+      .select(col("u"), col("np").as("nu"), explode(col("nbrs")).as("v"))
+      .join(adjP.select(col("u").as("v"), col("np").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), expr("intersect_packed(nu, nv)").as("ws"))
+      .filter(size(col("ws")) > 0)
+    meter("close_array_bytes")(closeArr.count())
+    meter("close_packed_bytes")(closePacked.count())
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     time("full")(graft.queries.Entity.q62Triangles(spark, sfDir).count())
     spark.stop()
