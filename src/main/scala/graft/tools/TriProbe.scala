@@ -26,12 +26,15 @@ object TriProbe {
       .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .distinct()
 
-    time("edges")(edges.count())
+    // "meter" arg: skip straight to the closing-join byte meter + full lane
+    // (the 64x A/B evidence run; the per-stage timings are 1x diagnostics)
+    val meterOnly = args.contains("meter")
+    if (!meterOnly) time("edges")(edges.count())
 
     def deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    time("deg")(deg.count())
+    if (!meterOnly) time("deg")(deg.count())
 
     def rank = deg.select(col("node"), struct(col("deg"), col("node")).as("rk"))
     def oriented = edges
@@ -40,11 +43,11 @@ object TriProbe {
       .select(
         when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("u"),
         when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("v"))
-    time("oriented")(oriented.count())
+    if (!meterOnly) time("oriented")(oriented.count())
 
     def adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    time("adj")(adj.count())
+    if (!meterOnly) time("adj")(adj.count())
 
     def closed = oriented.select(col("u"), col("v"))
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
@@ -52,7 +55,7 @@ object TriProbe {
       .select(col("u"), col("v"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
-    time("closed")(closed.count())
+    if (!meterOnly) time("closed")(closed.count())
 
     // Closing-join SHUFFLE-BYTE METER (r11 verdict task 5 evidence): the
     // same exploded one-join closing stage, array<long> payload vs the
