@@ -27,13 +27,27 @@ object StreamScale {
         nRows, spark.sparkContext.defaultParallelism.toLong).toString)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
+    // GRAFT_STREAM_REMAP=1: scale state KEY CARDINALITY, not just volume.
+    // ScaleSmoke's widened events keep the original user_ids/timestamps
+    // (only event_id is offset per copy at i*1e8), so user- and
+    // window-keyed state stays 1×-sized at any copy factor — the copies
+    // multiply rows per key. The copy index is recoverable row-locally
+    // from the event_id offset; remapping user_id into a per-copy universe
+    // makes the stateful shapes carry copies× state rows — the dimension
+    // that actually stresses the store.
+    val remap = sys.env.get("GRAFT_STREAM_REMAP").contains("1")
     def src() = {
       val evPath = s"$sfDir/events.parquet"
       val reader = spark.readStream.schema(rawSchema)
-      graft.core.Tables.normalizeEventTs(
+      val base = graft.core.Tables.normalizeEventTs(
         if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
         else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      if (remap) base.withColumn("user_id",
+        org.apache.spark.sql.functions.expr(
+          "user_id + (event_id div 100000000) * 100000"))
+      else base
     }
+    if (remap) println("[streamscale] remap=1 (per-copy user universes)")
 
     val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
       "tumbling" -> graft.streaming.StreamingJobs.tumblingCounts _,
