@@ -1331,8 +1331,8 @@ object Analytics {
   // Week-over-week sales-rank shifts per part — the BI staple that turns
   // two period aggregates into a ranked movers list. Per (part, ISO week):
   // order count; rank within week by (count DESC, part) — the ordinal
-  // tie-break that makes ranks deterministic; adjacent weeks join on
-  // week+1 and emit rank deltas. Integer throughout, hash-exact. Scale:
+  // tie-break that makes ranks deterministic; adjacent weeks pair up and
+  // emit rank deltas. Integer throughout, hash-exact. Scale:
   // the per-week aggregate collapses lineitem to ≤ parts×weeks rows
   // before any window; the rank windows partition BY WEEK, so each
   // window's row count is the part catalog, not the fact table.
@@ -1348,12 +1348,24 @@ object Analytics {
     val w = Window.partitionBy(col("wk"))
       .orderBy(col("n").desc, col("part"))
     val ranked = weekly.withColumn("rk", row_number().over(w).cast("long"))
-    ranked.as("a").join(ranked.as("b"),
-        col("b.part") === col("a.part") && col("b.wk") === col("a.wk") + 1L)
-      .select(col("a.part").as("part"), col("a.wk").as("wk"),
-        col("a.n").as("n_prev"), col("b.n").as("n_next"),
-        col("a.rk").as("rk_prev"), col("b.rk").as("rk_next"),
-        (col("a.rk") - col("b.rk")).as("rank_gain"))
+    // adjacent-week pairing via lead() over the part's week series, NOT a
+    // ranked⋈ranked self-join: Catalyst does not share the subtree across
+    // self-join branches, so the join form re-ran the lineitem scan, the
+    // weekly aggregate AND the rank window twice (the q34_funnel recompute
+    // class, r12). lead() needs one extra exchange (partition by part —
+    // per-part series are tiny: ≤ weeks rows), after which the next week
+    // WITH SALES is the join's b-row exactly when it is wk+1 — the same
+    // consecutive-week pairs, one pass. Measured: 2.74 → ~1.3 s noop.
+    val byPart = Window.partitionBy(col("part")).orderBy(col("wk"))
+    ranked
+      .withColumn("wk_next", lead(col("wk"), 1).over(byPart))
+      .withColumn("n_next", lead(col("n"), 1).over(byPart))
+      .withColumn("rk_next", lead(col("rk"), 1).over(byPart))
+      .filter(col("wk_next") === col("wk") + 1L)
+      .select(col("part"), col("wk"),
+        col("n").as("n_prev"), col("n_next"),
+        col("rk").as("rk_prev"), col("rk_next"),
+        (col("rk") - col("rk_next")).as("rank_gain"))
       .filter(abs(col("rank_gain")) >= 10L)
       .orderBy(col("wk"), col("rank_gain").desc, col("part"))
   }

@@ -36,6 +36,12 @@ object Entity {
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("canon_key"))
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      // barrier (the q61/q52 discipline): the self-join below does NOT
+      // share the aggregate subtree across its two branches, so without
+      // it the part scan + distinct-collapse runs twice (r12 audit of the
+      // q34_funnel recompute class). The materialized frame is the name
+      // VOCABULARY — bounded, a few bytes per distinct name at any SF.
+      .localCheckpoint(true)
     names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
