@@ -837,9 +837,19 @@ object Entity {
     // no-broadcast audit exists to catch — the auto-threshold picks BHJ
     // whenever the map genuinely fits and degrades to SMJ when it doesn't
     // (the one-row m total below stays hinted: single row by construction)
+    // barrier (the q61/q52 discipline, r12 recompute-class audit): tagged
+    // feeds FOUR plan branches below (m, both sides of the deg union,
+    // in_c), and Catalyst shares no subtrees across them — unbarriered,
+    // the lineitem scan + per-order pair expansion + distinct + both brand
+    // joins ran four times per execution. Projected to the two community
+    // columns first, so the materialized frame is 2 short strings per
+    // edge. Measured: 3.2 → 2.1 s warm (the one remaining edge-derivation
+    // pass is now the lane's floor).
     val tagged = edges
       .join(brand.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
       .join(brand.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .select(col("ca"), col("cb"))
+      .localCheckpoint(true)
     val m = tagged.agg(count(lit(1)).as("m"))
     val deg = tagged.select(col("ca").as("community"))
       .unionAll(tagged.select(col("cb").as("community")))
