@@ -17,7 +17,11 @@ object Bench {
     // the container clock ratio, making round-over-round deltas readable
     // across differently-clocked boxes (see core/Calibration.scala).
     val anchorS = graft.core.Calibration.measure()
-    System.err.println(f"[bench] anchor_s=$anchorS%.3f")
+    // I/O anchor (r12): durable-write MB/s of the bench filesystem — the
+    // diagnostic for host-noise windows that fail the fsync-bound bars
+    // while anchor_s stays near-baseline (see Calibration.measureIo).
+    val anchorIo = graft.core.Calibration.measureIo()
+    System.err.println(f"[bench] anchor_s=$anchorS%.3f anchor_io_mbps=$anchorIo%.0f")
     val spark = GraftSession.builder(cpus)
       // Dynamic-partition writes sort each task's rows by partition key
       // first; with bounded concurrent writers the sort is skipped — the
@@ -344,7 +348,7 @@ object Bench {
       s""""stream_reps_rows_per_sec":${streamRepsRps.mkString("[", ",", "]")},""" +
       s""""push_rows_per_sec":$pushRps,""" +
       s""""push_reps_rows_per_sec":${pushRepsRps.mkString("[", ",", "]")},""" +
-      s""""anchor_s":$anchorS,""" +
+      s""""anchor_s":$anchorS,"anchor_io_mbps":$anchorIo,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$qsNoop,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
@@ -390,7 +394,7 @@ object Bench {
       s""""stream_warm_rows_per_sec":${math.rint(streamWarmRps)},""" +
       s""""stream_rep_spread":$streamSpread,""" +
       s""""push_rows_per_sec":${math.rint(pushRps)},""" +
-      s""""anchor_s":${r3(anchorS)},""" +
+      s""""anchor_s":${r3(anchorS)},"anchor_io_mbps":${r3(anchorIo)},""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$slowest,""" +
       s""""queries_note":"15 slowest noop lanes; full dicts in bench_result.json","sf":"$sfDir"}"""

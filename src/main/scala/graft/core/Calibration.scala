@@ -58,4 +58,38 @@ object Calibration {
     if (sink == 42L) System.err.println("[anchor] unlikely sink")
     times.sorted.apply(reps / 2)
   }
+
+  /** I/O anchor (r12): durable-write bandwidth of the bench filesystem,
+    * MB/s, median of `reps` 64 MB dsync-chunked writes to a temp file.
+    *
+    * Exists because the CPU anchor cannot explain an I/O-noise window:
+    * observed this round — a Bench run with anchor_s only 21% off the
+    * same-box baseline measured ingest 3.6× and push 28× slower (host-level
+    * disk contention, invisible from inside the VM; a dd probe minutes
+    * later was back to 334 MB/s). The fsync-bound bars (ingest, stream,
+    * push) are the ones such a window fails; `anchor_io_mbps` in the same
+    * JSON makes the cause readable from the artifact alone. Report-only,
+    * no pass bar — same contract as anchor_s. The workload (64 MB in 4 MB
+    * FORCE'd chunks) is fixed for the same cross-round-ratio reason. */
+  def measureIo(reps: Int = 3): Double = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val chunk = java.nio.ByteBuffer.allocate(4 << 20)
+    val rates = (0 until reps).map { _ =>
+      val f = Files.createTempFile("graft_anchor_io", ".bin")
+      val ch = java.nio.channels.FileChannel.open(f,
+        StandardOpenOption.WRITE, StandardOpenOption.DSYNC)
+      val t0 = System.nanoTime()
+      try {
+        var i = 0
+        while (i < 16) { // 16 × 4 MB = 64 MB
+          chunk.clear()
+          while (chunk.hasRemaining) ch.write(chunk)
+          i += 1
+        }
+        ch.force(false)
+      } finally { ch.close(); Files.deleteIfExists(f); () }
+      64.0 / ((System.nanoTime() - t0) / 1e9)
+    }
+    rates.sorted.apply(reps / 2)
+  }
 }
