@@ -1225,18 +1225,29 @@ object Analytics {
   def q91Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val t1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    // r12 ScanAudit: the t1→t2→t3 chain plus the closing four-way join
+    // re-derived each stage's subtree (7 events scans per execution).
+    // Folded: ONE scan produces every user AND their first view (the old
+    // separate distinct + t1 frames — a conditional min; users with no
+    // view get null t1, exactly the old left-join shape), and the tiny
+    // per-user stage frames are barriered so each later consumer re-reads
+    // instead of re-computing. Three pushed-filter scans total (all
+    // users+views, clicks, purchases); the associative min-agg/no-arrays
+    // scale posture is unchanged.
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      .localCheckpoint(true)
+    val t1 = users.filter(col("t1").isNotNull).select(col("user_id"), col("t1"))
     val t2 = ev.filter(col("event_type") === "click")
       .join(t1, Seq("user_id"))
       .filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .localCheckpoint(true)
     val t3 = ev.filter(col("event_type") === "purchase")
       .join(t2, Seq("user_id"))
       .filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    ev.select(col("user_id")).distinct()
-      .join(t1, Seq("user_id"), "left")
+    users
       .join(t2, Seq("user_id"), "left")
       .join(t3, Seq("user_id"), "left")
       .groupBy((col("user_id") % 4).as("cohort"))

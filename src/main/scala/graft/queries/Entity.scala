@@ -546,6 +546,10 @@ object Entity {
   // in DECIMAL(38,0) (the q63 overflow discipline), one final double
   // division. Hash-exact; single-row output at any scale.
   def q74Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    // barrier (r12 ScanAudit: this lane's worst finding — edges fed the
+    // degree agg through BOTH unionAll arms and both orientation joins,
+    // and the symmetrizing pair union doubled the whole subtree again: 10
+    // lineitem scans per execution for a 1-row answer)
     val edges = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("pks"))
@@ -553,17 +557,22 @@ object Entity {
         "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
       .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val withDegs = edges
       .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
-    val pairs = withDegs.select(col("da").as("x"), col("db").as("y"))
-      .unionAll(withDegs.select(col("db").as("x"), col("da").as("y")))
-    val s = pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("x") * col("y")).as("sxy"))
+    // the symmetrized union (x,y)=(da,db)∪(db,da) never materializes: its
+    // moments are algebraic in the one-pass sums — n = 2|E|,
+    // Σx = Σ(da+db), Σx² = Σ(da²+db²), Σxy = 2Σ(da·db) — identical
+    // integers to the union formulation (and to the oracle's), one agg
+    val s = withDegs.agg(
+      (count(lit(1)) * lit(2L)).as("n"),
+      sum(col("da") + col("db")).as("sx"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+      (sum(col("da") * col("db")) * lit(2L)).as("sxy"))
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: org.apache.spark.sql.Column) = c.cast(D)
     s.select(col("n"), col("sx"), col("sxx"), col("sxy"),
@@ -606,9 +615,14 @@ object Entity {
   // Rules thresholded at support ≥ 3 baskets and conf ≥ 8% to keep the
   // output the actionable head, not the noise tail.
   def q81AprioriRules(spark: SparkSession, dir: String): DataFrame = {
+    // barriers (r12 ScanAudit): op feeds three independent aggregates and
+    // pairs feeds both arms of the directional union — unbarriered, the
+    // distinct collapse ran 5× per execution. op is 2 longs per distinct
+    // (basket, item); pairs is the support-thresholded rule head.
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint(true)
     val nBaskets = op.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
     val item = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val pairs = op.groupBy(col("ok"))
@@ -618,6 +632,7 @@ object Entity {
       .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3L)
+      .localCheckpoint(true)
     val directional = pairs.select(col("a"), col("b"), col("w"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     directional

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Dev-only recompute-class audit (r12): the q34_funnel/q80/q86 defects all
+  * had one signature — a derived frame consumed by several plan branches,
+  * which Catalyst does not share, so the OPTIMIZED plan carries the same
+  * table scan N times. This tool walks every SparkEntry lane's optimized
+  * logical plan (analysis only — nothing executes) and prints lanes whose
+  * plan scans one table ≥ `threshold` times, most-duplicated first.
+  *
+  * A flagged lane is a CANDIDATE, not a defect: pair lanes legitimately
+  * read a table through two join branches, and scans are cheap when column-
+  * pruned. The q86 bar is scanning an EXPENSIVE derivation's inputs 3-4×.
+  * Barriered lanes (localCheckpoint) show LogicalRDD leaves, not their
+  * upstream scans — the fix pattern makes a lane drop out of this report,
+  * which is exactly the property the audit wants to see.
+  * Usage: runMain graft.tools.ScanAudit [threshold]
+  */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val threshold = if (args.nonEmpty) args(0).toInt else 3
+    val spark = graft.GraftSession.build()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val report = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val row = try {
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        val scans = plan.collect {
+          case r: LogicalRelation => r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.getName).mkString(",")
+            case other => other.getClass.getSimpleName
+          }
+        }
+        val byTable = scans.groupBy(identity).view.mapValues(_.size).toMap
+        val worst = if (byTable.isEmpty) 0 else byTable.values.max
+        if (worst >= threshold)
+          Some((name, worst, byTable.filter(_._2 >= threshold).keys.mkString(", ")))
+        else None
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scanaudit] $name failed: ${e.getMessage}")
+          None
+      }
+      // lanes persist()/checkpoint shared frames at build time — drop them
+      // so one lane's cache never changes another lane's plan shape
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      row
+    }
+    report.sortBy(-_._2).foreach { case (name, worst, tables) =>
+      println(f"[scanaudit] $name%-28s max_scans=$worst  ($tables)")
+    }
+    println(s"[scanaudit] ${report.size} lanes at threshold >= $threshold " +
+      s"(of ${graft.SparkEntry.queries.size})")
+    spark.stop()
+  }
+}
