@@ -593,9 +593,14 @@ object Analytics {
     * q53 overlap lane so the two range-join lanes attribute against the
     * SAME windows. */
   private[queries] def incidentWindows(spark: SparkSession, dir: String): DataFrame = {
+    // barriers (r12 ScanAudit): hourly feeds the threshold agg AND the
+    // filter (2 events scans unbarriered), and both range-join lanes use
+    // the returned windows frame twice (horizon + the join itself) — both
+    // frames are hour-grain tiny at any SF
     val hourly = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // scalar threshold as a broadcast one-row frame (repo convention);
     // division spelled sum/count in DOUBLE so DuckDB replays it bit-exact
     val thr = hourly.agg(
@@ -612,6 +617,7 @@ object Analytics {
         (unix_micros(col("island_start")) - lit(1800000000L)).as("start_us"),
         (unix_micros(col("island_end_hr")) + lit(3600000000L) + lit(1800000000L))
           .as("end_us"))
+      .localCheckpoint(true)
   }
 
   def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -906,6 +912,10 @@ object Analytics {
     val ud = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("d"), col("user_id"))
       .distinct()
+      // barrier (r12 ScanAudit): ud feeds mx, the window expansion AND the
+      // dau agg — 3 events scans unbarriered; the user-day grain is the
+      // lane's working set either way
+      .localCheckpoint(true)
     val mx = ud.agg(max(col("d")).as("mx"))
     val wau = ud
       .select(explode(expr("sequence(d, date_add(d, 6))")).as("w"),
@@ -1017,6 +1027,10 @@ object Analytics {
       .select(to_date(col("ts")).as("d"), col("user_id"))
     val daily = ud.groupBy(col("d"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      // barrier (r12 ScanAudit): daily feeds mx AND the window union —
+      // one sketch row per day, pennies to hold, a full events scan to
+      // recompute
+      .localCheckpoint(true)
     val mx = daily.agg(max(col("d")).as("mx"))
     val est = daily
       .select(explode(expr("sequence(d, date_add(d, 6))")).as("w"), col("sk"))
@@ -1048,6 +1062,9 @@ object Analytics {
     val med = ev.groupBy(col("event_type"))
       .agg(expr("percentile(y, 0.5D)").as("med"),
         count(lit(1)).as("n"))
+      // barrier (r12 ScanAudit): med joins into the deviation pass AND the
+      // final output — 5 rows, but each recompute was a full events scan
+      .localCheckpoint(true)
     val mad = ev.join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), abs(col("y") - col("med")).as("d"))
       .groupBy(col("event_type"))

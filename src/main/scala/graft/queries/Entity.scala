@@ -430,9 +430,14 @@ object Entity {
   // sparsity, and a viral basket routes through the same capped-expansion
   // discipline as the q24 hot buckets.
   def q67CooccurSim(spark: SparkSession, dir: String): DataFrame = {
+    // barriers (r12 ScanAudit, the q81 pattern): op feeds the incidence
+    // counts and the basket-pair expansion, pairs feeds both arms of the
+    // symmetrizing union — unbarriered, the distinct collapse ran 4× per
+    // execution
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint(true)
     val nOrd = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
     val pairs = op.groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("pks"))
@@ -440,6 +445,7 @@ object Entity {
         "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
       .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     val sym = pairs.unionAll(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     val sim = sym

@@ -97,6 +97,12 @@ object Evaluation {
       .groupBy(col("event_type"),
         expr("CAST(weekofyear(ts) AS BIGINT)").as("week"))
       .agg(count(lit(1)).as("o"))
+      // barrier (r12 ScanAudit): WITHOUT it the "never a second pass over
+      // events" claim above was comment/code drift — cells feeds the two
+      // margin aggs, the grand total AND the join, and Catalyst shares no
+      // subtrees across them, so events was scanned 4×. The materialized
+      // frame is ≤ types × weeks rows.
+      .localCheckpoint(true)
     val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
     val colTot = cells.groupBy(col("week")).agg(sum(col("o")).as("c"))
     val n = cells.agg(sum(col("o")).as("n"))
@@ -337,6 +343,9 @@ object Evaluation {
       .groupBy((col("user_id") % 4).as("cohort"), col("user_id"))
       .agg(count(lit(1)).as("cnt"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      // barrier (r12 ScanAudit): users feeds both rank frames AND the
+      // closing joins — 3 events scans unbarriered; one row per user here
+      .localCheckpoint(true)
     def rank2(metric: String) = {
       val grp = users.groupBy(col("cohort"), col(metric)).agg(count(lit(1)).as("m"))
       val below = Window.partitionBy(col("cohort")).orderBy(col(metric))

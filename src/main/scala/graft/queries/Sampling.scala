@@ -254,6 +254,9 @@ object Sampling {
       .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      // barrier (r12 ScanAudit): bySrc feeds the total AND the rate frame
+      // — per-source tiny, a full documents scan to recompute
+      .localCheckpoint(true)
     val tot = bySrc.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     val rates = bySrc.crossJoin(broadcast(tot))
@@ -351,6 +354,9 @@ object Sampling {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // barrier (r12 ScanAudit): tf feeds the df aggregation AND the
+      // scoring join — unbarriered, the tokenize+count pass ran twice
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("tok"))
     tf.join(dfreq, "tok")

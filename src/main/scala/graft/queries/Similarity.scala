@@ -1492,8 +1492,13 @@ object Similarity {
   // the banded equi-join, quality is row-local, and the verdict is two
   // hash joins on doc_id + one min-agg — no new shuffle class.
   def q26QualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    // barriers (r12 ScanAudit): pairs feeds both symmetrizing arms (the
+    // whole banded SimHash pipeline ran twice) and the quality frame feeds
+    // three joins — both are bounded (candidate pairs; one row per doc)
     val pairs = q24SimhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val q = TextOps.qualityScored(spark, dir).select(col("doc_id"), col("quality"))
+      .localCheckpoint(true)
     val nbrs = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("d", "n")
@@ -1970,6 +1975,10 @@ object Similarity {
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= PqShort)
       .select(col("q_id"), col("vec_id"), col("rn"))
+      // barrier (r12 ScanAudit): the shortlist feeds the re-rank join AND
+      // the ADC-recall cut — unbarriered, the whole cross-join + two-level
+      // ranking pipeline ran twice; ≤ queries × PqShort rows here
+      .localCheckpoint(true)
     // Exact audit (‖x−q‖² via the dot identity) — the tiny broadcast side
     // is the 8-row query set; at 100 TB this audit runs on a sample.
     val queries = e.filter(col("vec_id") < PqNQ)
@@ -1981,6 +1990,9 @@ object Similarity {
       .withColumn("d2", exactD2(col("embedding"), col("qvec")))
       .withColumn("rn", row_number().over(wEx))
       .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+      // barrier: the exact top-10 is the recall reference for BOTH hits()
+      // audits — 10 rows per query, a full brute-force pass to recompute
+      .localCheckpoint(true)
     // Re-rank: exact distance on the ADC shortlist only (point reads at
     // scale — the shortlist semi-join is the only raw-vector touch).
     val rerank10 = adcRanked.select(col("q_id"), col("vec_id"))
@@ -2186,6 +2198,9 @@ object Similarity {
     val e = hashSampled(Tables.embeddings(spark, dir), "vec_id", SampleTargetVecs)
       .withColumn("bucket", annBucketCol(hp).cast("int"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      // barrier (r12 ScanAudit): e feeds both sides of the pair self-join
+      // — the sample+bucket pass ran twice; the frame IS the sample, tiny
+      .localCheckpoint(true)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket").as("ba"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),

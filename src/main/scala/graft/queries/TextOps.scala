@@ -251,6 +251,10 @@ object TextOps {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // barrier (r12 ScanAudit): tf feeds the vocab chain AND the scoring
+      // join — unbarriered, the tokenize+count pass ran 3× (vocab, total
+      // through vocab, probe side)
+      .localCheckpoint(true)
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
     val total = vocab.agg(sum(col("n")).as("n_total"))
     tf.join(vocab, "tok")
@@ -909,8 +913,14 @@ object TextOps {
       .withColumn("i", explode(expr("sequence(1, size(t) - 1)")))
       .select(col("doc_id"), expr("element_at(t, i)").as("a"),
         expr("element_at(t, i + 1)").as("b"))
+    // r12 ScanAudit: bg, pre and the scoring join each re-ran the full
+    // tokenize+explode (3 corpus passes). The prefix counts are algebraic
+    // in the bigram model — c_a = SUM_b c_ab, identical integers — so pre
+    // derives FROM the barriered bg and the explode runs twice (model
+    // build + scoring), never three times.
     val bg = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    val pre = bigrams.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      .localCheckpoint(true)
+    val pre = bg.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
     bigrams.join(bg, Seq("a", "b")).join(pre, Seq("a"))
       .withColumn("r_bp", expr("(c_ab * 10000) DIV c_a"))
       .groupBy(col("doc_id"))
