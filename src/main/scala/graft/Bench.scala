@@ -328,6 +328,16 @@ object Bench {
     // failed_cold filtered against failedWarm while the gate had moved to
     // noop, classifying a cold+noop-fail/warm-pass lane inconsistently) —
     // each lane appears in exactly one of the three failure lists.
+    // Anchor-normalized round-over-round deltas (r12 VERDICT task 4): the
+    // previous round's BENCH artifact + both anchors make "faster or just a
+    // faster box?" mechanical — see core/PrevBench.scala for conventions.
+    val vsPrev = try {
+      val okNoop = noopTimes.filterNot { case (k, _) => failedNoop(k) }
+      graft.core.PrevBench.report(anchorS, anchorIo, noopTotal,
+        ingestRps, streamWarmRps, pushRps, okNoop)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vs_prev failed: ${e.getMessage}"); "null"
+    }
     val failedJson = failedNoop.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedWarmJson =
       failedWarm.filterNot(failedNoop).map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -349,6 +359,7 @@ object Bench {
       s""""push_rows_per_sec":$pushRps,""" +
       s""""push_reps_rows_per_sec":${pushRepsRps.mkString("[", ",", "]")},""" +
       s""""anchor_s":$anchorS,"anchor_io_mbps":$anchorIo,""" +
+      s""""vs_prev_normalized":$vsPrev,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$qsNoop,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
@@ -395,6 +406,7 @@ object Bench {
       s""""stream_rep_spread":$streamSpread,""" +
       s""""push_rows_per_sec":${math.rint(pushRps)},""" +
       s""""anchor_s":${r3(anchorS)},"anchor_io_mbps":${r3(anchorIo)},""" +
+      s""""vs_prev_normalized":$vsPrev,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$slowest,""" +
       s""""queries_note":"15 slowest noop lanes; full dicts in bench_result.json","sf":"$sfDir"}"""

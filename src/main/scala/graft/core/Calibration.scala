@@ -70,12 +70,26 @@ object Calibration {
     * push) are the ones such a window fails; `anchor_io_mbps` in the same
     * JSON makes the cause readable from the artifact alone. Report-only,
     * no pass bar — same contract as anchor_s. The workload (64 MB in 4 MB
-    * FORCE'd chunks) is fixed for the same cross-round-ratio reason. */
+    * FORCE'd chunks) is fixed for the same cross-round-ratio reason.
+    *
+    * Probe placement (r12 ADVICE): java.io.tmpdir is tmpfs on many container
+    * hosts, where a DSYNC write measures MEMORY — a plausible-looking MB/s
+    * that cannot diagnose the disk contention the anchor exists for. The
+    * probe therefore writes under the process working directory (the same
+    * filesystem Bench's ingest/shuffle output hits — both resolve under the
+    * repo checkout) and LOGS the resolved path, so a reading taken against
+    * the wrong filesystem is recognizable from the artifact's stderr. */
   def measureIo(reps: Int = 3): Double = {
-    import java.nio.file.{Files, StandardOpenOption}
+    import java.nio.file.{Files, Paths, StandardOpenOption}
     val chunk = java.nio.ByteBuffer.allocate(4 << 20)
+    val probeDir = {
+      val cwd = Paths.get(sys.props.getOrElse("user.dir", "."))
+      if (Files.isWritable(cwd)) cwd
+      else Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    }
+    System.err.println(s"[anchor] io probe dir: ${probeDir.toAbsolutePath}")
     val rates = (0 until reps).map { _ =>
-      val f = Files.createTempFile("graft_anchor_io", ".bin")
+      val f = Files.createTempFile(probeDir, "graft_anchor_io", ".bin")
       val ch = java.nio.channels.FileChannel.open(f,
         StandardOpenOption.WRITE, StandardOpenOption.DSYNC)
       val t0 = System.nanoTime()

@@ -105,10 +105,22 @@ object Triangles {
       .select(col("u"), col("v"),
         expr("intersect_packed(nu, nv)").as("ws"))
       .filter(size(col("ws")) > 0)
+    // Per-node counts in ONE pass over `closed` (r12 ADVICE: the old
+    // two-arm union consumed the expensive packed closing join twice per
+    // execution — the ScanAudit recompute class, and barriering `closed`
+    // would hold the raw ws arrays that caused the r11 ENOSPC). Each
+    // closing row (u, v, ws) emits its whole contribution as one array —
+    // (u, |ws|), (v, |ws|), and (w, 1) per witness — exploded once.
     val corners = closed
-      .select(explode(array(col("u"), col("v"))).as("node"),
-        size(col("ws")).cast("long").as("c"))
-      .unionAll(closed.select(explode(col("ws")).as("node"), lit(1L).as("c")))
+      .select(explode(concat(
+          array(
+            struct(col("u").cast("long").as("node"),
+              size(col("ws")).cast("long").as("c")),
+            struct(col("v").cast("long").as("node"),
+              size(col("ws")).cast("long").as("c"))),
+          expr("transform(ws, w -> named_struct('node', w, 'c', CAST(1 AS BIGINT)))")))
+        .as("x"))
+      .select(col("x.node").as("node"), col("x.c").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("tri_cnt"))
 
     deg.join(corners, Seq("node"), "left")

@@ -65,9 +65,15 @@ case class PackSortedLongs(child: Expression)
       var u =
         if (i == 0) (v << 1) ^ (v >> 63)
         else {
-          if (v < prev) throw new IllegalArgumentException(
-            s"pack_sorted_longs: input not ascending ($prev then $v); " +
-              "sort_array the list before packing")
+          // STRICTLY ascending (r12 ADVICE): an equal successor (gap 0)
+          // used to pack silently, and intersect_packed would then emit
+          // duplicates — diverging from array_intersect's set semantics
+          // the scaladoc promises. The function is SQL-registered, so the
+          // contract must hold for arbitrary callers, not just q62's
+          // distinct-edge adjacency.
+          if (v <= prev) throw new IllegalArgumentException(
+            s"pack_sorted_longs: input not strictly ascending ($prev then $v); " +
+              "sort_array(array_distinct(..)) the list before packing")
           v - prev
         }
       prev = v
@@ -109,21 +115,31 @@ case class IntersectPackedLongs(left: Expression, right: Expression)
     // inline varint cursors: (position, running value) per stream
     var pa = 0; var va = 0L
     var pb = 0; var vb = 0L
+    // truncated-stream guard (r12 ADVICE): the function is SQL-registered,
+    // so any binary can reach it — a continuation bit pointing past the
+    // buffer must fail diagnosably, not as a raw AIOOBE or silent garbage
+    def truncated(): Nothing = throw new IllegalArgumentException(
+      "intersect_packed: truncated varint stream — input is not a " +
+        "pack_sorted_longs binary")
     // decode one varint from `a` at pa; returns raw varint, advances pa
     def nextA(): Long = {
       var u = 0L; var shift = 0
+      if (pa >= a.length) truncated()
       var byte = a(pa); pa += 1
       while ((byte & 0x80) != 0) {
         u |= (byte & 0x7FL) << shift; shift += 7
+        if (pa >= a.length) truncated()
         byte = a(pa); pa += 1
       }
       u | ((byte & 0x7FL) << shift)
     }
     def nextB(): Long = {
       var u = 0L; var shift = 0
+      if (pb >= b.length) truncated()
       var byte = b(pb); pb += 1
       while ((byte & 0x80) != 0) {
         u |= (byte & 0x7FL) << shift; shift += 7
+        if (pb >= b.length) truncated()
         byte = b(pb); pb += 1
       }
       u | ((byte & 0x7FL) << shift)

@@ -1059,17 +1059,21 @@ object Analytics {
   def q77Mad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"),
       expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+    // r13 (barrier A/B): med used to be barriered because it fed the
+    // deviation pass AND the final output; THREADING med/n through the
+    // deviation agg's group key (exact doubles group exactly — each is a
+    // bit-exact percentile pick) gives med a single consumer, so nothing
+    // recomputes, no barrier is paid, and events is scanned exactly twice
+    // (the semantic floor: a median-of-deviations-from-the-median is
+    // irreducibly two-pass).
     val med = ev.groupBy(col("event_type"))
       .agg(expr("percentile(y, 0.5D)").as("med"),
         count(lit(1)).as("n"))
-      // barrier (r12 ScanAudit): med joins into the deviation pass AND the
-      // final output — 5 rows, but each recompute was a full events scan
-      .localCheckpoint(true)
-    val mad = ev.join(broadcast(med), Seq("event_type"))
-      .select(col("event_type"), abs(col("y") - col("med")).as("d"))
-      .groupBy(col("event_type"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"), col("n"),
+        abs(col("y") - col("med")).as("d"))
+      .groupBy(col("event_type"), col("med"), col("n"))
       .agg(expr("percentile(d, 0.5D)").as("mad"))
-    med.join(mad, Seq("event_type"))
       .select(col("event_type"), col("n"), col("med"), col("mad"))
       .orderBy(col("event_type"))
   }

@@ -434,18 +434,18 @@ object Entity {
     // counts and the basket-pair expansion, pairs feeds both arms of the
     // symmetrizing union — unbarriered, the distinct collapse ran 4× per
     // execution
-    val op = Tables.lineitem(spark, dir)
+    val op0 = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint(true)
-    val nOrd = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val pairs = op.groupBy(col("ok"))
+    val opB = graft.core.Barrier.bounded(op0)
+    val nOrd = opB.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs0 = opB.groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("pks"))
       .select(explode(expr(
         "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
       .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+    val pairs = graft.core.Barrier.bounded(pairs0)
     val sym = pairs.unionAll(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     val sim = sym
@@ -625,20 +625,20 @@ object Entity {
     // pairs feeds both arms of the directional union — unbarriered, the
     // distinct collapse ran 5× per execution. op is 2 longs per distinct
     // (basket, item); pairs is the support-thresholded rule head.
-    val op = Tables.lineitem(spark, dir)
+    val op0 = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint(true)
-    val nBaskets = op.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
-    val item = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs = op.groupBy(col("ok"))
+    val opB = graft.core.Barrier.bounded(op0)
+    val nBaskets = opB.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
+    val item = opB.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs1 = opB.groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("pks"))
       .select(explode(expr(
         "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
       .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3L)
-      .localCheckpoint(true)
+    val pairs = graft.core.Barrier.bounded(pairs1)
     val directional = pairs.select(col("a"), col("b"), col("w"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     directional

@@ -49,7 +49,7 @@ object Similarity {
     * nothing to any shingle-based lane, and the oracle CTE (dDuck) carries
     * the identical filter, so every q24 output is bit-equal on all
     * corpora — short docs included. */
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
     shingledFrame(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("sh"))
 
@@ -542,8 +542,9 @@ object Similarity {
     // corpus every df multiplies by the copy factor, so 128× drove ~10¹⁰
     // candidate rows and the lane died in the candidate shuffle. Containment
     // depends only on the shingle SET, so exact set-twins are collapsed
-    // FIRST (one window shuffle keyed on the sorted set — set equality
-    // itself, no hash ambiguity), the prefix-filter machinery runs on
+    // FIRST (one window shuffle on a narrow hash of the sorted set, with
+    // an IN-GROUP exact set-equality verify — no hash ambiguity; see the
+    // r13 note below), the prefix-filter machinery runs on
     // unique-set REPRESENTATIVES (constant in the duplication factor), and
     // verified rep-pair verdicts expand back to member pairs at the very
     // end — work linear in the OUTPUT, which is the information-theoretic
@@ -555,13 +556,38 @@ object Similarity {
     // applies pairwise to the distinct-set reps, and member pairs inherit
     // their reps' verdict because containment is a function of the sets.
     val d = docsWithShingles(spark, dir)
-    val grpW = Window.partitionBy(col("key"))
-    val keyed = d
-      .select(col("doc_id"), size(col("sh")).as("n"), col("sh"),
-        array_sort(col("sh")).as("key"))
-      .withColumn("rep_id", min(col("doc_id")).over(grpW))
-      .drop("key")
+    // r13 grouping-key diet (VERDICT task 6): the twin-collapse window used
+    // the full SORTED SHINGLE ARRAY as its partition key — exactness-pure,
+    // but the grouping key was the payload itself: rows crossed the
+    // exchange carrying sh AND its sorted copy (~2× width), and the
+    // in-partition sort compared arrays. Now the window partitions on
+    // (n, kh = xxhash64(array_sort(sh))) — 16 bytes of key, longs to sort
+    // — and EXACTNESS is restored IN-GROUP: the candidate rep's shingle
+    // set rides the ordered window via first(), every row verifies set
+    // equality row-locally (array_sort re-derived post-shuffle: CPU for
+    // bytes, the right trade on a shuffle-bound exchange), and collision
+    // victims — rows whose set differs from their hash-group rep's — are
+    // regrouped by the full sorted array among THEMSELVES, an ~always-
+    // empty frame (the full-array shuffle that used to carry the whole
+    // corpus now carries only 64-bit-collision victims). Measured
+    // exchange-byte A/B in PLANS §Round-13.
+    val byHash = Window.partitionBy(col("n"), col("kh")).orderBy(col("doc_id"))
+    val marked = d
+      .select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
+      .withColumn("kh", xxhash64(array_sort(col("sh"))))
+      .withColumn("rep_id0", first(col("doc_id")).over(byHash))
+      .withColumn("rep_sh", first(col("sh")).over(byHash))
+      .withColumn("ok",
+        array_sort(col("sh")) === array_sort(col("rep_sh")))
+      .drop("rep_sh", "kh")
       .persist()
+    val collided = marked.filter(!col("ok"))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(array_sort(col("sh")))))
+    val keyed = marked.filter(col("ok"))
+      .select(col("doc_id"), col("n"), col("sh"), col("rep_id0").as("rep_id"))
+      .unionByName(
+        collided.select(col("doc_id"), col("n"), col("sh"), col("rep_id")))
     val members = keyed.select(col("rep_id"), col("doc_id"))
     val reps = keyed.filter(col("doc_id") === col("rep_id"))
       .select(col("rep_id"), col("n"), col("sh"))

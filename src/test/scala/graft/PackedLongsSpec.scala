@@ -52,7 +52,31 @@ class PackedLongsSpec extends SparkSpec {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("not ascending")))
+    assert(msgs(ex).exists(_.contains("not strictly ascending")))
+  }
+
+  test("equal adjacent elements fail loudly — the deduplicated-list contract") {
+    // r12 ADVICE: a gap-0 element used to pack silently and intersect_packed
+    // then emitted duplicates, diverging from array_intersect's set result
+    val ex = intercept[Exception] {
+      Seq(Seq(3L, 3L, 5L)).toDF("a")
+        .select(expr("pack_sorted_longs(a)")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("not strictly ascending")))
+  }
+
+  test("truncated varint binary fails diagnosably, not as AIOOBE") {
+    // a lone continuation byte promises more bytes than the buffer holds;
+    // the function is SQL-registered so arbitrary binaries can reach it
+    val ex = intercept[Exception] {
+      spark.range(1)
+        .select(expr("intersect_packed(X'80', X'02')")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("truncated varint")))
   }
 
   test("clustered adjacency packs at 1-3 B/neighbor, never above flat-8") {

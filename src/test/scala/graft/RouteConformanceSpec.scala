@@ -88,6 +88,19 @@ class RouteConformanceSpec extends SparkSpec {
         s"lacks the marker: ${misses.mkString("; ")}")
   }
 
+  test("q34_funnel stays bounded: no per-key array collection in its plan") {
+    // r12 VERDICT task 2: the funnel's stage chain must be associative
+    // conditional-MIN aggregation (constant per-key state), never a
+    // collect_list buffer one bot-grade user can OOM. The stage frames are
+    // persist()ed (not checkpointed) precisely so the ANALYZED plan keeps
+    // every subtree visible to this assertion.
+    val plan = analyzedPlan("q34_funnel")
+    assert(!plan.contains("collect_list"),
+      "q34_funnel reintroduced an unbounded per-key collect_list buffer")
+    assert(!plan.contains("collect_set"),
+      "q34_funnel reintroduced an unbounded per-key collect_set buffer")
+  }
+
   test("negative control: a no-claim lane carries none of the markers") {
     // q06_dedup_exact is a plain hash-group dedup — if the markers ever
     // appear in ITS plan, they have stopped identifying the shared paths
