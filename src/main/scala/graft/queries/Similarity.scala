@@ -571,23 +571,29 @@ object Similarity {
     // empty frame (the full-array shuffle that used to carry the whole
     // corpus now carries only 64-bit-collision victims). Measured
     // exchange-byte A/B in PLANS §Round-13.
+    // Both windows share ONE exchange: hashpartitioning(n, kh) satisfies
+    // the finer ClusteredDistribution(n, kh, sorted-set) too, so the
+    // collider-resolving per-SET window adds only an in-partition sort —
+    // the sorted array is (re)derived post-shuffle and never crosses the
+    // wire. rep semantics: the hash-group min-doc row defines the group's
+    // candidate set, so for matching rows first-over-(n,kh) IS the per-set
+    // min; a collision victim's true rep is the per-set-window min among
+    // its own (all-collider) set. Single linear plan, persisted once —
+    // the r13.0 two-branch form re-ran the collapse per downstream
+    // consumer (bench-caught at +10 s; vs_prev_normalized earning its keep).
     val byHash = Window.partitionBy(col("n"), col("kh")).orderBy(col("doc_id"))
-    val marked = d
+    val bySet = Window.partitionBy(col("n"), col("kh"), array_sort(col("sh")))
+    val keyed = d
       .select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
       .withColumn("kh", xxhash64(array_sort(col("sh"))))
       .withColumn("rep_id0", first(col("doc_id")).over(byHash))
       .withColumn("rep_sh", first(col("sh")).over(byHash))
-      .withColumn("ok",
-        array_sort(col("sh")) === array_sort(col("rep_sh")))
-      .drop("rep_sh", "kh")
-      .persist()
-    val collided = marked.filter(!col("ok"))
       .withColumn("rep_id",
-        min(col("doc_id")).over(Window.partitionBy(array_sort(col("sh")))))
-    val keyed = marked.filter(col("ok"))
-      .select(col("doc_id"), col("n"), col("sh"), col("rep_id0").as("rep_id"))
-      .unionByName(
-        collided.select(col("doc_id"), col("n"), col("sh"), col("rep_id")))
+        when(array_sort(col("sh")) === array_sort(col("rep_sh")),
+          col("rep_id0"))
+          .otherwise(min(col("doc_id")).over(bySet)))
+      .select(col("doc_id"), col("n"), col("sh"), col("rep_id"))
+      .persist()
     val members = keyed.select(col("rep_id"), col("doc_id"))
     val reps = keyed.filter(col("doc_id") === col("rep_id"))
       .select(col("rep_id"), col("n"), col("sh"))
