@@ -161,6 +161,12 @@ object ScaleSmoke {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
+        // settle (the Bench r10 lesson): System.gc() QUEUES ContextCleaner
+        // work (shuffle-file removal) that otherwise executes ASYNC inside
+        // the NEXT timed rep — observed here as rep1 > rep0 inversions at
+        // 128× (q88 341.6 vs 245.3 s); a throwaway job absorbs it outside
+        // the timing
+        spark.range(1000).count()
       }
     }
     spark.stop()
