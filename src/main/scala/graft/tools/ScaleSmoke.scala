@@ -18,6 +18,12 @@ object ScaleSmoke {
     // with SPARK_GRAFT_SCALE_COPIES=32 spot-rehearses one lane at 32×.
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "8").toInt
     val out = s"/tmp/graft_scale$copies"
+    // anchors first (the Bench discipline, r13): sweep logs are compared
+    // ACROSS sessions and this host's disk swings 10× within a day
+    // (measured 350 → 33 MB/s) — a sweep row without its window's anchors
+    // cannot be told apart from a code regression
+    println(f"[scale$copies] anchor_s=${graft.core.Calibration.measure()}%.3f " +
+      f"anchor_io_mbps=${graft.core.Calibration.measureIo()}%.0f")
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
