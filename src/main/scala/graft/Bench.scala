@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // r13 VERDICT task 7: the barrier A/B override must never shape a
+    // production artifact — fail loudly, don't silently bench a mutant.
+    graft.core.Barrier.assertNoOverride("Bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Calibration anchor FIRST (r11 VERDICT task 2), before any Spark
@@ -17,11 +20,17 @@ object Bench {
     // the container clock ratio, making round-over-round deltas readable
     // across differently-clocked boxes (see core/Calibration.scala).
     val anchorS = graft.core.Calibration.measure()
+    // Multi-core anchor (r13 task 2): min(8, cores) concurrent passes of
+    // the same kernel — separates "slower clock" from "fewer effective
+    // cores" (host oversubscription), the class of uniform untouched-lane
+    // elevation r13 could only explain in prose.
+    val anchorMt = graft.core.Calibration.measureMt()
     // I/O anchor (r12): durable-write MB/s of the bench filesystem — the
     // diagnostic for host-noise windows that fail the fsync-bound bars
     // while anchor_s stays near-baseline (see Calibration.measureIo).
     val anchorIo = graft.core.Calibration.measureIo()
-    System.err.println(f"[bench] anchor_s=$anchorS%.3f anchor_io_mbps=$anchorIo%.0f")
+    System.err.println(f"[bench] anchor_s=$anchorS%.3f anchor_mt_s=$anchorMt%.3f" +
+      f" (threads=${graft.core.Calibration.mtThreads}) anchor_io_mbps=$anchorIo%.0f")
     val spark = GraftSession.builder(cpus)
       // Dynamic-partition writes sort each task's rows by partition key
       // first; with bounded concurrent writers the sort is skipped — the
@@ -329,12 +338,17 @@ object Bench {
     // noop, classifying a cold+noop-fail/warm-pass lane inconsistently) —
     // each lane appears in exactly one of the three failure lists.
     // Anchor-normalized round-over-round deltas (r12 VERDICT task 4): the
-    // previous round's BENCH artifact + both anchors make "faster or just a
+    // previous round's BENCH artifact + the anchors make "faster or just a
     // faster box?" mechanical — see core/PrevBench.scala for conventions.
+    // The prev artifact is loaded ONCE and shared with the per-bar verdicts.
+    val prevBench = try graft.core.PrevBench.load()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prev load failed: ${e.getMessage}"); None
+    }
     val vsPrev = try {
       val okNoop = noopTimes.filterNot { case (k, _) => failedNoop(k) }
       graft.core.PrevBench.report(anchorS, anchorIo, noopTotal,
-        ingestRps, streamWarmRps, pushRps, okNoop)
+        ingestRps, streamWarmRps, pushRps, okNoop, prevBench, anchorMt)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vs_prev failed: ${e.getMessage}"); "null"
     }
@@ -344,6 +358,23 @@ object Bench {
     val failedColdJson = failedCold
       .filterNot(n => failedWarm(n) || failedNoop(n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-bar verdicts with normalized twins (r13 VERDICT task 5): raw
+    // pass/fail against the BASELINE.md bars plus the anchor-normalized
+    // vs-prev ratio and a divergence flag — a bar passed on disk weather
+    // (or failed on it) is readable from the artifact alone.
+    def statsOf(vals: Seq[Double]): (Double, Double, Double, Double) = {
+      val s = vals.sorted
+      def pctl(p: Double): Double =
+        if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * s.size).toInt))
+      (if (s.isEmpty) -1.0 else s.sum / s.size, pctl(0.5), pctl(0.95), pctl(1.0))
+    }
+    val noopOkPairs = noopTimes.toSeq.filterNot { case (k, _) => failedNoop(k) }
+    val (noopMeanV, noopP50V, noopP95V, noopMaxV) = statsOf(noopOkPairs.map(_._2))
+    val barsJson = try graft.core.PrevBench.barsReport(anchorS, anchorIo,
+      noopMeanV, noopP95V, ingestRps, streamWarmRps, pushRps, prevBench)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bars failed: ${e.getMessage}"); "null"
+    }
     // Key order is deliberate: cold/counted dicts FIRST, the gated dict
     // (`queries`, what BASELINE.md targets compare against) LAST among the
     // dicts — a tail window of this (long) line, which is what a
@@ -358,8 +389,10 @@ object Bench {
       s""""stream_reps_rows_per_sec":${streamRepsRps.mkString("[", ",", "]")},""" +
       s""""push_rows_per_sec":$pushRps,""" +
       s""""push_reps_rows_per_sec":${pushRepsRps.mkString("[", ",", "]")},""" +
-      s""""anchor_s":$anchorS,"anchor_io_mbps":$anchorIo,""" +
-      s""""vs_prev_normalized":$vsPrev,""" +
+      s""""anchor_s":$anchorS,"anchor_mt_s":$anchorMt,""" +
+      s""""anchor_mt_threads":${graft.core.Calibration.mtThreads},""" +
+      s""""anchor_io_mbps":$anchorIo,""" +
+      s""""vs_prev_normalized":$vsPrev,"bars":$barsJson,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$qsNoop,"sf":"$sfDir"}"""
     // Durable copy: the driver's stdout scrape lost the line start in round 1
@@ -377,16 +410,10 @@ object Bench {
     // failures, and the slowest lanes; the complete per-lane dicts live in
     // the full line above and in bench_result.json.
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    def stats(vals: Seq[Double]): (Double, Double, Double, Double) = {
-      val s = vals.sorted
-      def pctl(p: Double): Double =
-        if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * s.size).toInt))
-      (if (s.isEmpty) -1.0 else s.sum / s.size, pctl(0.5), pctl(0.95), pctl(1.0))
-    }
-    val noopOk = noopTimes.toSeq.filterNot { case (k, _) => failedNoop(k) }
+    val noopOk = noopOkPairs
     val warmOk = results.filterNot { case (k, _) => failedWarm(k) }
-    val (noopMean, noopP50, noopP95, noopMax) = stats(noopOk.map(_._2))
-    val (warmMean, warmP50, warmP95, warmMax) = stats(warmOk.map(_._2))
+    val (noopMean, noopP50, noopP95, noopMax) = (noopMeanV, noopP50V, noopP95V, noopMaxV)
+    val (warmMean, warmP50, warmP95, warmMax) = statsOf(warmOk.map(_._2))
     val slowest = noopOk.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val ingestSpread =
@@ -405,8 +432,9 @@ object Bench {
       s""""stream_warm_rows_per_sec":${math.rint(streamWarmRps)},""" +
       s""""stream_rep_spread":$streamSpread,""" +
       s""""push_rows_per_sec":${math.rint(pushRps)},""" +
-      s""""anchor_s":${r3(anchorS)},"anchor_io_mbps":${r3(anchorIo)},""" +
-      s""""vs_prev_normalized":$vsPrev,""" +
+      s""""anchor_s":${r3(anchorS)},"anchor_mt_s":${r3(anchorMt)},""" +
+      s""""anchor_io_mbps":${r3(anchorIo)},""" +
+      s""""vs_prev_normalized":$vsPrev,"bars":$barsJson,""" +
       s""""failed":$failedJson,"failed_warm":$failedWarmJson,"failed_cold":$failedColdJson,""" +
       s""""queries":$slowest,""" +
       s""""queries_note":"15 slowest noop lanes; full dicts in bench_result.json","sf":"$sfDir"}"""

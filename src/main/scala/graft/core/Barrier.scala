@@ -22,8 +22,10 @@ import org.apache.spark.sql.DataFrame
   * The r13 A/B (tools/BarrierAB, PLANS §Round-13) measures both against
   * no-barrier per lane; call sites encode the measured winner. The system
   * property `graft.barrier.mode` (checkpoint | persist | none) OVERRIDES
-  * every `bounded` site at once — it exists for the A/B tool and must not
-  * be set in production paths.
+  * every `bounded` site at once — it exists for the A/B tool; the
+  * production mains (Verify/Bench) call [[assertNoOverride]] at startup so
+  * a leaked override dies loudly instead of shaping an artifact (r13
+  * VERDICT task 7 — the old "must not be set" was prose, this is a gate).
   */
 object Barrier {
 
@@ -37,5 +39,19 @@ object Barrier {
       case "checkpoint" => df.localCheckpoint(true)
       case other => throw new IllegalArgumentException(
         s"graft.barrier.mode=$other — expected checkpoint | persist | none")
+    }
+
+  /** Production-leakage gate (r13 VERDICT task 7): the A/B override is a
+    * GLOBAL property, so a stray `-Dgraft.barrier.mode=none` would silently
+    * reshape every barriered lane in a Verify/Bench run — correctness and
+    * bench artifacts from a mutant engine, indistinguishable from real
+    * ones. The production mains call this at startup and die loudly
+    * instead; the A/B tool (tools/BarrierAB) never calls it. */
+  def assertNoOverride(main: String): Unit =
+    sys.props.get("graft.barrier.mode").foreach { m =>
+      throw new IllegalStateException(
+        s"graft.barrier.mode=$m is set while running $main — the barrier " +
+          "A/B override must never shape a production artifact (it exists " +
+          "solely for tools/BarrierAB). Unset the property and re-run.")
     }
 }

@@ -59,6 +59,51 @@ object Calibration {
     times.sorted.apply(reps / 2)
   }
 
+  /** Multi-core anchor (r13 VERDICT task 2): wall seconds for
+    * `min(8, cores)` CONCURRENT passes of the same frozen kernel,
+    * median-of-`reps` after one parallel warmup.
+    *
+    * Exists because the single-thread anchor measures the CLOCK and the IO
+    * anchor the DISK, but neither can attribute a MULTI-CORE throughput
+    * deficit: r13's ~15% uniform normalized elevation across ~150 untouched
+    * lanes (host CPU oversubscription — sibling VMs stealing cores — reads
+    * as parity on one thread and as a uniform lane tax under Spark's 32-way
+    * parallelism) was explained only by prose and standalone spot-checks.
+    * anchor_mt_s / anchor_s across two rounds separates "slower clock"
+    * (both move together) from "fewer effective cores" (mt moves alone).
+    *
+    * The thread count is `min(8, availableProcessors)` and is EMITTED next
+    * to the number (`anchor_mt_threads`): on the standard 32-core bench
+    * container it is the constant 8, so cross-round ratios hold; a
+    * different container shape is visible in the artifact rather than
+    * silently skewing the ratio. Same fixed-forever contract as the other
+    * anchors: the kernel, rep structure, and thread rule are artifact
+    * format. */
+  def mtThreads: Int = math.min(8, Runtime.getRuntime.availableProcessors())
+
+  def measureMt(reps: Int = 5): Double = {
+    val t = mtThreads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(t)
+    try {
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        val tasks = (0 until t).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = pass()
+          })
+        }
+        var sink = 0L
+        tasks.foreach(f => sink ^= f.get())
+        if (sink == 42L) System.err.println("[anchor] unlikely mt sink")
+        (System.nanoTime() - t0) / 1e9
+      }
+      // one parallel warmup: the single-thread anchor's JIT passes already
+      // compiled the kernel, but the pool threads pay first-touch
+      onePass()
+      (0 until reps).map(_ => onePass()).sorted.apply(reps / 2)
+    } finally pool.shutdownNow()
+  }
+
   /** I/O anchor (r12): durable-write bandwidth of the bench filesystem,
     * MB/s, median of `reps` 64 MB dsync-chunked writes to a temp file.
     *

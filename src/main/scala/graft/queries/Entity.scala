@@ -359,6 +359,57 @@ object Entity {
        |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
   }
 
+  // --- shared basket→pair derivation (the graph-lane edge generator) -------
+  /** Per-basket fan-out cap of [[basketPairs]]: the q24 HotBucketCap value —
+    * C(256,2) ≈ 33 k pairs is the most one in-place expansion row may emit,
+    * and ~cap² the most one grid cell may produce for a routed basket. */
+  private[graft] val BasketCap = 256
+
+  /** Every unordered item pair `a < b` per basket, exactly once, with VIRAL
+    * BASKETS ROUTED — the edge generator under all seven basket-graph lanes
+    * (q62/q67/q73/q74/q81/q83/q86), emitting `(bk, a, b)`.
+    *
+    * The r13-flagged hazard this replaces: `groupBy(basket).agg(collect_set
+    * (item))` → `pair_expand_ids` builds an f-element agg buffer and emits
+    * C(f,2) pairs inside ONE task for an f-item basket — harmless on ≤13-item
+    * TPC-H orders, a single-task quadratic bomb on a viral basket (one
+    * bot-grade cart / boilerplate bucket at 100 TB). Routing is the q24
+    * hot-bucket discipline, via the SAME machinery ([[Similarity
+    * .splitHotBuckets]]): ONE `collect_capped` aggregation per basket (exact
+    * row count f + payload truncated at cap+1 — constant per-key state in
+    * every partial and merged buffer), in-place compiled `pair_expand_ids`
+    * for baskets with f ≤ cap, and raw rows of over-cap baskets through
+    * `SkewJoin.gridSelfPairs` on the basket key (per-cell work ~cap²
+    * REGARDLESS of f; each unordered pair meets in exactly one cell).
+    * BasketRouteSpec proves pair-set equality across the cap boundary and
+    * runs a grown 10⁴-item basket through the hot path; RouteConformanceSpec
+    * plan-asserts the markers on all seven lanes.
+    *
+    * Input need NOT be (basket, item)-distinct: cold baskets (f ≤ cap carry
+    * their complete raw payload) dedup via `array_distinct` before the
+    * expansion, and the rare hot side dedups its emitted pairs per basket —
+    * so common-path callers skip the extra (basket, item) distinct shuffle
+    * the old collect_set absorbed. Callers whose input is already a
+    * barriered/cached frame (q67/q81's incidence checkpoint) pass
+    * `inputCached = true` to skip splitHotBuckets' internal persist and let
+    * the hot branch re-read the checkpoint instead. */
+  private[graft] def basketPairs(raw: DataFrame, basket: String, item: String,
+      cap: Int = BasketCap, inputCached: Boolean = false): DataFrame = {
+    val rows = raw.select(col(basket).as("__bk"),
+      struct(col(item).cast("long").as("doc_id")).as("e"))
+    val (cold, hot) = Similarity.splitHotBuckets(rows, Seq("__bk"), cap,
+      persistInput = !inputCached)
+    val coldPairs = cold
+      .select(col("__bk").as("bk"),
+        explode(expr("pair_expand_ids(array_distinct(ds))")).as("p"))
+      .select(col("bk"), col("p.doc_a").as("a"), col("p.doc_b").as("b"))
+    val hotPairs = hot
+      .select(col("__bk").as("bk"),
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct() // dup raw items in a viral basket must not double a pair
+    coldPairs.unionByName(hotPairs)
+  }
+
   // --- Q62: triangle counting (degree-oriented wedge join) ------------------
   // Graph-analytics depth past centrality (q55) and components (q26_cc):
   // triangle / clustering-coefficient signals are how web-scale curation
@@ -374,18 +425,17 @@ object Entity {
   // a<b<c three-way self-join: the oriented plan is pure execution
   // strategy, set equality is what the hash checks. All outputs are
   // integer counts — hash-exact by construction.
-  // Edge derivation: one combining groupBy collapses each order to its
-  // part set, then the compiled i<j expansion (functions.PairExpandIds,
-  // the LSH-bucket generator) emits the per-order pairs — no op⋈op
-  // self-join, no shuffle of the pair population before its distinct.
-  // Basket size caps the per-row fan-out (≤ 13 parts ⇒ ≤ 78 pairs here).
+  // Edge derivation rides the shared [[basketPairs]] routing: one capped
+  // combining aggregation collapses each order to its part payload, the
+  // compiled i<j expansion (functions.PairExpandIds, the LSH-bucket
+  // generator) emits sub-cap baskets' pairs in place, and a viral basket's
+  // raw rows route through the 2-D grid — no op⋈op self-join, no single
+  // task ever materializing C(f,2).
   def q62Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val edges = basketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        basket = "l_orderkey", item = "l_partkey")
+      .select(col("a"), col("b"))
       .distinct()
     graft.core.Triangles.nodeTriangles(edges)
       .select(col("node").as("part"), col("deg"), col("tri_cnt"))
@@ -428,7 +478,9 @@ object Entity {
   // hash-exact. At 100 TB: weights are one combining count over basket
   // pairs; candidate neighbors per part are bounded by co-occurrence
   // sparsity, and a viral basket routes through the same capped-expansion
-  // discipline as the q24 hot buckets.
+  // discipline as the q24 hot buckets — literally: [[basketPairs]] wraps
+  // Similarity.splitHotBuckets (collect_capped → in-place expansion /
+  // gridSelfPairs), plan-asserted by RouteConformanceSpec.
   def q67CooccurSim(spark: SparkSession, dir: String): DataFrame = {
     // barriers (r12 ScanAudit, the q81 pattern): op feeds the incidence
     // counts and the basket-pair expansion, pairs feeds both arms of the
@@ -439,11 +491,9 @@ object Entity {
       .distinct()
     val opB = graft.core.Barrier.bounded(op0)
     val nOrd = opB.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val pairs0 = opB.groupBy(col("ok"))
-      .agg(collect_set(col("pk")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val pairs0 = basketPairs(opB, basket = "ok", item = "pk",
+        inputCached = true)
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
     val pairs = graft.core.Barrier.bounded(pairs0)
     val sym = pairs.unionAll(
@@ -493,12 +543,10 @@ object Entity {
   private val KcRounds = 16
 
   def q73Kcore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val edges = basketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        basket = "l_orderkey", item = "l_partkey")
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= KcK).select(col("a"), col("b"))
     graft.core.KCore.core(edges, KcK, KcRounds)
@@ -556,12 +604,10 @@ object Entity {
     // degree agg through BOTH unionAll arms and both orientation joins,
     // and the symmetrizing pair union doubled the whole subtree again: 10
     // lineitem scans per execution for a 1-row answer)
-    val edges = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val edges = basketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        basket = "l_orderkey", item = "l_partkey")
+      .select(col("a"), col("b"))
       .distinct()
       .localCheckpoint(true)
     val deg = edges.select(col("a").as("node"))
@@ -631,11 +677,9 @@ object Entity {
     val opB = graft.core.Barrier.bounded(op0)
     val nBaskets = opB.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
     val item = opB.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs1 = opB.groupBy(col("ok"))
-      .agg(collect_set(col("pk")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .groupBy(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val pairs1 = basketPairs(opB, basket = "ok", item = "pk",
+        inputCached = true)
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3L)
     val pairs = graft.core.Barrier.bounded(pairs1)
@@ -732,12 +776,10 @@ object Entity {
   // length(bin(n))) space is the power-law signature; the lane emits the
   // raw histogram and leaves the eyeballing to the consumer.
   def q83DegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val edges = basketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        basket = "l_orderkey", item = "l_partkey")
+      .select(col("a"), col("b"))
       .distinct()
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
@@ -844,12 +886,10 @@ object Entity {
   // by community: hash-exact.
   def q86Modularity(spark: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
-    val edges = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("pks"))
-      .select(explode(expr(
-        "pair_expand_ids(transform(pks, p -> struct(CAST(p AS BIGINT))))")).as("e"))
-      .select(col("e.doc_a").as("a"), col("e.doc_b").as("b"))
+    val edges = basketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        basket = "l_orderkey", item = "l_partkey")
+      .select(col("a"), col("b"))
       .distinct()
     val brand = Tables.part(spark, dir)
       .select(col("p_partkey").as("node"), col("p_brand").as("community"))

@@ -18,26 +18,30 @@ object BarrierAB {
     val anchor = graft.core.Calibration.measure(reps = 3, warmups = 1)
     println(f"[barrierab] anchor_s=$anchor%.3f sf=$sfDir")
     val modes = Seq("checkpoint", "persist", "none")
-    args.foreach { lane =>
-      val row = modes.map { mode =>
-        sys.props("graft.barrier.mode") = mode
-        val times = (0 until 4).map { _ =>
-          val t0 = System.nanoTime()
-          graft.SparkEntry.queries(lane)(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          System.gc()
-          dt
+    // try/finally around the whole mode loop (r13 ADVICE): a lane throwing
+    // mid-A/B used to leave the global override set, silently skewing every
+    // subsequent lane's timings and any later work in the same JVM
+    try {
+      args.foreach { lane =>
+        val row = modes.map { mode =>
+          sys.props("graft.barrier.mode") = mode
+          val times = (0 until 4).map { _ =>
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(lane)(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
+            System.gc()
+            dt
+          }
+          // median of the 3 warm reps
+          val warm = times.drop(1).sorted.apply(1)
+          f"$mode=$warm%.3f"
         }
-        // median of the 3 warm reps
-        val warm = times.drop(1).sorted.apply(1)
-        f"$mode=$warm%.3f"
+        println(s"[barrierab] $lane ${row.mkString(" ")}")
       }
-      sys.props.remove("graft.barrier.mode")
-      println(s"[barrierab] $lane ${row.mkString(" ")}")
-    }
+    } finally sys.props.remove("graft.barrier.mode")
     spark.stop()
   }
 }

@@ -17,12 +17,27 @@ object ScaleSmoke {
     // the lane list — e.g. `runMain graft.tools.ScaleSmoke q24_jaccard_pairs`
     // with SPARK_GRAFT_SCALE_COPIES=32 spot-rehearses one lane at 32×.
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "8").toInt
-    val out = s"/tmp/graft_scale$copies"
+    // Grown-KEY rehearsal (r13 VERDICT task 3): plain self-union multiplies
+    // ROWS but never per-key group sizes — basket sizes, band-bucket
+    // populations aside, stay 1×-shaped at 128×, so per-key fan-out classes
+    // (the q62-family basket expansion) are structurally invisible to the
+    // row sweeps. SPARK_GRAFT_SCALE_FANOUT=F groups the lineitem copies in
+    // runs of F sharing ONE l_orderkey offset while part/supp keys stay
+    // per-copy — each basket id then collects F copies' DISTINCT items, so
+    // basket sizes grow F× (≤13·F items here; F ≥ 20 crosses the 256
+    // routing cap for real). Scope: the basket-graph family only — grouped
+    // order keys break the lineitem→orders FK, so orders-joining lanes
+    // (q55/q88/q49…) are out of scope under fanout (events user activity
+    // already grows with plain copies: user_id is deliberately un-offset).
+    val fanout = sys.env.getOrElse("SPARK_GRAFT_SCALE_FANOUT", "1").toInt
+    val out = s"/tmp/graft_scale$copies" +
+      (if (fanout > 1) s"_f$fanout" else "")
     // anchors first (the Bench discipline, r13): sweep logs are compared
     // ACROSS sessions and this host's disk swings 10× within a day
     // (measured 350 → 33 MB/s) — a sweep row without its window's anchors
     // cannot be told apart from a code regression
     println(f"[scale$copies] anchor_s=${graft.core.Calibration.measure()}%.3f " +
+      f"anchor_mt_s=${graft.core.Calibration.measureMt()}%.3f " +
       f"anchor_io_mbps=${graft.core.Calibration.measureIo()}%.0f")
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,11 +83,23 @@ object ScaleSmoke {
     // and the q62 co-occurrence graph then scales in NODES (disjoint part
     // universes per copy), not in density
     (0 until copies).map(i => lin
-        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+        .withColumn("l_orderkey",
+          col("l_orderkey") + lit((i / fanout) * 1000000000L))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
         .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (fanout > 1) {
+      // evidence line: the grown-key mode's whole point is baskets PAST the
+      // routing cap — record the distribution so the PLANS row can show it
+      val bs = spark.read.parquet(s"$out/lineitem.parquet")
+        .groupBy("l_orderkey").agg(countDistinct("l_partkey").as("sz"))
+        .agg(max("sz").as("mx"), avg("sz").as("av"),
+          sum(when(col("sz") > 256, 1L).otherwise(0L)).as("over_cap"))
+        .head()
+      println(s"[scale$copies f$fanout] basket sizes: max=${bs.getLong(0)} " +
+        f"avg=${bs.getDouble(1)}%.1f over_cap(256)=${bs.getLong(2)}")
+    }
     // customer with the SAME custkey offset as orders — FK-consistent,
     // so the fingerprint/diff lanes (q58/q61) and any cust join scale too
     val cst = spark.read.parquet(s"$sf/customer.parquet")

@@ -22,6 +22,18 @@ class AnchorSpec extends AnyFunSuite {
     assert(a / b < 10 && b / a < 10, s"anchor passes diverged: $a vs $b")
   }
 
+  test("mt anchor: positive finite wall time, thread rule min(8, cores)") {
+    val t = graft.core.Calibration.mtThreads
+    assert(t === math.min(8, Runtime.getRuntime.availableProcessors()))
+    val a = graft.core.Calibration.measureMt(reps = 1)
+    assert(a > 0 && a.isFinite, s"anchor_mt_s=$a")
+    // parallel wall time can't beat one single-thread pass by much: the
+    // kernel is fixed, so mt ≈ single-thread time under no contention and
+    // grows with oversubscription — never collapses toward zero
+    val single = graft.core.Calibration.measure(reps = 1, warmups = 0)
+    assert(a > single / 4, s"mt=$a vs single=$single — mt kernel degenerated")
+  }
+
   test("io anchor returns positive MB/s and cleans up its temp file") {
     // probe placement follows measureIo's rule (r12 ADVICE): the process
     // working directory when writable (the filesystem the bench's writes

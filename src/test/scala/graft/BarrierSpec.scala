@@ -33,4 +33,16 @@ class BarrierSpec extends SparkSpec {
     try intercept[IllegalArgumentException](graft.core.Barrier.bounded(df))
     finally sys.props.remove("graft.barrier.mode")
   }
+
+  test("production mains refuse a leaked A/B override (r13 task 7)") {
+    // clean environment: a no-op
+    graft.core.Barrier.assertNoOverride("SpecMain")
+    sys.props("graft.barrier.mode") = "none"
+    try {
+      val e = intercept[IllegalStateException](
+        graft.core.Barrier.assertNoOverride("SpecMain"))
+      assert(e.getMessage.contains("SpecMain") &&
+        e.getMessage.contains("graft.barrier.mode=none"))
+    } finally sys.props.remove("graft.barrier.mode")
+  }
 }

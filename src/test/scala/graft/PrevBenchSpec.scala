@@ -72,4 +72,85 @@ class PrevBenchSpec extends AnyFunSuite {
     assert(graft.core.PrevBench.report(1.0, 300.0, 100.0, 1.0, 1.0, 1.0,
       Map.empty[String, Double], prev = None) === "null")
   }
+
+  test("mt anchor: absent in prev -> no mt fields; present -> mt_ratio + twin") {
+    val old = graft.core.PrevBench.load(prevFile())
+    val noMt = graft.core.PrevBench.report(0.8, 300.0, 200.0, 200000.0,
+      70000.0, 20000.0, Map.empty[String, Double], old, anchorMtNow = 1.0)
+    assert(!noMt.contains("mt_ratio") && !noMt.contains("total_noop_vs_mt"),
+      s"mt fields leaked without a prev mt anchor: $noMt")
+    val withMt = wrapper.replace("\"anchor_s\":0.8,",
+      "\"anchor_s\":0.8,\"anchor_mt_s\":1.0,")
+    val f2 = java.nio.file.Files.createTempFile("prevbench_mt", ".json")
+    java.nio.file.Files.write(f2, withMt.getBytes("UTF-8"))
+    val p2 = graft.core.PrevBench.load(f2.toFile)
+    assert(p2.get.anchorMt === Some(1.0))
+    // same clock (0.8), mt 2x slower (fewer effective cores), total 2x:
+    // total_noop reads 2.0 (clock can't explain it), total_noop_vs_mt 1.0
+    // (the mt anchor fully attributes it)
+    val rpt = graft.core.PrevBench.report(0.8, 300.0, 400.0, 200000.0,
+      70000.0, 20000.0, Map.empty[String, Double], p2, anchorMtNow = 2.0)
+    def f(k: String): Double =
+      ("\"" + k + "\":(-?[0-9.]+)").r.findFirstMatchIn(rpt).get.group(1).toDouble
+    assert(f("mt_ratio") === 2.0)
+    assert(f("total_noop") === 2.0)
+    assert(f("total_noop_vs_mt") === 1.0)
+  }
+
+  test("movers: a zero prev lane time never emits Infinity (r13 ADVICE)") {
+    val withZero = wrapper.replace("\"q34_funnel\":0.4", "\"q34_funnel\":0")
+    val f2 = java.nio.file.Files.createTempFile("prevbench_zero", ".json")
+    java.nio.file.Files.write(f2, withZero.getBytes("UTF-8"))
+    val rpt = graft.core.PrevBench.report(0.8, 300.0, 200.0, 200000.0,
+      70000.0, 20000.0, Map("q34_funnel" -> 3.0),
+      graft.core.PrevBench.load(f2.toFile))
+    assert(!rpt.contains("Infinity") && !rpt.contains("NaN"),
+      s"invalid JSON number leaked: $rpt")
+  }
+
+  test("bars: raw verdicts + normalized twins + divergence flags") {
+    val prev = graft.core.PrevBench.load(prevFile())
+    // disk 2x faster than prev (io_ratio 2): ingest raw-passes at the same
+    // raw rate but is HALF as fast normalized -> raw_pass_norm_regress;
+    // stream raw-fails but normalized-parity on a slow disk... exercise the
+    // opposite flag with io_ratio 0.5 in a second call
+    val bars = graft.core.PrevBench.barsReport(0.8, 600.0,
+      noopMean = 1.0, noopP95 = 2.0,
+      ingestNow = 200000.0, streamWarmNow = 70000.0, pushNow = 20000.0,
+      prev = prev)
+    def obj(name: String): String =
+      ("\"" + name + "\":\\{[^}]*\\}").r.findFirstIn(bars).getOrElse("")
+    assert(obj("ingest").contains("\"raw_pass\":true"))
+    assert(obj("ingest").contains("\"vs_prev_norm\":0.5"))
+    assert(obj("ingest").contains("raw_pass_norm_regress"))
+    assert(obj("push").contains("\"raw_pass\":true"))
+    assert(!obj("push").contains("flag"), s"push flagged at parity: $bars")
+    // slow-disk window: stream fails raw at half rate, but io_ratio 0.25
+    // makes it normalized-BETTER -> raw_fail_norm_ok
+    val bars2 = graft.core.PrevBench.barsReport(0.8, 75.0,
+      noopMean = 1.0, noopP95 = 2.0,
+      ingestNow = 200000.0, streamWarmNow = 30000.0, pushNow = 20000.0,
+      prev = prev)
+    def obj2(name: String): String =
+      ("\"" + name + "\":\\{[^}]*\\}").r.findFirstIn(bars2).getOrElse("")
+    assert(obj2("stream_warm").contains("\"raw_pass\":false"))
+    assert(obj2("stream_warm").contains("raw_fail_norm_ok"))
+  }
+
+  test("locate skips this round's own wrapped artifact (r13 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("prevbench_loc")
+    def put(name: String, text: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    put("BENCH_r12.json", wrapper.replace("\"anchor_s\":0.8", "\"anchor_s\":0.71"))
+    put("BENCH_r13.json", wrapper) // anchor_s 0.8 — "this round's" artifact
+    // bench_result.json left by this round's earlier run, same anchor_s
+    put("bench_result.json", """{"metric":"total_noop","anchor_s":0.8}""")
+    val picked = graft.core.PrevBench.locate(dir.toFile)
+    assert(picked.map(_.getName) === Some("BENCH_r12.json"),
+      s"picked ${picked.map(_.getName)} — self-comparison not excluded")
+    // without a bench_result.json fingerprint the highest number wins
+    java.nio.file.Files.delete(dir.resolve("bench_result.json"))
+    assert(graft.core.PrevBench.locate(dir.toFile).map(_.getName)
+      === Some("BENCH_r13.json"))
+  }
 }

@@ -65,7 +65,15 @@ class RouteConformanceSpec extends SparkSpec {
     // incremental probe: bandKeysOf on the delta + hot/cold split
     "q26_incr_neardup" -> (hotBucketRoute :+ PairExpand :+ Banding),
     // the r11 drift lane itself: image band join through the same path
-    "q32_phash_dup" -> (hotBucketRoute :+ PairExpand)
+    "q32_phash_dup" -> (hotBucketRoute :+ PairExpand),
+    // r13 VERDICT task 1: the basket-graph edge derivation routes viral
+    // baskets through Entity.basketPairs → splitHotBuckets (collect_capped
+    // + grid). q83 is the one basket lane whose FINAL plan keeps the edge
+    // subtree visible (the other six checkpoint their edge/pair frames,
+    // which truncates lineage behind a LogicalRDD — their routing is
+    // asserted by BasketRouteSpec's source census + helper-plan markers
+    // instead, since a checkpoint hides any upstream marker from here).
+    "q83_degree_dist" -> (hotBucketRoute :+ PairExpand)
   )
 
   private def analyzedPlan(lane: String): String = {

@@ -41,13 +41,14 @@ class ScanAuditSpec extends SparkSpec {
         "the adjudicated allowlist (barrier the shared frame or fold the " +
         "branches; see tools/ScanAudit): " +
         offenders.map(f => s"${f.lane}(${f.maxScans}x ${f.tables})").mkString("; "))
-    // the floor must not silently rot either: every allowlisted lane still
-    // exists, and the list stays honest if a lane's shape improves
+    // the floor must not silently rot either (r13 VERDICT task 8 — the
+    // one-round info() grace is over): an allowlist entry whose lane no
+    // longer trips the threshold is slack a future recompute could hide
+    // in, so it must be REMOVED in the same commit that improves the lane
     val stillFlagged = findings.map(_.lane).toSet
-    val stale = allowlist.keys.filterNot(stillFlagged)
-    assert(stale.isEmpty || stale.forall(SparkEntry.queries.contains),
-      s"allowlisted lane no longer exists: ${stale.mkString(", ")}")
-    stale.foreach(l => info(s"allowlisted lane $l no longer trips the " +
-      "threshold — consider removing it from the floor"))
+    val stale = allowlist.keys.filterNot(stillFlagged).toSeq
+    assert(stale.isEmpty,
+      "stale ScanAudit allowlist entr(ies) — the lane no longer scans any " +
+        s"table >= 3x; remove it from the floor: ${stale.mkString(", ")}")
   }
 }
