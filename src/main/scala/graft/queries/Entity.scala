@@ -389,16 +389,23 @@ object Entity {
     * their complete raw payload) dedup via `array_distinct` before the
     * expansion, and the rare hot side dedups its emitted pairs per basket —
     * so common-path callers skip the extra (basket, item) distinct shuffle
-    * the old collect_set absorbed. Callers whose input is already a
-    * barriered/cached frame (q67/q81's incidence checkpoint) pass
-    * `inputCached = true` to skip splitHotBuckets' internal persist and let
-    * the hot branch re-read the checkpoint instead. */
+    * the old collect_set absorbed. */
   private[graft] def basketPairs(raw: DataFrame, basket: String, item: String,
-      cap: Int = BasketCap, inputCached: Boolean = false): DataFrame = {
+      cap: Int = BasketCap): DataFrame = {
     val rows = raw.select(col(basket).as("__bk"),
       struct(col(item).cast("long").as("doc_id")).as("e"))
+    // hotKeysByCount, not exchange reuse or caches: for basket callers the
+    // capped collect over millions of baskets IS the dominant stage, and
+    // running its final aggregation twice (cold + hot-key branches)
+    // measured ~2× the lane at 32× with an execution-memory OOM at 128×;
+    // the hot keys instead come from a separate PLAIN count aggregation
+    // (codegen, map-side-combined longs) so the object agg has exactly one
+    // consumer (see splitHotBuckets). The input is never cached here: it
+    // is a 2-column columnar scan or the caller's existing checkpoint, and
+    // only the count agg plus the rare hot branch re-read it (3 scans of a
+    // projected frame at worst, 2 in the common plan — ScanAudit-checked).
     val (cold, hot) = Similarity.splitHotBuckets(rows, Seq("__bk"), cap,
-      persistInput = !inputCached)
+      persistInput = false, hotKeysByCount = true)
     val coldPairs = cold
       .select(col("__bk").as("bk"),
         explode(expr("pair_expand_ids(array_distinct(ds))")).as("p"))
@@ -491,8 +498,7 @@ object Entity {
       .distinct()
     val opB = graft.core.Barrier.bounded(op0)
     val nOrd = opB.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val pairs0 = basketPairs(opB, basket = "ok", item = "pk",
-        inputCached = true)
+    val pairs0 = basketPairs(opB, basket = "ok", item = "pk")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
     val pairs = graft.core.Barrier.bounded(pairs0)
@@ -677,8 +683,7 @@ object Entity {
     val opB = graft.core.Barrier.bounded(op0)
     val nBaskets = opB.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
     val item = opB.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs1 = basketPairs(opB, basket = "ok", item = "pk",
-        inputCached = true)
+    val pairs1 = basketPairs(opB, basket = "ok", item = "pk")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3L)
@@ -781,8 +786,10 @@ object Entity {
         basket = "l_orderkey", item = "l_partkey")
       .select(col("a"), col("b"))
       .distinct()
-    val deg = edges.select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
+    // single consumption (r14): the unionAll twin read `edges` — and since
+    // the basketPairs routing, its whole probe plan — TWICE; exploding both
+    // endpoints from one pass is the same degree multiset with one read
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     deg.groupBy(expr("CAST(length(bin(d)) - 1 AS BIGINT)").as("bucket"))
       .agg(count(lit(1)).as("n_nodes"),

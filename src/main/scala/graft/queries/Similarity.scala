@@ -117,9 +117,30 @@ object Similarity {
     * `rows` must carry `keyCols` plus a struct payload `e` whose FIRST field
     * is `doc_id`. Returns (cold, hotPairs): cold = keyCols :+ `ds`
     * (2..cap payloads per key); hotPairs = keyCols :+ (`x`, `y`) raw payload
-    * pairs, each unordered pair exactly once via x.doc_id < y.doc_id. */
+    * pairs, each unordered pair exactly once via x.doc_id < y.doc_id.
+    *
+    * `hotKeysByCount` (r14, the basket-caller profile): deriving the
+    * hot-key frame from `grouped` shares the SHUFFLE between the cold
+    * branch and the hot-key probe (partial buffers cross the wire once),
+    * but the final ObjectHashAggregate still EXECUTES twice over it — free
+    * for the band lanes (300 k bucket rows; the upstream shingle
+    * derivation dominates, hence persistInput) but ruinous for the basket
+    * graph lanes, where the capped collect over millions of baskets IS the
+    * dominant stage (measured at the 32× rehearsal: q67 202 s vs r13's
+    * 77.7, plus an execution-memory OOM at 128× from the two concurrent
+    * object-agg passes; caching `grouped` instead still read 113 s — the
+    * columnar encode of millions of array rows is its own tax). With
+    * hotKeysByCount the hot keys come from a SEPARATE plain count
+    * aggregation over `rows` — codegen HashAggregate, map-side-combined
+    * longs, a shuffle of ~one row per (key, map task) — and `grouped` has
+    * exactly ONE consumer (the cold branch): no cache, no second object
+    * agg. The extra `rows` pass is a cheap re-read for every basket caller
+    * (a 2-column scan or an existing checkpoint). Not default: the band
+    * lanes' rows derivation is the expensive part there, and their
+    * grouped agg is small. */
   private[graft] def splitHotBuckets(rows: DataFrame, keyCols: Seq[String],
-                              cap: Int, persistInput: Boolean = true): (DataFrame, DataFrame) = {
+                              cap: Int, persistInput: Boolean = true,
+                              hotKeysByCount: Boolean = false): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(rows.sparkSession)
     val keys = keyCols.map(col)
     // Lazy cache: `rows` feeds the aggregation AND (when hot keys exist)
@@ -151,8 +172,13 @@ object Similarity {
     // Inner broadcast ≡ the former left_semi here (hk keys are distinct,
     // so no row duplication), and AQE's empty-relation propagation still
     // collapses the hot branch when hk materializes empty.
-    val hk = grouped.filter(col("g.f") > cap)
-      .select(col("g.f").as("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*)
+    val hk =
+      if (hotKeysByCount)
+        src.groupBy(keys: _*).agg(count(lit(1)).as("__hk_f"))
+          .filter(col("__hk_f") > cap)
+          .select(col("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*)
+      else grouped.filter(col("g.f") > cap)
+        .select(col("g.f").as("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*)
     val nsCond = keyCols.map(c => col(c) <=> col(s"__hk_$c")).reduce(_ && _)
     // hotRows is NOT persisted although both grid sides reference it: a
     // cache boundary here isolates the probe join's internal plan and
