@@ -94,6 +94,12 @@ case class PairExpand(left: Expression, right: Expression)
   * nest costs the same four levels of lambda dispatch per candidate pair.
   *
   * Input shape picks the output:
+  *   - `array<bigint>` → `array<struct<doc_a, doc_b>>` (ids canonically
+  *     ordered) — the BARE-ID case (r14, the basket lanes: a struct wrapper
+  *     around one long costs an UnsafeRow object per collected element in
+  *     the capped-collect buffers — 2-3× the heap of a boxed long across
+  *     tens of millions of elements, the margin between passing and OOM at
+  *     the 128× rehearsal);
   *   - `array<struct<doc_id: bigint>>` → `array<struct<doc_a, doc_b>>`
   *     (ids canonically ordered) — the LSH band-bucket case;
   *   - `array<struct<doc_id: bigint, simhash: bigint>>` →
@@ -110,6 +116,7 @@ case class PairExpandIds(child: Expression)
 
   override def prettyName: String = "pair_expand_ids"
 
+  /** 0 = bare bigint elements; 1/2 = struct payload field count. */
   private def payloadFields: Int = child.dataType match {
     case ArrayType(StructType(fields), _) => fields.length
     case _ => 0
@@ -126,6 +133,8 @@ case class PairExpandIds(child: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case ArrayType(StructType(fields), _)
       if fields.length == 1 && fields(0).dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
@@ -133,11 +142,12 @@ case class PairExpandIds(child: Expression)
       if fields.length == 2 && fields.forall(_.dataType == LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"pair_expand_ids expects array<struct<bigint[, bigint]>>, got ${t.sql}")
+      s"pair_expand_ids expects array<bigint> or array<struct<bigint[, bigint]>>, got ${t.sql}")
   }
 
   override protected def nullSafeEval(dsAny: Any): Any = {
     val ds = dsAny.asInstanceOf[ArrayData]
+    val bare = payloadFields == 0
     val withHam = payloadFields == 2
     val m = ds.numElements()
     val ids = new Array[Long](m)
@@ -147,11 +157,15 @@ case class PairExpandIds(child: Expression)
     var n = 0
     var i = 0
     while (i < m) {
-      val row = ds.getStruct(i, payloadFields)
-      if (row != null) {
-        ids(n) = row.getLong(0)
-        if (withHam) pay(n) = row.getLong(1)
-        n += 1
+      if (bare) {
+        if (!ds.isNullAt(i)) { ids(n) = ds.getLong(i); n += 1 }
+      } else {
+        val row = ds.getStruct(i, payloadFields)
+        if (row != null) {
+          ids(n) = row.getLong(0)
+          if (withHam) pay(n) = row.getLong(1)
+          n += 1
+        }
       }
       i += 1
     }

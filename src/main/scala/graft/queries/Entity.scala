@@ -392,8 +392,12 @@ object Entity {
     * the old collect_set absorbed. */
   private[graft] def basketPairs(raw: DataFrame, basket: String, item: String,
       cap: Int = BasketCap): DataFrame = {
+    // BARE long payload (not struct(doc_id)): the struct wrapper costs an
+    // UnsafeRow object per collected element in the capped buffers — 2-3×
+    // a boxed long's heap across the corpus's items, the margin between
+    // passing and heap-OOM at the 128× rehearsal
     val rows = raw.select(col(basket).as("__bk"),
-      struct(col(item).cast("long").as("doc_id")).as("e"))
+      col(item).cast("long").as("e"))
     // hotKeysByCount, not exchange reuse or caches: for basket callers the
     // capped collect over millions of baskets IS the dominant stage, and
     // running its final aggregation twice (cold + hot-key branches)
@@ -411,8 +415,7 @@ object Entity {
         explode(expr("pair_expand_ids(array_distinct(ds))")).as("p"))
       .select(col("bk"), col("p.doc_a").as("a"), col("p.doc_b").as("b"))
     val hotPairs = hot
-      .select(col("__bk").as("bk"),
-        col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("__bk").as("bk"), col("x").as("a"), col("y").as("b"))
       .distinct() // dup raw items in a viral basket must not double a pair
     coldPairs.unionByName(hotPairs)
   }
@@ -489,16 +492,25 @@ object Entity {
   // Similarity.splitHotBuckets (collect_capped → in-place expansion /
   // gridSelfPairs), plan-asserted by RouteConformanceSpec.
   def q67CooccurSim(spark: SparkSession, dir: String): DataFrame = {
-    // barriers (r12 ScanAudit, the q81 pattern): op feeds the incidence
-    // counts and the basket-pair expansion, pairs feeds both arms of the
-    // symmetrizing union — unbarriered, the distinct collapse ran 4× per
-    // execution
-    val op0 = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val opB = graft.core.Barrier.bounded(op0)
-    val nOrd = opB.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val pairs0 = basketPairs(opB, basket = "ok", item = "pk")
+    // barriers (r12 ScanAudit; RESTRUCTURED r14): the r12 shape barriered
+    // the 2-longs-per-row incidence frame and fed it to everything. With
+    // basketPairs dedup'ing per basket internally, the pair side takes the
+    // RAW projection instead — at the 128× rehearsal the big incidence
+    // checkpoint (77 M rows filling the protected storage half) starved
+    // the routing's count aggregation to "unable to acquire" while the
+    // raw-input twin (q73's shape) passed — and the incidence distinct
+    // survives only inside nOrd's linear chain. nOrd itself (one row per
+    // part) is the frame both sim joins consume, so IT carries the
+    // barrier: strictly smaller than the old opB, same recompute guard.
+    val nOrd = graft.core.Barrier.bounded(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .groupBy(col("pk")).agg(count(lit(1)).as("cnt")))
+    val pairs0 = basketPairs(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        basket = "ok", item = "pk")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
     val pairs = graft.core.Barrier.bounded(pairs0)
@@ -673,17 +685,20 @@ object Entity {
   // Rules thresholded at support ≥ 3 baskets and conf ≥ 8% to keep the
   // output the actionable head, not the noise tail.
   def q81AprioriRules(spark: SparkSession, dir: String): DataFrame = {
-    // barriers (r12 ScanAudit): op feeds three independent aggregates and
-    // pairs feeds both arms of the directional union — unbarriered, the
-    // distinct collapse ran 5× per execution. op is 2 longs per distinct
-    // (basket, item); pairs is the support-thresholded rule head.
-    val op0 = Tables.lineitem(spark, dir)
+    // barriers (r12 ScanAudit; RESTRUCTURED r14, the q67 reasoning): the
+    // old 77 M-row incidence checkpoint fed three aggregates — and at the
+    // 128× rehearsal its storage residency starved the basketPairs routing
+    // aggregation. Now each consumer takes the cheapest sufficient input:
+    // nBaskets needs only distinct ok (no (ok, pk) dedup — countDistinct
+    // straight off the raw scan), item carries ITS OWN small barrier (one
+    // row per part, consumed by both rule joins), and the pair side takes
+    // the raw projection (basketPairs dedups per basket internally).
+    val raw = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val opB = graft.core.Barrier.bounded(op0)
-    val nBaskets = opB.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
-    val item = opB.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs1 = basketPairs(opB, basket = "ok", item = "pk")
+    val nBaskets = raw.agg(countDistinct(col("ok")).as("nn")) // 1-row broadcast
+    val item = graft.core.Barrier.bounded(
+      raw.distinct().groupBy(col("pk")).agg(count(lit(1)).as("n_item")))
+    val pairs1 = basketPairs(raw, basket = "ok", item = "pk")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3L)

@@ -114,10 +114,14 @@ object Similarity {
     * binding constraint, and raising the cap shrinks the set quadratically
     * in output terms.
     *
-    * `rows` must carry `keyCols` plus a struct payload `e` whose FIRST field
-    * is `doc_id`. Returns (cold, hotPairs): cold = keyCols :+ `ds`
-    * (2..cap payloads per key); hotPairs = keyCols :+ (`x`, `y`) raw payload
-    * pairs, each unordered pair exactly once via x.doc_id < y.doc_id.
+    * `rows` must carry `keyCols` plus a payload `e`: either a struct whose
+    * FIRST field is `doc_id`, or (r14, the basket lanes) a bare BIGINT —
+    * the struct wrapper costs an UnsafeRow object per element in the
+    * capped-collect buffers, 2-3× a boxed long's heap across tens of
+    * millions of elements. Returns (cold, hotPairs): cold = keyCols :+
+    * `ds` (2..cap payloads per key); hotPairs = keyCols :+ (`x`, `y`) raw
+    * payload pairs, each unordered pair exactly once via the payload id
+    * order (x.doc_id < y.doc_id for structs, x < y bare).
     *
     * `hotKeysByCount` (r14, the basket-caller profile): deriving the
     * hot-key frame from `grouped` shares the SHUFFLE between the cold
@@ -172,11 +176,22 @@ object Similarity {
     // Inner broadcast ≡ the former left_semi here (hk keys are distinct,
     // so no row duplication), and AQE's empty-relation propagation still
     // collapses the hot branch when hk materializes empty.
+    // hotKeysByCount: the hot-key frame is BARRIERED (eager, tiny — bounded
+    // by the broadcast argument above, empty on benign corpora), which
+    // SERIALIZES the count pass against the capped-collect stage. Left as
+    // two lazy stages of one job, the DAG scheduler runs both map sides
+    // CONCURRENTLY in the same task slots — measured at the 128× rehearsal
+    // (q67, 8 GB heap): the object-agg partials + the count partials +
+    // the un-evictable 77 M-row input checkpoint starve Tungsten to
+    // "unable to acquire 88 bytes" while the single-agg r13 shape passed.
+    // The barrier runs the cheap count alone, then the object agg gets the
+    // whole execution pool; the probe join sees a 0-row LogicalRDD and
+    // AQE's empty-relation propagation still collapses the hot branch.
     val hk =
-      if (hotKeysByCount)
+      if (hotKeysByCount) graft.core.Barrier.bounded(
         src.groupBy(keys: _*).agg(count(lit(1)).as("__hk_f"))
           .filter(col("__hk_f") > cap)
-          .select(col("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*)
+          .select(col("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*))
       else grouped.filter(col("g.f") > cap)
         .select(col("g.f").as("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*)
     val nsCond = keyCols.map(c => col(c) <=> col(s"__hk_$c")).reduce(_ && _)
@@ -194,10 +209,13 @@ object Similarity {
     // pairs regardless of the key's virality — 1-D salting left per-task
     // output growing linearly with f (measured at the 128× rehearsal:
     // a 70 k-row band bucket => ~150 M-pair tasks; see PLANS.md Round-9).
+    val bare = !rows.schema("e").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType]
     val hotPairs = graft.core.SkewJoin.gridSelfPairs(
         hotRows, key = "k", fCol = "__hk_f", payloadCol = "e",
         carry = keyCols, cap = cap)
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(if (bare) col("x") < col("y")
+              else col("x.doc_id") < col("y.doc_id"))
     (cold, hotPairs)
   }
 
