@@ -32,5 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r14): the bench container is 128 GiB and local[32] runs
+  // 32 executor threads in this ONE heap — at 8g (250 MB/thread) the 32×
+  // rehearsal lanes sat ON the OOM cliff (q67 pass/fail varied run to run;
+  // PLANS §Round-14 cliff note measures it for r13's shape too). 16g keeps
+  // the same order of magnitude below the box while taking the whole flake
+  // class out; SPARK_DRIVER_MEM still overrides both ways.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
