@@ -153,4 +153,58 @@ class PrevBenchSpec extends AnyFunSuite {
     assert(graft.core.PrevBench.locate(dir.toFile).map(_.getName)
       === Some("BENCH_r13.json"))
   }
+
+  test("locate fingerprint tolerates the wrapper's 3-decimal rounding (r14 ADVICE)") {
+    // the REAL artifact shape: the wrapper stores the compact line's rounded
+    // anchor (0.917) while bench_result.json holds the full-precision double
+    // — exact Double equality never matched these, silently defeating the
+    // exclusion; the rounded compare must
+    val dir = java.nio.file.Files.createTempDirectory("prevbench_round")
+    def put(name: String, text: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    put("BENCH_r12.json", wrapper.replace("\"anchor_s\":0.8", "\"anchor_s\":0.71"))
+    put("BENCH_r13.json", wrapper
+      .replace("\"anchor_s\":0.8", "\"anchor_s\":0.917")
+      .replace("\"value\":200.0", "\"value\":251.077"))
+    put("bench_result.json",
+      """{"metric":"total_noop","value":251.07655261900007,"anchor_s":0.916610167}""")
+    assert(graft.core.PrevBench.locate(dir.toFile).map(_.getName)
+      === Some("BENCH_r12.json"),
+      "rounded-wrapper fingerprint did not exclude the round's own artifact")
+    // anchor collision alone must NOT exclude when the totals disagree —
+    // a genuinely different round that happens to share a rounded anchor
+    put("bench_result.json",
+      """{"metric":"total_noop","value":199.1,"anchor_s":0.917001}""")
+    assert(graft.core.PrevBench.locate(dir.toFile).map(_.getName)
+      === Some("BENCH_r13.json"),
+      "anchor coincidence excluded a legitimate prev despite total mismatch")
+  }
+
+  test("locate ignores a bench_result.json older than the round-close markers (r14 ADVICE)") {
+    // next-round first run: bench_result.json still holds the PREVIOUS
+    // round's numbers (it persists across the close), and the judge wrote
+    // VERDICT.md after the wrap — the stale fingerprint must not exclude
+    // the legitimate newest wrapper
+    val dir = java.nio.file.Files.createTempDirectory("prevbench_stale")
+    def put(name: String, text: String): java.io.File = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      p.toFile
+    }
+    put("BENCH_r12.json", wrapper.replace("\"anchor_s\":0.8", "\"anchor_s\":0.71"))
+    put("BENCH_r13.json", wrapper)
+    val br = put("bench_result.json", """{"metric":"total_noop","anchor_s":0.8}""")
+    val verdict = put("VERDICT.md", "# VERDICT — judge ran after the wrap")
+    val now = System.currentTimeMillis()
+    assert(br.setLastModified(now - 3600 * 1000L))  // last round's bench run
+    assert(verdict.setLastModified(now - 60 * 1000L)) // judge closed the round
+    assert(graft.core.PrevBench.locate(dir.toFile).map(_.getName)
+      === Some("BENCH_r13.json"),
+      "stale bench_result.json excluded the legitimate previous-round artifact")
+    // and a FRESH bench_result.json (intra-round re-run, written after the
+    // close markers) keeps the exclusion live
+    assert(br.setLastModified(now))
+    assert(graft.core.PrevBench.locate(dir.toFile).map(_.getName)
+      === Some("BENCH_r12.json"))
+  }
 }
