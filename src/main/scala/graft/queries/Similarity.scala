@@ -642,22 +642,66 @@ object Similarity {
     val reps = keyed.filter(col("doc_id") === col("rep_id"))
       .select(col("rep_id"), col("n"), col("sh"))
 
+    // r15 key diet (the slowest-lane profiling, tools/ContainProbe): the
+    // candidate machinery used to shuffle the raw ~25-byte shingle STRINGS
+    // through three exchanges (df groupBy, df join, prefix⋈postings join)
+    // plus an md5-based 60-bit sort key — while every candidate is verified
+    // afterwards against the REAL shingle arrays. The candidate pipeline
+    // therefore only needs a 64-bit HASH per shingle: postings carry
+    // xxhash64(s) longs, strings never cross a candidate-side exchange, and
+    // the order key is (df, hs) — codegen longs, no md5. Correctness is
+    // unchanged on both axes: (a) RECALL — the Bayardo prefix argument
+    // needs only "any k distinct shingles of A include one in B" (at most
+    // k−1 of A's shingles miss B when containment ≥ τ), so the global order
+    // is purely a candidate-COST heuristic and a hash tie (h collision)
+    // broken arbitrarily cannot drop a true pair; `sh` is array_distinct'd,
+    // so k posting rows ARE k distinct shingles. (b) PRECISION — a
+    // collision-induced candidate (pair sharing a hash but no shingle) is
+    // killed by the exact array_intersect verify, and the emitted rows are
+    // a function of the true sets only, so the DuckDB oracle (which orders
+    // by df-over-strings) stays hash-exact on the final output.
     val post = reps.select(col("rep_id"), col("n"), explode(col("sh")).as("s"))
-    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ordered = post.join(dfreq, "s")
+      .select(col("rep_id"), col("n"), xxhash64(col("s")).as("hs"))
+    val dfreq = post.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val ordered = post.join(dfreq, "hs")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("rep_id"))
-          .orderBy(col("df"), expr(h60("s")), col("s"))))
+          .orderBy(col("df"), col("hs"))))
     // prefix length |A| − ⌈0.7·|A|⌉ + 1, all-integer: ⌈7n/10⌉ = (7n+9) div 10
     val pref = ordered.filter(col("rn") <= col("n") - expr("(7*n+9) div 10") + lit(1))
-      .select(col("s"), col("rep_id").as("rep_small"), col("n").as("n_small"))
+      .select(col("hs"), col("rep_id").as("rep_small"), col("n").as("n_small"))
     val cand = pref
-      .join(post.select(col("s"), col("rep_id").as("rep_large"), col("n").as("n_large")), "s")
+      .join(post.select(col("hs"), col("rep_id").as("rep_large"), col("n").as("n_large")), "hs")
       .filter(col("n_small") < col("n_large") ||
         (col("n_small") === col("n_large") && col("rep_small") < col("rep_large")))
       .select(col("rep_small"), col("rep_large"))
       .distinct()
-    val verified = cand
+    // Two-stage verify (r15, same profiling): the candidate count runs
+    // ~1000× the survivor count on this corpus, and the one-stage verify
+    // dragged two ~1.5 KB string ARRAYS through the candidate-sized joins
+    // to intersect them exactly. Stage 1 intersects the 64-bit hash arrays
+    // instead (narrow longs on the wire, long-hash instead of string-hash
+    // probes in the intersect) with a provably lossless accept bound:
+    // xxhash64 maps A∩B into the common hash values losing at most
+    // d_a = |A| − |distinct shh_A| elements to WITHIN-A collisions (s,t ∈
+    // A∩B ⊆ A, so a merged pair inside the intersection is a within-A
+    // collision by definition), hence isz_true ≤ isz_h + d_a and every
+    // true pair satisfies 10·(isz_h + d_a) ≥ 7·|A|. d_a is 0 on any real
+    // corpus — the term exists so the filter stays EXACT, not
+    // probabilistic, if a collision ever lands. Stage 2 joins only the
+    // hash-survivors (~candidates/1000) back to the string arrays for the
+    // exact intersect that defines the output, so emitted rows remain a
+    // function of the true shingle sets — the oracle contract.
+    val repsH = reps.select(col("rep_id"), col("n"), col("sh"),
+      array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+    val candH = cand
+      .join(repsH.select(col("rep_id").as("rep_small"), col("shh").as("shh_a"),
+        col("n").as("n_small"), (col("n") - size(col("shh"))).as("d_a")), "rep_small")
+      .join(repsH.select(col("rep_id").as("rep_large"), col("shh").as("shh_b")), "rep_large")
+      .withColumn("isz_h", size(array_intersect(col("shh_a"), col("shh_b"))))
+      .filter(lit(10) * (col("isz_h") + col("d_a")) >= lit(7) * col("n_small"))
+      .select(col("rep_small"), col("rep_large"))
+    val verified = candH
       .join(reps.select(col("rep_id").as("rep_small"), col("sh").as("sh_a")), "rep_small")
       .join(reps.select(col("rep_id").as("rep_large"), col("sh").as("sh_b"),
         col("n").as("n_large")), "rep_large")
