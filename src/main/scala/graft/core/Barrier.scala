@@ -41,17 +41,20 @@ object Barrier {
         s"graft.barrier.mode=$other — expected checkpoint | persist | none")
     }
 
-  /** Production-leakage gate (r13 VERDICT task 7): the A/B override is a
-    * GLOBAL property, so a stray `-Dgraft.barrier.mode=none` would silently
-    * reshape every barriered lane in a Verify/Bench run — correctness and
-    * bench artifacts from a mutant engine, indistinguishable from real
-    * ones. The production mains call this at startup and die loudly
-    * instead; the A/B tool (tools/BarrierAB) never calls it. */
+  /** Production-leakage gate (r13 VERDICT task 7): the A/B overrides are
+    * GLOBAL properties, so a stray `-Dgraft.barrier.mode=none` (or a leaked
+    * hot-key gate threshold, r15) would silently reshape every routed lane
+    * in a Verify/Bench run — correctness and bench artifacts from a mutant
+    * engine, indistinguishable from real ones. The production mains call
+    * this at startup and die loudly instead; the A/B tools and the gate
+    * specs never call it. */
   def assertNoOverride(main: String): Unit =
-    sys.props.get("graft.barrier.mode").foreach { m =>
-      throw new IllegalStateException(
-        s"graft.barrier.mode=$m is set while running $main — the barrier " +
-          "A/B override must never shape a production artifact (it exists " +
-          "solely for tools/BarrierAB). Unset the property and re-run.")
+    Seq("graft.barrier.mode", "graft.hotkey.gate.bytes").foreach { p =>
+      sys.props.get(p).foreach { m =>
+        throw new IllegalStateException(
+          s"$p=$m is set while running $main — the A/B override properties " +
+            "must never shape a production artifact (they exist solely for " +
+            "the A/B tools and specs). Unset the property and re-run.")
+      }
     }
 }

@@ -404,7 +404,9 @@ object Entity {
     // measured ~2× the lane at 32× with an execution-memory OOM at 128×;
     // the hot keys instead come from a separate PLAIN count aggregation
     // (codegen, map-side-combined longs) so the object agg has exactly one
-    // consumer (see splitHotBuckets). The input is never cached here: it
+    // consumer (see splitHotBuckets; below its size gate the machinery
+    // falls back to the single-shuffle derivation — at bench SF the count
+    // pass + barrier are pure tax). The input is never cached here: it
     // is a 2-column columnar scan or the caller's existing checkpoint, and
     // only the count agg plus the rare hot branch re-read it (3 scans of a
     // projected frame at worst, 2 in the common plan — ScanAudit-checked).

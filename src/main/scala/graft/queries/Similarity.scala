@@ -81,6 +81,17 @@ object Similarity {
     * identical viral-key failure mode. */
   private[graft] val HotBucketCap = 256
 
+  /** Input-size gate for the `hotKeysByCount` protected path of
+    * [[splitHotBuckets]]: inputs whose Catalyst size estimate is below this
+    * derive hot keys from the capped-collect aggregation itself (one
+    * shuffle, no extra job); at or above it they pay the separate count
+    * pass + barrier that bought the 32×/128× memory robustness (PLANS
+    * Round-14/15). Overridable via -Dgraft.hotkey.gate.bytes for the gate
+    * spec and A/B tooling ONLY — the production mains die on a leaked
+    * override (Barrier.assertNoOverride). */
+  private[graft] def HotKeyCountGateBytes: Long =
+    sys.props.get("graft.hotkey.gate.bytes").map(_.toLong).getOrElse(16L << 20)
+
   /** Single-pass hot-bucket routing shared by the posting/bucket pair lanes
     * (q24_jaccard, q24_lsh, q24_simhash, q26_span_dup), built on the
     * [[graft.functions.CollectCapped]] aggregate: ONE shuffle computes, per
@@ -141,7 +152,11 @@ object Similarity {
     * agg. The extra `rows` pass is a cheap re-read for every basket caller
     * (a 2-column scan or an existing checkpoint). Not default: the band
     * lanes' rows derivation is the expensive part there, and their
-    * grouped agg is small. */
+    * grouped agg is small. The flag is an UPPER-BOUND declaration, not an
+    * unconditional switch: below [[HotKeyCountGateBytes]] of estimated
+    * input the protection costs more than it protects, so the gate at the
+    * `hk` branch point falls back to the grouped derivation (r15; see the
+    * size-gate comment there for the measured calibration). */
   private[graft] def splitHotBuckets(rows: DataFrame, keyCols: Seq[String],
                               cap: Int, persistInput: Boolean = true,
                               hotKeysByCount: Boolean = false): (DataFrame, DataFrame) = {
@@ -187,8 +202,34 @@ object Similarity {
     // The barrier runs the cheap count alone, then the object agg gets the
     // whole execution pool; the probe join sees a 0-row LogicalRDD and
     // AQE's empty-relation propagation still collapses the hot branch.
+    //
+    // SIZE GATE (r15, the r14-verdict routing-tax item): the count pass +
+    // barrier exist to protect aggregations whose partials are big enough
+    // to contend for the execution pool — a property of input VOLUME, not
+    // of key skew (the capped buffers are constant per key either way). At
+    // bench scale the same machinery is pure tax: the barrier is an eager
+    // extra job (~0.5–0.7 s/lane across the seven basket lanes, paid even
+    // by plan-only consumers at DataFrame construction) protecting an
+    // aggregation whose partials fit in one task slot's lap. So the count
+    // pass engages only when Catalyst's optimized-plan size estimate for
+    // `rows` reaches HotKeyCountGateBytes; below it, hot keys derive from
+    // `grouped` — one shuffle, exchange reused between the cold branch and
+    // the probe, no extra job (the r13 shape, measured fastest at 1×).
+    // Measured estimates (tools/StatsProbe, the 2-col basket projection):
+    // sf0.1 ≈ 2.1 MiB, 32× ≈ 78 MiB, 128× ≈ 314 MiB — the 16 MiB gate has
+    // ≥ 5× margin to both neighbors, flips to the protected path well
+    // before the scale where the double final agg measured 2.6× the lane
+    // (32×, PLANS Round-14), and an estimate-less input (LogicalRDD
+    // defaults to spark.sql.defaultSizeInBytes = Long.MaxValue) lands on
+    // the PROTECTED side — unknown size is treated as large.
+    val bigInput = hotKeysByCount && {
+      val est = scala.util.Try(
+        rows.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .getOrElse(BigInt(Long.MaxValue))
+      est >= HotKeyCountGateBytes
+    }
     val hk =
-      if (hotKeysByCount) graft.core.Barrier.bounded(
+      if (bigInput) graft.core.Barrier.bounded(
         src.groupBy(keys: _*).agg(count(lit(1)).as("__hk_f"))
           .filter(col("__hk_f") > cap)
           .select(col("__hk_f") +: keyCols.map(c => col(c).as(s"__hk_$c")): _*))

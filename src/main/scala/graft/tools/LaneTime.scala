@@ -10,6 +10,11 @@ object LaneTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warms = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "2").toInt
+    // A/B lever for the splitHotBuckets size gate (sbt's forked run JVM
+    // doesn't inherit -D flags, so the dev tool bridges from the env);
+    // production mains refuse the property — this tool is never one
+    sys.env.get("SPARK_GRAFT_HOTKEY_GATE")
+      .foreach(v => sys.props("graft.hotkey.gate.bytes") = v)
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     require(args.nonEmpty, "pass lane names")

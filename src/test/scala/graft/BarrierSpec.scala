@@ -45,4 +45,13 @@ class BarrierSpec extends SparkSpec {
         e.getMessage.contains("graft.barrier.mode=none"))
     } finally sys.props.remove("graft.barrier.mode")
   }
+
+  test("production mains also refuse a leaked hot-key gate override (r15)") {
+    sys.props("graft.hotkey.gate.bytes") = "0"
+    try {
+      val e = intercept[IllegalStateException](
+        graft.core.Barrier.assertNoOverride("SpecMain"))
+      assert(e.getMessage.contains("graft.hotkey.gate.bytes=0"))
+    } finally sys.props.remove("graft.hotkey.gate.bytes")
+  }
 }

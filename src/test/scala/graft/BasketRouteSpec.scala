@@ -102,6 +102,39 @@ class BasketRouteSpec extends SparkSpec {
       "basketPairs reintroduced an unbounded collect_set buffer")
   }
 
+  test("hot-key size gate: small inputs skip the count barrier, forced-large take it (r15)") {
+    // The count pass + eager barrier protect big-volume aggregations
+    // (32×/128× rehearsals); at bench scale they are ~0.5–0.7 s/lane of
+    // pure tax, so splitHotBuckets gates them on Catalyst's input size
+    // estimate. Observable: the barrier is localCheckpoint(eager) — the
+    // hot-key subtree becomes a LogicalRDD in the analyzed plan. A tiny
+    // LocalRelation input must NOT carry one (grouped derivation, no extra
+    // job); with the gate threshold forced to 0 the same input MUST.
+    val in = Seq((1L, 2L), (1L, 3L)).toDF("bk", "it")
+    def planOf = Entity.basketPairs(in, "bk", "it").queryExecution.analyzed.toString
+    assert(!planOf.contains("LogicalRDD"),
+      "small input paid the count barrier — the size gate regressed to unconditional")
+    sys.props("graft.hotkey.gate.bytes") = "0"
+    try assert(planOf.contains("LogicalRDD"),
+      "forced-large input skipped the count barrier — the protected path is gone")
+    finally sys.props.remove("graft.hotkey.gate.bytes")
+  }
+
+  test("routed pairs == brute force through the FORCED protected path (r15)") {
+    // the gate sends every in-memory spec frame down the grouped path, so
+    // the count-pass + barrier branch would silently lose its exactness
+    // coverage — force it and re-prove the cap-boundary equality
+    val rows = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L),
+      (2L, 20L), (2L, 21L), (3L, 30L), (4L, 40L), (4L, 40L), (4L, 40L))
+    sys.props("graft.hotkey.gate.bytes") = "0"
+    try {
+      val got = Entity.basketPairs(rows.toDF("bk", "it"), "bk", "it", cap = 2)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.size === got.distinct.size, "a pair was emitted twice")
+      assert(got.sorted === expectedPairs(rows).sorted)
+    } finally sys.props.remove("graft.hotkey.gate.bytes")
+  }
+
   test("source census: all seven basket lanes ride basketPairs; collect_set banned") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/queries/Entity.scala")),

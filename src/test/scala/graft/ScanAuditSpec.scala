@@ -26,11 +26,12 @@ class ScanAuditSpec extends SparkSpec {
     "q34_funnel" -> ("three event types = three pushed-filter reads of a LINEAR " +
       "single-consumer chain — nothing recomputes (r13 barrier A/B: a barrier " +
       "costs more than it saves here; threading makes every frame single-use)"),
-    "q83_degree_dist" -> ("basketPairs hot-routing probe: the plain count agg " +
-      "(the routing decision) plus the grid's two probe branches re-read the " +
-      "2-column lineitem projection; the probe branches are AQE-collapsed at " +
-      "runtime unless a basket exceeds the cap — the other six basket lanes " +
-      "hide the same shape behind their measured-winner checkpoints")
+    "q83_degree_dist" -> ("basketPairs hot-routing probe: the grouped agg " +
+      "plus the grid's two probe branches re-read the 2-column lineitem " +
+      "projection (above the r15 size gate a plain count agg replaces one " +
+      "grouped read); the probe branches are AQE-collapsed at runtime " +
+      "unless a basket exceeds the cap — the other six basket lanes hide " +
+      "the same shape behind their measured-winner checkpoints")
   )
 
   test("no lane outside the adjudicated allowlist scans one table >= 3 times") {
