@@ -1804,7 +1804,28 @@ object Similarity {
     q26SpanDupCapped(spark, dir, HotPostingCap)
 
   /** `hotCap` exposed for adversarial-fixture specs; production entry uses
-    * [[HotPostingCap]]. */
+    * [[HotPostingCap]].
+    *
+    * TWIN COLLAPSE FIRST (r15, the grown-cluster rehearsal's one straggler):
+    * the lane's work is Σ freq(span)² over the posting lists, and exact-twin
+    * docs (identical text ⇒ identical span multiset) inflate every one of
+    * their spans' frequencies together — at the 32×·d32 rehearsal (twin
+    * clusters of 1024) the member-level pipeline streamed a ~1.9 G-row
+    * pre-aggregation pair stream for a 37 M-row answer (291 s cold). The
+    * q93 discipline applies verbatim: collapse identical texts to one rep
+    * (min doc_id over a window PARTITIONED BY THE TEXT ITSELF — the text is
+    * the key, so no hash-collision logic is needed), run the posting
+    * machinery over reps only, and expand members back at the very end.
+    * Exactness is structural: members inherit the rep's span relationships
+    * wholesale, so cross-class pairs share exactly what their reps share,
+    * within-class pairs share exactly the class's distinct-span count, and
+    * each unordered doc pair belongs to exactly one class pair (emitted
+    * once). Member spans are never computed — the md5-per-token span
+    * derivation itself shrinks by the twin ratio. Both expansions ride ONE
+    * double equi-join over the members table (within-class pairs enter as
+    * self rep pairs), whose per-key fanout skew is the AQE-splittable
+    * class — the same argument the q93 member expansion rides. Measured
+    * A/B at 32×·d32 in PLANS Round-15. */
   private[graft] def q26SpanDupCapped(spark: SparkSession, dir: String,
                                       hotCap: Int): DataFrame = {
     // ≥ SpanK-token filter: sub-SpanK docs cannot share a SpanK-token span.
@@ -1812,17 +1833,33 @@ object Similarity {
     // expression is safe even if the optimizer evaluates it before the
     // length filter (the round-3 short-row crash class with inferred
     // Generate filters cannot occur — no clamp gymnastics needed).
+    graft.functions.GraftFunctions.register(spark)
+    // the twin window shuffles ONLY (doc_id, text) — no token arrays cross
+    // the exchange or land in the cache; tokens are re-split for the REPS
+    // alone (at 1× this is the difference between a ~free collapse and a
+    // 2× lane tax; at scale members outnumber reps by the twin ratio, so
+    // skipping member tokenization is itself the win)
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= SpanK)
+      .select(col("doc_id"), col("text"))
+    val keyed = docs
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .persist()
+    val members = keyed.select(col("rep_id"), col("doc_id"))
     // persist: the span projection is md5-heavy (one hash per token) and
     // feeds the splitHotBuckets aggregation + (adversarial corpora) the
-    // hot-branch probes — cached once, ~n_tokens small rows per doc; the
+    // hot-branch probes — cached once, ~n_tokens small rows per rep; the
     // pre-optimizer cache substitution is ALSO the barrier against the
     // measured pushdown-duplication pathology (PLANS.md).
-    graft.functions.GraftFunctions.register(spark)
-    val spans = Tables.documents(spark, dir)
+    val reps = keyed.filter(col("doc_id") === col("rep_id"))
       .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= SpanK)
       .withColumn("sps", expr(s"array_distinct(span_hashes(toks, $SpanK))"))
-      .select(explode(col("sps")).as("sp"), struct(col("doc_id")).as("e"))
+      .select(col("rep_id"), col("sps"))
+      .persist()
+    val spans = reps
+      .select(explode(col("sps")).as("sp"),
+        struct(col("rep_id").as("doc_id")).as("e"))
       .persist()
     val (cold, hotRaw) = splitHotBuckets(spans, Seq("sp"), hotCap)
     // pair_expand_ids: compiled i<j expansion (see q24LshPairsCapped)
@@ -1831,11 +1868,34 @@ object Similarity {
       .select(col("p.doc_a"), col("p.doc_b"))
     val hotPairs = hotRaw
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // per-doc spans are array_distinct'ed, so each shared span hash yields
-    // exactly one row per pair → the count IS the distinct shared-span count
-    coldPairs.unionByName(hotPairs)
+    // per-rep spans are array_distinct'ed, so each shared span hash yields
+    // exactly one row per rep pair → the count IS the distinct shared count
+    val repPairs = coldPairs.unionByName(hotPairs)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_spans"))
+    // member expansion, ONE pipeline for cross- and within-class pairs
+    // (the q93 member-expansion shape): multi-member classes contribute a
+    // SELF rep pair carrying the class's distinct-span count (all member
+    // pairs of one text share all of its spans), then a single double join
+    // fans every rep pair out to its member pairs. Within-class combos
+    // appear in both orders from the self pair, so they keep only da < db;
+    // cross-class combos appear once and take least/greatest to restore
+    // the doc_a < doc_b contract. Per-key fanout skew in the two joins is
+    // the AQE-splittable equi-join class (a skewed partition splits into
+    // one-side subsets), the same argument the q93 expansion rides.
+    val multi = members.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id")).distinct()
+    val selfPairs = reps.join(multi, "rep_id")
+      .select(col("rep_id").as("doc_a"), col("rep_id").as("doc_b"),
+        size(col("sps")).cast("long").as("shared_spans"))
+    repPairs.unionByName(selfPairs)
+      .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("da")),
+        "doc_a")
+      .join(members.select(col("rep_id").as("doc_b"), col("doc_id").as("db")),
+        "doc_b")
+      .filter(col("doc_a") =!= col("doc_b") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("shared_spans"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -30,8 +30,22 @@ object ScaleSmoke {
     // (q55/q88/q49…) are out of scope under fanout (events user activity
     // already grows with plain copies: user_id is deliberately un-offset).
     val fanout = sys.env.getOrElse("SPARK_GRAFT_SCALE_FANOUT", "1").toInt
+    // Grown-CLUSTER rehearsal for the document family (r14 VERDICT task 5):
+    // plain self-union gives every doc exactly `copies` exact twins — every
+    // near-dup cluster grows by the SAME factor, so the viral-document
+    // shape (one boilerplate page with orders of magnitude more copies
+    // than the corpus's typical dup rate) never appears no matter how many
+    // copies run. SPARK_GRAFT_SCALE_DOC_FANOUT=D groups the ORIGINAL docs
+    // in runs of D consecutive doc_ids and gives the whole group the
+    // leader's content (text/lang/source/n_chars; doc_id stays per-doc) —
+    // twin clusters then reach D·copies members while the corpus stays
+    // copies×-sized, which is what the twin-collapse windows, band
+    // buckets, and span postings of q26_para_dedup / q26_span_dup / q93 /
+    // q26_incr_neardup have to survive at 100 TB.
+    val docFanout = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOC_FANOUT", "1").toInt
     val out = s"/tmp/graft_scale$copies" +
-      (if (fanout > 1) s"_f$fanout" else "")
+      (if (fanout > 1) s"_f$fanout" else "") +
+      (if (docFanout > 1) s"_d$docFanout" else "")
     // anchors first (the Bench discipline, r13): sweep logs are compared
     // ACROSS sessions and this host's disk swings 10× within a day
     // (measured 350 → 33 MB/s) — a sweep row without its window's anchors
@@ -52,10 +66,36 @@ object ScaleSmoke {
       new java.io.File(s"$out/customer.parquet/_SUCCESS").exists() &&
       new java.io.File(s"$out/supplier.parquet/_SUCCESS").exists()
     if (!reuse) {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+    val docs = if (docFanout <= 1) docs0 else {
+      // group leader = min doc_id of each run of docFanout consecutive ids
+      // (ids need not be dense — `div` on the id space still yields ~D-doc
+      // groups); the whole group takes the leader's content columns
+      val byG = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g")).orderBy(col("doc_id"))
+      docs0.withColumn("__g", expr(s"doc_id div $docFanout"))
+        .select(col("doc_id"), col("__g"),
+          first(col("text")).over(byG).as("text"),
+          first(col("lang")).over(byG).as("lang"),
+          first(col("source")).over(byG).as("source"),
+          first(col("n_chars")).over(byG).as("n_chars"))
+        .drop("__g")
+    }
     (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (docFanout > 1) {
+      // evidence line: the grown-cluster mode's whole point is twin
+      // clusters past the routing caps — record the distribution
+      val cs = spark.read.parquet(s"$out/documents.parquet")
+        .filter(col("text").isNotNull)
+        .groupBy(xxhash64(col("text")).as("th")).count()
+        .agg(max("count").as("mx"), avg("count").as("av"),
+          sum(when(col("count") > 256, 1L).otherwise(0L)).as("over_cap"))
+        .head()
+      println(s"[scale$copies d$docFanout] twin clusters: max=${cs.getLong(0)} " +
+        f"avg=${cs.getDouble(1)}%.1f over_cap(256)=${cs.getLong(2)}")
+    }
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     (0 until copies).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
@@ -163,7 +203,50 @@ object ScaleSmoke {
         "q26_incr_neardup", "q24_lsh_est", "q23_zipf_rank", "q32_audio_decode",
         "q29_neardup_batch", "q25_ivf_scale", "q32_video_frames",
         "q41_state_read")
-    (if (args.nonEmpty) args.toSeq else defaultLanes).foreach {
+    val lanes = if (args.nonEmpty) args.toSeq else defaultLanes
+
+    // Heap sizing gate (r14 VERDICT task 4): "128× wants 24 g" lived in
+    // prose — a predictably under-heaped basket rehearsal should fail fast
+    // with the sizing, not OOM 40 minutes in. The floor is the r14 measured
+    // ladder for the basket pair family (the one family whose frames grow
+    // with raw input volume): 383 MB widened lineitem → 16 g clean / 8 g
+    // on the OOM cliff; 1.5 GB → 24 g required. Both points fit
+    // required ≈ 8 GiB + 10 × lineitemBytes (32×: 11.8 g ≤ 16 g ok; 128×:
+    // 23 g ≈ the measured 24 g). Applied only when a basket-family lane is
+    // requested — the document battery measured clean at 16 g through
+    // 128×. SPARK_GRAFT_SCALE_FORCE=1 overrides (that is how the ladder
+    // itself gets measured).
+    val basketFamily = Set("q62_triangles", "q67_cooccur_sim", "q73_kcore",
+      "q74_assortativity", "q81_apriori_rules", "q83_degree_dist",
+      "q86_modularity")
+    val xmxBytes = Runtime.getRuntime.maxMemory
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+    }
+    val liBytes = dirBytes(s"$out/lineitem.parquet")
+    val floorBytes = (8L << 30) + 10 * liBytes
+    println(f"[scale$copies] heap: xmx=${xmxBytes / 1073741824.0}%.1fg " +
+      f"basket_floor=${floorBytes / 1073741824.0}%.1fg " +
+      s"(8g + 10x lineitem ${liBytes >> 20}MB; r14 ladder 383MB->16g/8g-cliff, 1.5GB->24g)")
+    if (lanes.exists(basketFamily) && xmxBytes < floorBytes &&
+        !sys.env.get("SPARK_GRAFT_SCALE_FORCE").contains("1")) {
+      System.err.println(
+        f"[scale$copies] ABORT: basket-family rehearsal with xmx " +
+          f"${xmxBytes / 1073741824.0}%.1fg under the measured floor " +
+          f"${floorBytes / 1073741824.0}%.1fg for this corpus " +
+          f"(${liBytes >> 20}MB widened lineitem). Re-run with " +
+          f"SPARK_DRIVER_MEM=${(floorBytes >> 30) + 1}g (or " +
+          "SPARK_GRAFT_SCALE_FORCE=1 to measure the cliff deliberately).")
+      spark.stop()
+      sys.exit(2)
+    }
+    def heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
+    lanes.foreach {
       case "ingest" =>
         // Q30 write-path rehearsal at copies×: events → day-partitioned
         // bronze, median of 3 (the Bench ingest slice's shape)
@@ -188,9 +271,15 @@ object ScaleSmoke {
           f"(reps ${reps.map(r => f"${n / r}%.0f").mkString(",")})")
       case name =>
       (0 until 2).foreach { i =>
+        heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, out).count()
-        println(f"[scale$copies] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+        // per-pool peaks summed: peaks need not be simultaneous, so this
+        // is an upper bound — the machine-readable ceiling the r14 verdict
+        // asked for next to the configured xmx (watch item 2)
+        val peak = heapPools.map(_.getPeakUsage.getUsed).sum
+        println(f"[scale$copies] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n " +
+          f"peak_heap=${peak / 1073741824.0}%.1fg/${xmxBytes / 1073741824.0}%.1fg")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
