@@ -44,6 +44,19 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
+      // r15 (guide §2.2 "fewer, larger reduce partitions"): let AQE coalesce
+      // exchanges INSIDE cached-plan materialization too. Default-false
+      // Spark preserves a cached plan's output partitioning so downstream
+      // consumers might reuse it — but with initialPartitionNum = 8×cores
+      // (the r11 at-scale fix) that default pins every persisted frame and
+      // every stage joined against it to the un-coalesced width: measured
+      // on q93 (the lane with the most consumers of one cached frame), 30+
+      // stages ran 256 near-empty tasks each, 10–180 ms of pure closure
+      // deserialization per task — ~20 s/pass of fixed overhead at sf0.1,
+      // and the same many-tiny-blocks shape §2.2 warns about at scale.
+      // Results are partitioning-independent (every lane orders its output
+      // or aggregates globally), so this is pure execution shape.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
