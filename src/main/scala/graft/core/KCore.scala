@@ -29,9 +29,22 @@ object KCore {
 
   /** Survivors of `rounds` peeling rounds at threshold `k`, with their
     * degree inside the final set. `edges` columns: integral `a`, `b`,
-    * a < b, deduplicated. Output: (node, deg, converged). */
-  def core(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val edges = edgesIn.localCheckpoint(true)
+    * a < b, deduplicated. Output: (node, deg, converged).
+    *
+    * Two execution strategies behind one semantic, size-gated like
+    * PageRank/Hits (r15): each distributed round costs two checkpointed
+    * joins + a count action — ~2 jobs × up to `rounds` iterations of fixed
+    * scheduling cost regardless of data size. Below `gateEdges` (~100 MB
+    * of edge tuples) ONE task peels over primitive arrays — integer
+    * degrees and set membership have no order dependence, so the output is
+    * row-identical (KCoreSpec proves both paths equal on every fixture).
+    * Above the gate the superstep loop is unchanged — the 100 TB path. */
+  def core(edgesIn: DataFrame, k: Int, rounds: Int,
+           gateEdges: Long = 4000000L): DataFrame = {
+    val edgesL = edgesIn.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val edges = edgesL.localCheckpoint(true)
+    if (edges.count() <= gateEdges) return singleTask(edges, k, rounds)
     val sym = edges.select(col("a").as("node"), col("b").as("other"))
       .unionAll(edges.select(col("b").as("node"), col("a").as("other")))
       .localCheckpoint(true)
@@ -57,5 +70,69 @@ object KCore {
     }
     degWithin(nodes)
       .select(col("node"), col("deg"), lit(converged).as("converged"))
+  }
+
+  /** All peeling rounds fused into one task over primitive arrays — the
+    * identical loop: R rounds max, early exit when a round's survivor
+    * count equals the previous round's (the same monotonicity argument),
+    * `converged` = that equality at exit. Emits (node, deg, converged)
+    * for the final survivor set. */
+  private def singleTask(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val ids = new java.util.HashMap[Long, Integer]()
+        val names = scala.collection.mutable.ArrayBuffer[Long]()
+        def id(x: Long): Int = {
+          val got = ids.get(x)
+          if (got ne null) got.intValue()
+          else { ids.put(x, Integer.valueOf(names.size)); names += x; names.size - 1 }
+        }
+        val ai = new Array[Int](es.length)
+        val bi = new Array[Int](es.length)
+        var i = 0
+        while (i < es.length) { ai(i) = id(es(i)._1); bi(i) = id(es(i)._2); i += 1 }
+        val n = names.size
+        val alive = Array.fill(n)(true)
+        var prev = n.toLong
+        var converged = false
+        var r = 0
+        val deg = new Array[Long](n)
+        while (r < rounds && !converged) {
+          java.util.Arrays.fill(deg, 0L)
+          i = 0
+          while (i < es.length) {
+            if (alive(ai(i)) && alive(bi(i))) { deg(ai(i)) += 1; deg(bi(i)) += 1 }
+            i += 1
+          }
+          // membership = has a degWithin row (deg >= 1) AND deg >= k — a
+          // node with no surviving incident edge is absent from the
+          // distributed agg and therefore peeled even at k = 0
+          var cnt = 0L
+          i = 0
+          while (i < n) {
+            alive(i) = alive(i) && deg(i) >= k && deg(i) > 0
+            if (alive(i)) cnt += 1
+            i += 1
+          }
+          converged = cnt == prev
+          prev = cnt
+          r += 1
+        }
+        java.util.Arrays.fill(deg, 0L)
+        i = 0
+        while (i < es.length) {
+          if (alive(ai(i)) && alive(bi(i))) { deg(ai(i)) += 1; deg(bi(i)) += 1 }
+          i += 1
+        }
+        // the final degWithin recompute also drops survivors whose last
+        // neighbors were peeled in the closing round (no agg row)
+        (0 until n).iterator.filter(j => alive(j) && deg(j) > 0)
+          .map(j => (names(j), deg(j), converged))
+      }
+      .toDF("node", "deg", "converged")
   }
 }

@@ -54,8 +54,14 @@ object Triangles {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
     // Total order low→high: lexicographic (degree, id). Unique by id.
-    val rank = deg.select(col("node"),
-      struct(col("deg"), col("node")).as("rk"))
+    // Barriered (r15, JobProbe evidence): the orientation consumes this
+    // frame through TWO joins (rka/rkb) whose differing output keys defeat
+    // exchange reuse, so the degree aggregation — a full pass over the
+    // edge list — materialized twice per execution (two 22-task stages of
+    // the same 4.3 MB agg at sf0.1; at scale it is 2× a full shuffle).
+    // One row per node, 2 longs + struct: bounded at any SF.
+    val rank = Barrier.bounded(deg.select(col("node"),
+      struct(col("deg"), col("node")).as("rk")))
 
     // Orientation folds straight into the adjacency build (its only
     // consumer): attach both endpoint ranks (a 1-row-per-node frame —
@@ -97,9 +103,22 @@ object Triangles {
     // instead of nu-order; consumers are size/explode→sum, order-blind) —
     // functions/PackedLongs.scala, PackedLongsSpec equivalence property.
     val nvSide = adj.select(col("u").as("v"), col("np").as("nv"))
-    val nvJoinable =
-      if (edges.count() <= BroadcastEdgeGate) broadcast(nvSide) else nvSide
-    val closed = adj
+    val smallGraph = edges.count() <= BroadcastEdgeGate
+    val nvJoinable = if (smallGraph) broadcast(nvSide) else nvSide
+    // Probe-side width (r15, guide §2.6 idle-capacity): the broadcast
+    // branch has NO exchange between the checkpointed adjacency and the
+    // closing join, so the intersect stage inherits adj's (AQE-coalesced,
+    // ~8 at sf0.1) partition count while it is the lane's CPU-dominant
+    // stage (measured 8.3 task-seconds on 8 tasks = the lane's longest
+    // job). A keyed repartition to defaultParallelism before the explode
+    // moves only the packed blobs (≤ 64 MB by the same gate that chose
+    // broadcasting) and lets the intersect use the whole pool. The
+    // shuffle-join branch keeps AQE's own exchange sizing — at that scale
+    // the join's shuffle IS the width control.
+    val probe = if (smallGraph)
+      adj.repartition(adj.sparkSession.sparkContext.defaultParallelism, col("u"))
+    else adj
+    val closed = probe
       .select(col("u"), col("np").as("nu"), explode(col("nbrs")).as("v"))
       .join(nvJoinable, Seq("v"))
       .select(col("u"), col("v"),

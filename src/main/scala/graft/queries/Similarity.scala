@@ -2341,9 +2341,22 @@ object Similarity {
   def q24JaccardSample(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val d = shingledFrame(hashSampled(Tables.documents(spark, dir), "doc_id", SampleTargetDocs))
-      .select(col("doc_id"), col("lang"), col("sh")).persist()
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+      .select(col("doc_id"), col("lang"), col("sh"),
+        // r15 (the q93 two-stage-verify discipline): a 64-bit hash twin of
+        // the shingle set, computed once per sampled doc. The pair loop
+        // intersects THESE long arrays first — xxhash64 can only merge
+        // distinct shingles, so isz_h >= isz_true and the integer
+        // threshold over isz_h admits every true pair (never rejects
+        // one); the exact string intersect then runs only for hash
+        // survivors (~the output rows) instead of every lang-matched,
+        // size-ratio-surviving pair. Emitted rows and the jaccard value
+        // stay a pure function of the true shingle sets.
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+      .persist()
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"),
+      col("shh").as("shh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("sh").as("sh_b"), col("shh").as("shh_b"))
     // size-ratio prune inside the join condition (exactness-preserving —
     // the q24_jaccard_pairs identity J ≤ min/max): pairs that cannot reach
     // 0.3 never pay the set intersection
@@ -2361,9 +2374,15 @@ object Similarity {
     val sa = size(col("sh_a"))
     val sb = size(col("sh_b"))
     val iszE = size(array_intersect(col("sh_a"), col("sh_b")))
+    // conjunct order (the measured lesson below + r15 hash stage): free
+    // checks → long-array intersect (superset filter, ~25-byte string
+    // hashing and comparison replaced by 8-byte longs) → exact string
+    // intersect, evaluated only for hash survivors
+    val iszH = size(array_intersect(col("shh_a"), col("shh_b")))
     val exact = a.join(broadcast(b),
         col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
           least(sa, sb).cast("double") >= lit(0.3) * greatest(sa, sb).cast("double") &&
+          lit(13) * iszH >= lit(3) * (sa + sb) &&
           lit(13) * iszE >= lit(3) * (sa + sb))
       .withColumn("isz", iszE)
       .withColumn("jaccard",

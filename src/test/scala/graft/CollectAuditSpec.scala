@@ -181,7 +181,11 @@ class CollectAuditSpec extends AnyFunSuite {
       "core/ConnectedComponents.scala" -> 2,
       "core/PageRank.scala" -> 1,
       "plans/TopKPerKey.scala" -> 1,
-      "core/Hits.scala" -> 1
+      "core/Hits.scala" -> 1,
+      // r15: KCore gained the PageRank/Hits-style size-gated fused peel
+      // (one task, primitive arrays) — the same adjudicated superstep-core
+      // slot, path-equality pinned by KCoreSpec
+      "core/KCore.scala" -> 1
     ), "prefer a codegen Expression / built-in functions; adjudicate " +
       "genuinely imperative per-partition logic here")
   }

@@ -84,4 +84,23 @@ class KCoreSpec extends SparkSpec {
       got.foreach(r => assert(r.getBoolean(2) === rconv))
     }
   }
+
+  // r15 size gate (the PageRankSpec pattern): the fused single-task path
+  // (default gate) and the distributed superstep path (gateEdges = 0) must
+  // emit the IDENTICAL row set — peeling is integer set arithmetic with no
+  // order dependence to hide behind.
+  test("single-task and distributed paths emit identical rows") {
+    val rnd = new scala.util.Random(23)
+    val rand = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (x, y) => x != y }
+    val path = (0L until 40L).map(i => (i, i + 1)) // non-converged case
+    val clique = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    for ((es, k) <- Seq((rand, 3), (path, 2), (clique ++ Seq((3L, 10L)), 2))) {
+      val fused = graft.core.KCore.core(edgesDf(es), k, 16).collect()
+      val dist = graft.core.KCore.core(edgesDf(es), k, 16, gateEdges = 0L)
+        .collect()
+      assert(fused.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        === dist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+    }
+  }
 }
