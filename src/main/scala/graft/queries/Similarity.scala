@@ -680,41 +680,84 @@ object Similarity {
       .select(col("doc_id"), col("n"), col("sh"), col("rep_id"))
       .persist()
     val members = keyed.select(col("rep_id"), col("doc_id"))
-    val reps = keyed.filter(col("doc_id") === col("rep_id"))
-      .select(col("rep_id"), col("n"), col("sh"))
+    // r16 (guide §1/§2 — the r15 verdict's per-lane job-floor item): reps
+    // get their OWN small persisted frame carrying the 64-bit hash twin.
+    // JobProbe at r16 start showed ~10 sequential 3-task jobs, each a scan
+    // of the full `keyed` cache that re-decoded the 5 000-doc STRING-array
+    // column (and, for the two repsH consumers, re-ran the per-row
+    // transform+distinct hashing) — ~0.7 task-seconds per consumer for
+    // data that never changes. Materializing the rep projection ONCE (one
+    // job, one string decode, one hashing pass over ~reps rows) turns every
+    // candidate/verify-side consumer into a scan of a rep-sized cache whose
+    // pruned columns are mostly longs. `keyed` stays cached for the member
+    // expansion (2 pruned long columns — cheap scans) and this build.
+    val repsV = keyed.filter(col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("n"), col("sh"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+      .withColumn("nh", size(col("shh")))
+      .persist()
 
     // r15 key diet (the slowest-lane profiling, tools/ContainProbe): the
     // candidate machinery used to shuffle the raw ~25-byte shingle STRINGS
     // through three exchanges (df groupBy, df join, prefix⋈postings join)
     // plus an md5-based 60-bit sort key — while every candidate is verified
     // afterwards against the REAL shingle arrays. The candidate pipeline
-    // therefore only needs a 64-bit HASH per shingle: postings carry
-    // xxhash64(s) longs, strings never cross a candidate-side exchange, and
-    // the order key is (df, hs) — codegen longs, no md5. Correctness is
-    // unchanged on both axes: (a) RECALL — the Bayardo prefix argument
-    // needs only "any k distinct shingles of A include one in B" (at most
-    // k−1 of A's shingles miss B when containment ≥ τ), so the global order
-    // is purely a candidate-COST heuristic and a hash tie (h collision)
-    // broken arbitrarily cannot drop a true pair; `sh` is array_distinct'd,
-    // so k posting rows ARE k distinct shingles. (b) PRECISION — a
-    // collision-induced candidate (pair sharing a hash but no shingle) is
-    // killed by the exact array_intersect verify, and the emitted rows are
-    // a function of the true sets only, so the DuckDB oracle (which orders
-    // by df-over-strings) stays hash-exact on the final output.
-    val post = reps.select(col("rep_id"), col("n"), explode(col("sh")).as("s"))
-      .select(col("rep_id"), col("n"), xxhash64(col("s")).as("hs"))
+    // therefore only needs a 64-bit HASH per shingle. r16 moves the hashing
+    // out of the posting explode entirely: postings explode the PRECOMPUTED
+    // `shh` twin (distinct by construction), so the posting stage never
+    // touches a string. Correctness is unchanged on both axes:
+    // (a) RECALL — the Bayardo prefix argument now runs in the HASH domain:
+    // a true pair has string overlap o ≥ T = ⌈0.7·n_small⌉; at most
+    // d_a = n − |shh| of the small side's elements merge under xxhash64
+    // (a merge inside A∩B ⊆ A is a within-A collision by definition), so
+    // the HASH overlap is ≥ T − d_a, and the prefix of A_h needed is
+    // |A_h| − (T − d_a) + 1 = (n − d_a) − T + d_a + 1 = n − T + 1 — the
+    // SAME all-integer prefix length as the string-domain form. A hash tie
+    // in the (df, hs) order is broken arbitrarily and cannot drop a true
+    // pair. (b) PRECISION — a collision-induced candidate is killed by the
+    // exact array_intersect verify, and the emitted rows are a function of
+    // the true sets only, so the DuckDB oracle (which orders by
+    // df-over-strings) stays hash-exact on the final output.
+    val post = repsV.select(col("rep_id"), col("n"), col("nh"),
+      explode(col("shh")).as("hs"))
     val dfreq = post.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    // Persisted (r16): BOTH candidate-join sides now need the rank column
+    // (the positional filter below), and Catalyst does not share the
+    // dfreq-join+window subtree across the two join branches — unpersisted,
+    // the whole chain (df groupBy, df join, rank-window shuffle) ran TWICE
+    // per pass (JobProbe: two 1.0 MB dfreq map stages + two 4.2 MB window
+    // exchanges). One pass of the ranked posting stream in MEMORY_AND_DISK
+    // replaces a full second derivation at any scale.
     val ordered = post.join(dfreq, "hs")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("rep_id"))
           .orderBy(col("df"), col("hs"))))
+      .persist()
     // prefix length |A| − ⌈0.7·|A|⌉ + 1, all-integer: ⌈7n/10⌉ = (7n+9) div 10
     val pref = ordered.filter(col("rn") <= col("n") - expr("(7*n+9) div 10") + lit(1))
-      .select(col("hs"), col("rep_id").as("rep_small"), col("n").as("n_small"))
+      .select(col("hs"), col("rep_id").as("rep_small"), col("n").as("n_small"),
+        col("nh").as("nh_small"), col("rn").as("rn_small"))
+    // r16 POSITIONAL filter (PPJoin, Xiao et al. — exact, no recall loss;
+    // guide §2.3 "shuffle fewer bytes" applied to the candidate stream):
+    // the large side joins as `ordered` (reusing the rank window's exchange
+    // — one subtree, ReuseExchange) so every match knows BOTH ranks in the
+    // shared (df, hs) total order. For the FIRST common element of a true
+    // pair, all o_h common hashes sit at or after (rn_small, rn_large) in
+    // their arrays, so o_h ≤ 1 + min(nh_small − rn_small, nh_large −
+    // rn_large); a true pair needs o_h ≥ T − d_a, so keeping exactly the
+    // match rows where the bound reaches T − d_a keeps every true pair's
+    // first match (later matches of the same pair may drop — distinct()
+    // needs only one). Kills the bulk of the candidate stream BEFORE the
+    // distinct exchange and the hash-verify joins (measured below).
     val cand = pref
-      .join(post.select(col("hs"), col("rep_id").as("rep_large"), col("n").as("n_large")), "hs")
+      .join(ordered.select(col("hs"), col("rep_id").as("rep_large"),
+        col("n").as("n_large"), col("nh").as("nh_large"),
+        col("rn").as("rn_large")), "hs")
       .filter(col("n_small") < col("n_large") ||
         (col("n_small") === col("n_large") && col("rep_small") < col("rep_large")))
+      .filter(lit(1) + least(col("nh_small") - col("rn_small"),
+          col("nh_large") - col("rn_large")) >=
+        expr("(7*n_small+9) div 10") - (col("n_small") - col("nh_small")))
       .select(col("rep_small"), col("rep_large"))
       .distinct()
     // Two-stage verify (r15, same profiling): the candidate count runs
@@ -733,18 +776,16 @@ object Similarity {
     // hash-survivors (~candidates/1000) back to the string arrays for the
     // exact intersect that defines the output, so emitted rows remain a
     // function of the true shingle sets — the oracle contract.
-    val repsH = reps.select(col("rep_id"), col("n"), col("sh"),
-      array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
     val candH = cand
-      .join(repsH.select(col("rep_id").as("rep_small"), col("shh").as("shh_a"),
-        col("n").as("n_small"), (col("n") - size(col("shh"))).as("d_a")), "rep_small")
-      .join(repsH.select(col("rep_id").as("rep_large"), col("shh").as("shh_b")), "rep_large")
+      .join(repsV.select(col("rep_id").as("rep_small"), col("shh").as("shh_a"),
+        col("n").as("n_small"), (col("n") - col("nh")).as("d_a")), "rep_small")
+      .join(repsV.select(col("rep_id").as("rep_large"), col("shh").as("shh_b")), "rep_large")
       .withColumn("isz_h", size(array_intersect(col("shh_a"), col("shh_b"))))
       .filter(lit(10) * (col("isz_h") + col("d_a")) >= lit(7) * col("n_small"))
       .select(col("rep_small"), col("rep_large"))
     val verified = candH
-      .join(reps.select(col("rep_id").as("rep_small"), col("sh").as("sh_a")), "rep_small")
-      .join(reps.select(col("rep_id").as("rep_large"), col("sh").as("sh_b"),
+      .join(repsV.select(col("rep_id").as("rep_small"), col("sh").as("sh_a")), "rep_small")
+      .join(repsV.select(col("rep_id").as("rep_large"), col("sh").as("sh_b"),
         col("n").as("n_large")), "rep_large")
       .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(lit(10) * col("isz") >= lit(7) * size(col("sh_a")))
@@ -778,7 +819,7 @@ object Similarity {
       .unionByName(selfHot.select(col("rep_id"),
         col("x.doc_id").as("doc_small0"), col("y.doc_id").as("doc_large0")))
     val self = selfPairs
-      .join(reps.select(col("rep_id"), col("n")), "rep_id")
+      .join(repsV.select(col("rep_id"), col("n")), "rep_id")
       .select(col("doc_small0").as("doc_small"), col("doc_large0").as("doc_large"),
         col("n").cast("long").as("small_sz"), col("n").cast("long").as("inter_sz"),
         lit(10000L).as("cont_bp"))
@@ -2344,13 +2385,16 @@ object Similarity {
       .select(col("doc_id"), col("lang"), col("sh"),
         // r15 (the q93 two-stage-verify discipline): a 64-bit hash twin of
         // the shingle set, computed once per sampled doc. The pair loop
-        // intersects THESE long arrays first — xxhash64 can only merge
-        // distinct shingles, so isz_h >= isz_true and the integer
-        // threshold over isz_h admits every true pair (never rejects
-        // one); the exact string intersect then runs only for hash
-        // survivors (~the output rows) instead of every lang-matched,
-        // size-ratio-surviving pair. Emitted rows and the jaccard value
-        // stay a pure function of the true shingle sets.
+        // intersects THESE long arrays first; the exact string intersect
+        // then runs only for hash survivors (~the output rows) instead of
+        // every lang-matched, size-ratio-surviving pair. Emitted rows and
+        // the jaccard value stay a pure function of the true shingle sets.
+        // r16 (verdict item 7): the hash conjunct carries q93's collision-
+        // correction term so the filter is EXACT, not 2⁻⁶⁴-probabilistic —
+        // a collision can only merge elements WITHIN one doc's set, so
+        // isz_true ≤ isz_h + min(d_a, d_b) where d = |sh| − |shh| counts
+        // each side's within-set merges; the threshold admits every true
+        // pair even if a collision ever lands inside an intersection.
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
       .persist()
     val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"),
@@ -2379,10 +2423,11 @@ object Similarity {
     // hashing and comparison replaced by 8-byte longs) → exact string
     // intersect, evaluated only for hash survivors
     val iszH = size(array_intersect(col("shh_a"), col("shh_b")))
+    val dMin = least(sa - size(col("shh_a")), sb - size(col("shh_b")))
     val exact = a.join(broadcast(b),
         col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
           least(sa, sb).cast("double") >= lit(0.3) * greatest(sa, sb).cast("double") &&
-          lit(13) * iszH >= lit(3) * (sa + sb) &&
+          lit(13) * (iszH + dMin) >= lit(3) * (sa + sb) &&
           lit(13) * iszE >= lit(3) * (sa + sb))
       .withColumn("isz", iszE)
       .withColumn("jaccard",

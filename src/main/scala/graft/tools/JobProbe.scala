@@ -20,7 +20,7 @@ object JobProbe {
                         var tasks: Int = 0, var maxTaskMs: Long = 0,
                         var shuffleReadMB: Double = 0, var shuffleWriteMB: Double = 0,
                         var spillMB: Double = 0, var gcMs: Long = 0,
-                        var deserMs: Long = 0)
+                        var deserMs: Long = 0, var frames: String = "")
     val stages = mutable.LinkedHashMap[Int, StageAgg]()
     val jobs = mutable.LinkedHashMap[Int, (Long, mutable.Buffer[Int])]() // start, stageIds
     val jobEnd = mutable.LinkedHashMap[Int, Long]()
@@ -33,6 +33,12 @@ object JobProbe {
         stages.synchronized {
           val a = stages.getOrElseUpdate(s.stageInfo.stageId, StageAgg())
           a.name = s.stageInfo.name.takeWhile(_ != '\n').take(90)
+          // r16: the callsite name alone cannot tell ten AQE stage-
+          // materialization jobs apart; the details stack's graft frames can
+          a.frames = s.stageInfo.details.linesIterator
+            .filter(l => l.contains("graft.") || l.contains("exchange") ||
+              l.contains("adaptive"))
+            .take(3).mkString(" | ").take(220)
         }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         stages.synchronized {
@@ -57,7 +63,17 @@ object JobProbe {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let listener drain
+      // r16 ADVICE: drain the async listener bus instead of a fixed sleep,
+      // so straggler events cannot bleed into the next pass's stats.
+      // listenerBus is private[spark]; reflection keeps this dev tool out
+      // of the spark package namespace, with the old sleep as fallback.
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Throwable => Thread.sleep(500) }
       println(f"[jobprobe] pass$p wall=$wall%.2f s ---------------------------")
       jobs.toSeq.sortBy(_._1).foreach { case (jid, (st, sids)) =>
         val dur = (jobEnd.getOrElse(jid, st) - st) / 1e3
@@ -69,6 +85,7 @@ object JobProbe {
                 f"maxTask=${a.maxTaskMs / 1e3}%6.2f s gc=${a.gcMs / 1e3}%6.2f s deser=${a.deserMs / 1e3}%6.2f s " +
                 f"sr=${a.shuffleReadMB}%8.1f MB sw=${a.shuffleWriteMB}%8.1f MB " +
                 f"spill=${a.spillMB}%6.1f MB  ${a.name}")
+              if (a.frames.nonEmpty) println(s"[jobprobe]      ^ ${a.frames}")
             }
           }
         }

@@ -107,6 +107,52 @@ class ContainmentFullSpec extends SparkSpec {
     assert(rows.length === 6) // no duplicate emissions across branches
   }
 
+  test("r16 candidate machinery is lossless vs an exhaustive cross-join twin") {
+    // Pins the whole r16 candidate pipeline — twin collapse, hash-domain
+    // postings off the precomputed shh, df-ordered prefix, the POSITIONAL
+    // filter, and the two-stage verify — against a brute-force formulation
+    // with none of it: every doc pair, one exact string-set intersect, the
+    // same integer emission. A sliding-window fixture over a tiny shared
+    // vocabulary puts many pairs near the 0.7 boundary so the prefix and
+    // positional pruning are genuinely active (dozens of true pairs, many
+    // near-misses), and wrap-around windows create high-df shingles so the
+    // df order is non-trivial.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 40).map(i => s"v$i")
+    val dir = docs((1L to 60L).map { id =>
+      val len = 8 + rnd.nextInt(30)
+      val start = rnd.nextInt(vocab.size)
+      val toks = (0 until len).map(k => vocab((start + k) % vocab.size))
+      (id, "en", toks.mkString(" "))
+    })
+    val got = Similarity.defs("q93_containment_full")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val d = Similarity.docsWithShingles(spark, dir)
+    val ex = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
+      .crossJoin(d.select(col("doc_id").as("idb"), col("sh").as("shb")))
+      .filter(col("ida") < col("idb"))
+      .withColumn("na", size(col("sha"))).withColumn("nb", size(col("shb")))
+      .withColumn("isz", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("small", least(col("na"), col("nb")))
+      .filter(lit(10) * col("isz") >= lit(7) * col("small"))
+      .select(
+        when(col("na") < col("nb"), col("ida"))
+          .when(col("nb") < col("na"), col("idb"))
+          .otherwise(least(col("ida"), col("idb"))).as("doc_small"),
+        when(col("na") < col("nb"), col("idb"))
+          .when(col("nb") < col("na"), col("ida"))
+          .otherwise(greatest(col("ida"), col("idb"))).as("doc_large"),
+        col("small").cast("long"), col("isz").cast("long"),
+        expr("CAST(isz AS BIGINT) * 10000 div small"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(ex.nonEmpty && ex.size > 20, s"fixture too sparse: ${ex.size} pairs")
+    assert(got === ex)
+  }
+
   test("every emitted row satisfies the integer threshold, bp identity and size orientation") {
     val d = Similarity.defs("q93_containment_full")(spark, sf001)
     val rows = d.collect()
