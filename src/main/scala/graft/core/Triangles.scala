@@ -49,19 +49,23 @@ object Triangles {
     // (edges: 2 longs/row; oriented: same) make every downstream branch a
     // re-read instead of a re-compute.
     val edges = edgesIn.localCheckpoint(true)
-    val deg = edges.select(col("a").as("node"))
+    // Barriered at the AGGREGATION (r16; r15 barriered the derived rank
+    // frame instead): `deg` has THREE consumers — the rank projection
+    // below (itself consumed by both orientation joins) and the final
+    // left join that attaches tri_cnt — and r15's rank-level barrier
+    // still let the final join re-run the full union+groupBy pass over
+    // the edge list (JobProbe r16: two 22-task stages writing the same
+    // 4.3 MB agg per pass). One row per node, 2 longs: bounded at any SF;
+    // every consumer is now a re-read of the checkpoint.
+    val deg = Barrier.bounded(edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
 
     // Total order low→high: lexicographic (degree, id). Unique by id.
-    // Barriered (r15, JobProbe evidence): the orientation consumes this
-    // frame through TWO joins (rka/rkb) whose differing output keys defeat
-    // exchange reuse, so the degree aggregation — a full pass over the
-    // edge list — materialized twice per execution (two 22-task stages of
-    // the same 4.3 MB agg at sf0.1; at scale it is 2× a full shuffle).
-    // One row per node, 2 longs + struct: bounded at any SF.
-    val rank = Barrier.bounded(deg.select(col("node"),
-      struct(col("deg"), col("node")).as("rk")))
+    // A plain projection of the checkpointed deg — both orientation joins
+    // re-derive it from the checkpoint scan (row-local, no recompute).
+    val rank = deg.select(col("node"),
+      struct(col("deg"), col("node")).as("rk"))
 
     // Orientation folds straight into the adjacency build (its only
     // consumer): attach both endpoint ranks (a 1-row-per-node frame —
