@@ -39,4 +39,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the same order of magnitude below the box while taking the whole flake
   // class out; SPARK_DRIVER_MEM still overrides both ways.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // ParallelGC (r16, guide §5): JobProbe showed 10-30% of task time in GC
+  // on the hot lanes under the JDK-17 default G1 — task-lifetime object
+  // churn (closure deser, codegen, shuffle buffers) is a pure young-gen
+  // throughput workload, and G1's concurrent cycles + region management
+  // compete with 32 executor threads for cores. Measured: interleaved
+  // same-window NoopTime A/B on 16 lanes, PGC ≥ G1 on 15 of 16 in both
+  // matched pairs (q55 2.32→1.79, q58 1.40→0.99, q74 2.26→1.67); full-
+  // bench total_noop 172.0 (G1) → 138.8 (PGC) with better slices in the
+  // same back-to-back pair. This configures the LOCAL single-JVM bench/
+  // verify runtime; a cluster deployment sets executor GC via
+  // spark.executor.extraJavaOptions — throughput collectors remain the
+  // standard recommendation for batch executors there too.
+  "-XX:+UseParallelGC",
+) ++
+  // Dev-only A/B hook: extra JVM flags (e.g. a GC experiment) without
+  // editing the build. Unset = no flags — the default JVM configuration
+  // every prior round's artifacts were measured under is unchanged.
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -254,6 +254,34 @@ object Bench {
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val noopTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failedNoop = scala.collection.mutable.LinkedHashSet[String]()
+    // Scaling-probe legibility (r15 VERDICT task 2): at bench SFs most
+    // lanes are floor-bound (fixed per-lane scheduling/AQE cost), so a
+    // c8-vs-c32 wall-clock ratio near 1 cannot distinguish "serial lane"
+    // from "floor-bound at this SF" and trips the driver's
+    // suspect_cpus_ignored heuristic on an honest harness. The artifact now
+    // carries the evidence to tell them apart: the session's cpu/
+    // parallelism echo plus, per lane, Σ task-time / noop-wall (a lane
+    // using one core reads ~1; a 32-wide CPU-bound lane reads ≫ 1). The
+    // listener only ACCUMULATES during the gated noop pass; events are
+    // drained (private listenerBus via reflection, dev-grade but fail-safe)
+    // before each snapshot so a pass cannot bleed into the next.
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            taskTimeMs.addAndGet(t.taskMetrics.executorRunTime)
+      })
+    def drainListeners(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Throwable => Thread.sleep(300) }
+    val noopTaskSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Local-iteration knob only (driver never sets it): comma-separated
     // lane-name prefixes restrict the run, e.g. SPARK_GRAFT_ONLY=q20,q24
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -302,6 +330,8 @@ object Bench {
       // fully materialized (pre-barrier). `queries` stays the historical
       // count-based contract (round-over-round comparability);
       // `queries_noop` is the every-column truth the Verify gate pays.
+      drainListeners()
+      val taskMs0 = taskTimeMs.get()
       val tN = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -309,6 +339,8 @@ object Bench {
         System.err.println(s"[bench] $name noop FAILED: ${e.getMessage}")
       }
       noopTimes(name) = (System.nanoTime() - tN) / 1e9
+      drainListeners()
+      noopTaskSec(name) = (taskTimeMs.get() - taskMs0) / 1e3
       hygiene()
       name -> warm
     }
@@ -379,7 +411,15 @@ object Bench {
     // (`queries`, what BASELINE.md targets compare against) LAST among the
     // dicts — a tail window of this (long) line, which is what a
     // BENCH_r*.json reader usually sees, then shows the gated numbers.
+    // Σ task-time per lane during the gated noop pass (r15 VERDICT task 2:
+    // the scaling probe's per-lane parallelism evidence). Ratio to the wall
+    // is computed reader-side; raw seconds keep the artifact unit-honest.
+    val qsTask = noopTaskSec
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 100) / 100 }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total_noop","value":$noopTotal,"unit":"sec","gated_dict":"queries(noop)",""" +
+      s""""cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""queries_task_sec":$qsTask,""" +
       s""""queries_cold":$qsCold,""" +
       s""""queries_counted_warm":$qsCounted,"counted_total":$countedTotal,""" +
       s""""failed_noop":$failedNoopJson,""" +
@@ -422,7 +462,18 @@ object Bench {
     val streamSpread =
       if (streamRepsRps.isEmpty || streamRepsRps.min <= 0) -1.0
       else r3(streamRepsRps.max / streamRepsRps.min)
+    // Per-lane parallelism (Σ task-time / noop wall) for the 10 slowest
+    // lanes — enough to adjudicate a c8-vs-c32 scaling comparison from the
+    // compact line alone (~1 ⇒ floor-bound or serial; ≫ 1 ⇒ the cores were
+    // used; compare against the run's own `cpus` echo). One decimal keeps
+    // the line inside the driver's stdout tail window.
+    val parTop = noopOk.sortBy(-_._2).take(10).map { case (k, w) =>
+      val r = if (w > 0) noopTaskSec.getOrElse(k, 0.0) / w else 0.0
+      "\"" + k + "\":" + math.rint(r * 10) / 10
+    }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total_noop","value":${r3(noopTotal)},"unit":"sec",""" +
+      s""""cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""par":$parTop,""" +
       s""""n_queries":${results.size},"noop_mean":${r3(noopMean)},""" +
       s""""noop_p50":${r3(noopP50)},"noop_p95":${r3(noopP95)},"noop_max":${r3(noopMax)},""" +
       s""""counted_total":${r3(countedTotal)},"counted_warm_mean":${r3(warmMean)},""" +

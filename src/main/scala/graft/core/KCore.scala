@@ -31,6 +31,12 @@ object KCore {
     * degree inside the final set. `edges` columns: integral `a`, `b`,
     * a < b, deduplicated. Output: (node, deg, converged).
     *
+    * Schema contract (r16, ADVICE): `node` is emitted as LONG on BOTH
+    * paths regardless of the caller's integer width — the endpoint cast
+    * below is what lets the fused path decode primitives. An int-keyed
+    * caller gets widened output; re-cast at the call site if int is
+    * required downstream.
+    *
     * Two execution strategies behind one semantic, size-gated like
     * PageRank/Hits (r15): each distributed round costs two checkpointed
     * joins + a count action — ~2 jobs × up to `rounds` iterations of fixed
@@ -83,7 +89,10 @@ object KCore {
     edges.as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val es = it.toArray
+        // r16 (ADVICE): decode straight from the iterator into growable
+        // primitive int arrays — the old it.toArray materialized every
+        // edge as a boxed Tuple2 (~3× the documented ~100 MB transient at
+        // the 4 M-edge gate) before the primitive pass even began.
         val ids = new java.util.HashMap[Long, Integer]()
         val names = scala.collection.mutable.ArrayBuffer[Long]()
         def id(x: Long): Int = {
@@ -91,11 +100,19 @@ object KCore {
           if (got ne null) got.intValue()
           else { ids.put(x, Integer.valueOf(names.size)); names += x; names.size - 1 }
         }
-        val ai = new Array[Int](es.length)
-        val bi = new Array[Int](es.length)
-        var i = 0
-        while (i < es.length) { ai(i) = id(es(i)._1); bi(i) = id(es(i)._2); i += 1 }
+        var ai = new Array[Int](1 << 12)
+        var bi = new Array[Int](1 << 12)
+        var m = 0
+        while (it.hasNext) {
+          val e = it.next()
+          if (m == ai.length) {
+            ai = java.util.Arrays.copyOf(ai, m << 1)
+            bi = java.util.Arrays.copyOf(bi, m << 1)
+          }
+          ai(m) = id(e._1); bi(m) = id(e._2); m += 1
+        }
         val n = names.size
+        var i = 0
         val alive = Array.fill(n)(true)
         var prev = n.toLong
         var converged = false
@@ -104,7 +121,7 @@ object KCore {
         while (r < rounds && !converged) {
           java.util.Arrays.fill(deg, 0L)
           i = 0
-          while (i < es.length) {
+          while (i < m) {
             if (alive(ai(i)) && alive(bi(i))) { deg(ai(i)) += 1; deg(bi(i)) += 1 }
             i += 1
           }
@@ -124,7 +141,7 @@ object KCore {
         }
         java.util.Arrays.fill(deg, 0L)
         i = 0
-        while (i < es.length) {
+        while (i < m) {
           if (alive(ai(i)) && alive(bi(i))) { deg(ai(i)) += 1; deg(bi(i)) += 1 }
           i += 1
         }

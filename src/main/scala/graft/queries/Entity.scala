@@ -326,8 +326,15 @@ object Entity {
       .agg(count(lit(1)).as("w"))
     val cNode = concat(lit("C"), col("o_custkey").cast("string"))
     val sNode = concat(lit("S"), col("l_suppkey").cast("string"))
-    val edges = pairs.select(cNode.as("src"), sNode.as("dst"), col("w"))
-      .union(pairs.select(sNode.as("src"), cNode.as("dst"), col("w")))
+    // Symmetrize in ONE pass (r16, the q83 single-consumption fix): the
+    // old two-arm union re-derived the join+groupBy subtree once per arm —
+    // PageRank.run persists the edge frame, so BOTH derivations ran into
+    // the cache materialization. Exploding both directions from each
+    // aggregated pair row emits the identical edge multiset with one pass.
+    val edges = pairs.select(explode(array(
+        struct(cNode.as("src"), sNode.as("dst"), col("w").as("w")),
+        struct(sNode.as("src"), cNode.as("dst"), col("w").as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
     graft.core.PageRank.run(edges, PrIters, PrR0)
       .orderBy(col("node"))
   }

@@ -18,6 +18,14 @@ object LaneTime {
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     require(args.nonEmpty, "pass lane names")
+    // r15 VERDICT task 8: collect()-based timing lets Catalyst prune
+    // columns the action does not need — the exact instrument class that
+    // hid the inherited q93 regression from the r14→r15 interrupted
+    // session. The banner is loud by design; the gated metric lives in
+    // tools/NoopTime.
+    System.err.println("[lanetime] WARNING: times collect(), which PRUNES " +
+      "columns — NOT the gated noop metric; use graft.tools.NoopTime for " +
+      "any number that feeds an optimization decision")
     args.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown lane $name"))

@@ -10,6 +10,13 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.GraftSession.build()
+    // r15 VERDICT task 8: count()-based timing lets Catalyst prune columns
+    // (and sometimes whole subtrees) the count does not need — the
+    // instrument class that hid the inherited q93 regression. The gated
+    // metric lives in tools/NoopTime; this tool remains for quick loops.
+    System.err.println("[qtime] WARNING: times count(), which PRUNES " +
+      "columns — NOT the gated noop metric; use graft.tools.NoopTime for " +
+      "any number that feeds an optimization decision")
     args.foreach { name =>
       (0 until 3).foreach { i =>
         val t0 = System.nanoTime()

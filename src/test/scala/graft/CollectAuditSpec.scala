@@ -129,7 +129,7 @@ class CollectAuditSpec extends AnyFunSuite {
     // Similarity — nprobe head of the ≤4096 collected centroid Seq
     gate(".take(", census("\\.take\\("), Map(
       "plans/GraftSqlParser.scala" -> 1,
-      "Bench.scala" -> 1,
+      "Bench.scala" -> 2, // top-15 slowest + top-10 parallelism, both local Seqs
       "core/PrevBench.scala" -> 1,
       "functions/CollectCapped.scala" -> 1,
       "queries/Similarity.scala" -> 1
@@ -195,5 +195,21 @@ class CollectAuditSpec extends AnyFunSuite {
     // typed imperative aggregates; a scalar udf() is never the right tool
     val hits = census("(?<![a-zA-Z_])udf\\s*\\(")
     assert(hits.isEmpty, s"scalar udf() call found in: ${hits.keys.mkString(", ")}")
+  }
+
+  test("no partition-identity expression exists in main (r16 ADVICE)") {
+    // GraftSession sets canChangeCachedPlanOutputPartitioning=true (the
+    // r15 §2.2 fix), which is safe ONLY while no lane's result depends on
+    // physical partitioning or partition ids. The invariant was enforced
+    // by comment; this census makes it a gate: an expression that exposes
+    // partition identity (spark_partition_id) or partition-dependent
+    // numbering (monotonically_increasing_id) would make results vary with
+    // AQE's cached-plan coalescing and must not enter a query path.
+    // (Unsorted collect_list is covered by the collect_list floor above —
+    // each adjudication includes order-insensitivity downstream.)
+    val hits = census("spark_partition_id|monotonically_increasing_id")
+    assert(hits.isEmpty,
+      s"partition-identity expression found in: ${hits.keys.mkString(", ")} " +
+        "— results must be partitioning-independent (GraftSession invariant)")
   }
 }
